@@ -15,8 +15,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    Runs the full migration pipeline (catalog -> embed/reference planning ->
+    Catalyst nesting DAG) and returns the multi-level nested `region`
+    collection: region > nation[] > {customer[] > orders[], supplier[]}.
+    """
+    from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate
+
+    collections = migrate(spark, "/root/testdata/sf0.001")
+    return collections["region"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -1,0 +1,218 @@
+"""Nesting materializer — IR#2 plan -> Catalyst join/collect_list DAG.
+
+The reference materializes documents with a nested-loop that re-scans the
+entire child table once per parent row (reference server/DBMigration.js:
+405-522 — O(parents x child-scan), one SQL round-trip per parent row), and
+an index nested-loop point probe per junction row for two-way embedding
+(server/DBMigration.js:524-575). Both are re-expressed as the canonical
+Spark nesting idiom:
+
+    child.groupBy(fk).agg(collect_list(struct(*fields)))  # one shuffle
+         .join(parent, parent[ref] == child[fk], "left")  # hash/SMJ join
+
+applied bottom-up over the nesting tree, so multi-level embedding (region >
+territory[] > employeeterritory[], reference server/models/NoSQLDatabase.js:
+13-27) rides along as already-nested array columns. Catalyst picks broadcast
+vs sort-merge per side; AQE re-plans for skew at scale.
+
+Scale notes (100 TB): every nesting edge is exactly ONE shuffle of the child
+table keyed by its FK (map-side partial collect_list applies), versus the
+reference's O(P) scans. Embedded arrays are sorted with array_sort for
+deterministic output (the reference's array order is DB-arbitrary —
+SURVEY §2.5 fidelity note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from relational_to_doc_oriented_nosql_migrator_spark.plans.catalog import Catalog
+from relational_to_doc_oriented_nosql_migrator_spark.plans.planner import (
+    Collection,
+    NoSQLPlan,
+)
+
+BANGKOK_TZ = "Asia/Bangkok"
+
+
+def normalize_date_columns(df: DataFrame) -> DataFrame:
+    """`fn_date_normalize`: date/timestamp columns -> 'yyyy-MM-dd' strings in
+    Asia/Bangkok local time.
+
+    The reference value-sniffs every field (any Date, or any string
+    Date.parse accepts, is rewritten — reference server/MySQLDBManager.js:
+    268-276,314-319). We scope by column *type* instead: the sniffing is an
+    artifact of the untyped driver rows, not a feature (SURVEY §1.1).
+    """
+    out = df
+    for f_ in df.schema.fields:
+        if isinstance(
+            f_.dataType, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            out = out.withColumn(
+                f_.name,
+                F.date_format(
+                    F.from_utc_timestamp(F.col(f_.name), BANGKOK_TZ),
+                    "yyyy-MM-dd",
+                ),
+            )
+    return out
+
+
+def _dedupe(names: list[str]) -> list[str]:
+    seen: set[str] = set()
+    out: list[str] = []
+    for n in names:
+        if n not in seen:
+            seen.add(n)
+            out.append(n)
+    return out
+
+
+def _find_fk(catalog: Catalog, child: str, parent: str):
+    meta = catalog.get_table(child)
+    for fk in meta.foreign_keys:
+        if fk.referenced_table == parent:
+            return fk
+    raise ValueError(f"no FK from {child} to {parent}")
+
+
+def _prepare_child(
+    tables: dict[str, DataFrame],
+    catalog: Catalog,
+    emb: Collection,
+    parent_table: str,
+    normalize_dates: bool,
+) -> tuple[DataFrame, list[str], str]:
+    """Build the child DataFrame for one embedded collection.
+
+    Returns (df, struct_field_names, fk_column): df carries the deduped
+    attribute columns, any already-nested child arrays, and the FK column
+    linking it to the parent.
+    """
+    fk = _find_fk(catalog, emb.name, parent_table)
+    df = tables[emb.name]
+    if normalize_dates:
+        df = normalize_date_columns(df)
+
+    # Bottom-up: attach this collection's own embedded children first, so
+    # their arrays become ordinary columns of the child.
+    for nested in emb.embedded:
+        df = _attach_embedded(tables, catalog, df, emb.name, nested,
+                              normalize_dates)
+
+    attrs = _dedupe(emb.attributes)
+
+    if emb.embedded_attributes_from:
+        # Two-way embedded junction: denormalize the other endpoint's
+        # attributes into each junction document (reference
+        # server/DBMigration.js:524-575). The reference's per-junction-row
+        # point probe is an inner equi-join with fan-out.
+        other = emb.embedded_attributes_from
+        other_fk = _find_fk(catalog, emb.name, other)
+        other_meta = catalog.get_table(other)
+        other_df = tables[other]
+        if normalize_dates:
+            other_df = normalize_date_columns(other_df)
+        other_cols = [c for c in other_meta.columns
+                      if c != other_fk.referenced_column]
+        prefixed = other_df.select(
+            [F.col(other_fk.referenced_column).alias("__other_key")]
+            + [F.col(c).alias(f"__other_{c}") for c in other_cols]
+        )
+        df = df.join(
+            prefixed,
+            df[other_fk.column] == prefixed["__other_key"],
+            "inner",
+        )
+
+        # Attribute resolution mirrors the reference's merge order: the
+        # junction document is built first, then matching other-endpoint
+        # values overwrite it (server/DBMigration.js:559-569).
+        def resolve(attr: str) -> Column:
+            if attr in other_cols:
+                return F.col(f"__other_{attr}").alias(attr)
+            return F.col(attr)
+
+        keep = [resolve(a) for a in attrs]
+        keep += [F.col(n.name) for n in emb.embedded]
+        keep.append(F.col(fk.column))
+        df = df.select(*keep)
+    else:
+        keep = [F.col(a) for a in attrs]
+        keep += [F.col(n.name) for n in emb.embedded]
+        if fk.column not in attrs:
+            keep.append(F.col(fk.column))
+        df = df.select(*keep)
+
+    fields = attrs + [n.name for n in emb.embedded]
+    return df, fields, fk.column
+
+
+def _attach_embedded(
+    tables: dict[str, DataFrame],
+    catalog: Catalog,
+    parent_df: DataFrame,
+    parent_table: str,
+    emb: Collection,
+    normalize_dates: bool,
+) -> DataFrame:
+    """Nest one embedded collection under parent_df as an array column."""
+    child_df, fields, fk_col = _prepare_child(
+        tables, catalog, emb, parent_table, normalize_dates
+    )
+    fk = _find_fk(catalog, emb.name, parent_table)
+
+    grouped = child_df.groupBy(F.col(fk_col).alias("__nest_key")).agg(
+        F.array_sort(
+            F.collect_list(F.struct(*[F.col(f_) for f_ in fields]))
+        ).alias(emb.name)
+    )
+    out = parent_df.join(
+        grouped,
+        parent_df[fk.referenced_column] == grouped["__nest_key"],
+        "left",
+    ).drop("__nest_key")
+    return out
+
+
+def _root_projection(
+    df: DataFrame, attributes: list[str], table_columns: list[str]
+) -> DataFrame:
+    """Root attribute mapping: attr matches a column by name or by
+    name+'_REF' (reference server/DBMigration.js:441-447)."""
+    cols = []
+    for attr in attributes:
+        if attr in table_columns:
+            cols.append(F.col(attr))
+        elif attr.endswith("_REF") and attr[:-4] in table_columns:
+            cols.append(F.col(attr[:-4]).alias(attr))
+    return df.select(*cols)
+
+
+def materialize(
+    tables: dict[str, DataFrame],
+    catalog: Catalog,
+    plan: NoSQLPlan,
+    normalize_dates: bool = True,
+    drop_all_null_docs: bool = True,
+) -> dict[str, DataFrame]:
+    """Materialize every root collection of the plan as a nested DataFrame."""
+    out: dict[str, DataFrame] = {}
+    for root in plan.collections:
+        meta = catalog.get_table(root.name)
+        df = tables[root.name]
+        if normalize_dates:
+            df = normalize_date_columns(df)
+        df = _root_projection(df, _dedupe(root.attributes), meta.columns)
+        if drop_all_null_docs:
+            # `filter_nonempty_doc`: documents where no attribute matched are
+            # dropped (reference server/DBMigration.js:473,481,491).
+            df = df.na.drop(how="all", subset=_dedupe(root.attributes))
+        for emb in root.embedded:
+            df = _attach_embedded(tables, catalog, df, root.name, emb,
+                                  normalize_dates)
+        out[root.name] = df
+    return out

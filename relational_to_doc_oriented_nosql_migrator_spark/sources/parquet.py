@@ -1,0 +1,80 @@
+"""Parquet sources (operator `src_full_scan`, SURVEY §2.1).
+
+The reference's `getAllDatas` is `SELECT * FROM t` shipped over TCP per call
+(reference server/MySQLDBManager.js:254-282). Here a "full scan" is a lazy
+parquet DataFrame: Catalyst prunes columns and pushes predicates into the
+scan, so downstream operators never pay for `SELECT *` unless they use it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Relational star schema (FK graph in plans/catalog.py).
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+)
+# Extension tables for stream/text/vector operators.
+ALL_TABLES = TPCH_TABLES + ("events", "documents", "embeddings")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def ensure_runtime_confs(spark: SparkSession) -> None:
+    """Runtime confs the engine depends on, set here (not only in our session
+    factory) because the driver calls `entry()`/`queries()` with its own
+    vanilla SparkSession:
+
+    - nanosAsLong: the testdata stores TIMESTAMP(NANOS), which Spark 4.1
+      reads as correct TIMESTAMP_NTZ under this flag and rejects outright
+      without it.
+    - AQE + partition coalescing: the nesting DAG chains several joins and
+      groupBys; with a static 200-partition shuffle on a vanilla session the
+      task count dwarfs the data at small SF and under-parallelizes at large
+      SF. AQE right-sizes every exchange at runtime.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """`src_full_scan`: lazy full-table scan of one parquet table."""
+    ensure_runtime_confs(spark)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
+) -> None:
+    """Register each table as a temp view for spark.sql access."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def indexed_lookup(df: DataFrame, column: str, value) -> DataFrame:
+    """`src_indexed_lookup`: point-predicate scan.
+
+    The reference issues `SELECT * FROM t WHERE col = ?` per probe
+    (server/MySQLDBManager.js:284-312). Expressed declaratively the predicate
+    is pushed into the parquet scan (visible as PushedFilters in .explain);
+    bulk probes should instead join against a key DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    return df.filter(F.col(column) == value)
