@@ -33,7 +33,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        all_queries,
+    )
+
+    return all_queries()
 
 
 def oracle_sql() -> dict[str, str]:
@@ -43,4 +47,8 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        all_oracles,
+    )
+
+    return all_oracles()

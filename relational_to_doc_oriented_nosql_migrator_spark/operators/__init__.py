@@ -1,0 +1,32 @@
+"""Operator inventory (SURVEY §2) as (spark, sf_dir) -> DataFrame builders.
+
+Every module exposes:
+  QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]]
+  ORACLES: dict[str, str]   # DuckDB ANSI-SQL equivalents (omitted for
+                            # non-SQL-expressible ops -> rows-only check)
+"""
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+    dedup,
+    relational,
+    similarity,
+    text,
+    windows,
+    workload_ops,
+)
+
+MODULES = (relational, workload_ops, windows, text, dedup, similarity)
+
+
+def all_queries():
+    out = {}
+    for m in MODULES:
+        out.update(m.QUERIES)
+    return out
+
+
+def all_oracles():
+    out = {}
+    for m in MODULES:
+        out.update(m.ORACLES)
+    return out

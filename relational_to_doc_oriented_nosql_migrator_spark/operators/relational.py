@@ -1,0 +1,517 @@
+"""Relational operators (SURVEY §2.1-2.5, §2.8) with DuckDB oracles.
+
+The reference delegates its metadata queries to INFORMATION_SCHEMA /
+pg_catalog; here the same joins/aggregations run over literal metadata
+DataFrames built from the testdata FK graph (plans/catalog.py), so the
+computation — not the catalog plumbing — is what's exercised and checked.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from relational_to_doc_oriented_nosql_migrator_spark.functions.scalar import (
+    case_when_referenced,
+    date_normalize,
+    split_trim,
+    whitespace_normalize,
+)
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    dec_avg,
+    dec_sum,
+    sql_dec_avg,
+    sql_dec_sum,
+    t,
+)
+from relational_to_doc_oriented_nosql_migrator_spark.plans.catalog import (
+    TPCH_FOREIGN_KEYS,
+)
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+TPCH_COLUMNS: dict[str, list[str]] = {
+    "region": ["r_regionkey", "r_name"],
+    "nation": ["n_nationkey", "n_name", "n_regionkey"],
+    "customer": ["c_custkey", "c_name", "c_nationkey", "c_acctbal",
+                 "c_mktsegment"],
+    "supplier": ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    "part": ["p_partkey", "p_name", "p_brand", "p_type", "p_size",
+             "p_retailprice"],
+    "orders": ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+               "o_orderdate", "o_orderpriority"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+                 "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"],
+    "events": ["event_id", "ts", "user_id", "event_type", "value", "props"],
+    "documents": ["doc_id", "text", "lang", "source", "n_chars"],
+    "embeddings": ["vec_id", "embedding", "label"],
+}
+
+# ---------------------------------------------------------------------------
+# Metadata DataFrames / VALUES (shared by Spark side and oracle side)
+# ---------------------------------------------------------------------------
+
+
+def _meta_tables_df(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [(name,) for name in TABLES], "table_name string"
+    )
+
+
+def _meta_fk_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (child, col, ref, refcol)
+        for child, edges in TPCH_FOREIGN_KEYS.items()
+        for col, ref, refcol in edges
+    ]
+    return spark.createDataFrame(
+        rows,
+        "table_name string, column_name string, referenced_table string,"
+        " referenced_column string",
+    )
+
+
+def _meta_columns_df(spark: SparkSession) -> DataFrame:
+    rows = [
+        (name, i + 1, col)
+        for name, cols in TPCH_COLUMNS.items()
+        for i, col in enumerate(cols)
+    ]
+    return spark.createDataFrame(
+        rows, "table_name string, ordinal_position int, column_name string"
+    )
+
+
+def _sql_values(rows: list[tuple], alias: str, cols: list[str]) -> str:
+    def lit(v) -> str:
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return str(v)
+
+    body = ", ".join("(" + ", ".join(lit(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) AS {alias}({', '.join(cols)})"
+
+
+def sql_meta_tables() -> str:
+    return _sql_values([(n,) for n in TABLES], "t", ["table_name"])
+
+
+def sql_meta_fk() -> str:
+    rows = [
+        (child, col, ref, refcol)
+        for child, edges in TPCH_FOREIGN_KEYS.items()
+        for col, ref, refcol in edges
+    ]
+    return _sql_values(
+        rows, "k",
+        ["table_name", "column_name", "referenced_table", "referenced_column"],
+    )
+
+
+def sql_meta_columns() -> str:
+    rows = [
+        (name, i + 1, col)
+        for name, cols in TPCH_COLUMNS.items()
+        for i, col in enumerate(cols)
+    ]
+    return _sql_values(
+        rows, "c", ["table_name", "ordinal_position", "column_name"]
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.1 sources
+# ---------------------------------------------------------------------------
+
+
+def q_src_full_scan(spark, sf_dir):
+    """Full scan, all columns (reference server/MySQLDBManager.js:254-282)."""
+    return t(spark, sf_dir, "nation")
+
+
+def q_src_indexed_lookup(spark, sf_dir):
+    """Point-predicate scan; the predicate reaches the parquet scan as a
+    PushedFilter (reference server/MySQLDBManager.js:284-312)."""
+    return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
+
+
+# ---------------------------------------------------------------------------
+# §2.2 projections / filters
+# ---------------------------------------------------------------------------
+
+
+def q_proj_attribute_select(spark, sf_dir):
+    """Name-list projection (reference server/DBMigration.js:441-447);
+    Catalyst prunes the scan to exactly these columns."""
+    return t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_proj_drop_fk_column(spark, sf_dir):
+    """One-way embedding drops the child's FK column
+    (reference server/DBMigration.js:271-277)."""
+    return t(spark, sf_dir, "orders").drop("o_custkey")
+
+
+def q_proj_rename_ref(spark, sf_dir):
+    """Referencing collections rename FK columns *_REF
+    (reference server/DBMigration.js:319-333)."""
+    df = t(spark, sf_dir, "lineitem")
+    for c in ("l_orderkey", "l_partkey", "l_suppkey"):
+        df = df.withColumnRenamed(c, c + "_REF")
+    return df.select("l_orderkey_REF", "l_partkey_REF", "l_suppkey_REF",
+                     "l_linenumber", "l_quantity")
+
+
+def q_filter_fk_match(spark, sf_dir):
+    """The FK match predicate (reference server/DBMigration.js:450) as the
+    equi-join it really is."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_custkey", "c_name")
+
+
+def q_filter_nonempty_doc(spark, sf_dir):
+    """Drop rows where every projected attribute is null (the Spark analog
+    of the reference's empty-document filter, server/DBMigration.js:473)."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text", "lang",
+                                                "source")
+    return docs.na.drop(how="all", subset=["text", "lang", "source"])
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins
+# ---------------------------------------------------------------------------
+
+
+def q_join_nest_one_to_many(spark, sf_dir):
+    """The workhorse 1:N nesting join (reference server/DBMigration.js:
+    405-522, O(P x C) nested loop) as aggregate-then-join: one shuffle of
+    orders keyed by FK, then a broadcast/SMJ join chosen by Catalyst."""
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    nested = orders.groupBy("o_custkey").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+            )
+        ).alias("orders")
+    )
+    return customer.select("c_custkey", "c_name").join(
+        nested, customer.c_custkey == nested.o_custkey, "left"
+    ).select("c_custkey", "c_name", "orders")
+
+
+def q_agg_collect_children(spark, sf_dir):
+    """The nesting aggregate alone (reference server/DBMigration.js:515-517):
+    children grouped per parent key into a sorted array."""
+    return (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+    )
+
+
+def q_join_denormalize_m2m(spark, sf_dir):
+    """M:N fan-out merge (reference server/DBMigration.js:524-575): junction
+    row joined to the other dimension, attributes flattened into one doc.
+    The reference's per-row point probe becomes one broadcast join."""
+    lineitem = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part")
+    return lineitem.join(
+        F.broadcast(part), lineitem.l_partkey == part.p_partkey, "inner"
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "p_name", "p_brand",
+             "p_retailprice")
+
+
+def q_join_meta_left(spark, sf_dir):
+    """INFORMATION_SCHEMA.TABLES left-join KEY_COLUMN_USAGE -> FK count per
+    table (reference server/MySQLDBManager.js:99-111)."""
+    tables = _meta_tables_df(spark)
+    fks = _meta_fk_df(spark)
+    return (
+        tables.join(fks, "table_name", "left")
+        .groupBy("table_name")
+        .agg(F.count("referenced_table").alias("num_foreign_keys"))
+    )
+
+
+def q_join_meta_pg_catalog(spark, sf_dir):
+    """The pg_catalog 3-way join shape (reference server/PostgresDBManager.
+    js:130-147,186-204): FK edges joined to the table list on both ends."""
+    fks = _meta_fk_df(spark)
+    tables = _meta_tables_df(spark)
+    child = tables.withColumnRenamed("table_name", "child_table")
+    parent = tables.withColumnRenamed("table_name", "parent_table")
+    return (
+        fks.join(child, fks.table_name == child.child_table, "inner")
+        .join(parent, fks.referenced_table == parent.parent_table, "inner")
+        .select("child_table", "column_name", "parent_table",
+                "referenced_column")
+    )
+
+
+def q_fn_case_when_referenced(spark, sf_dir):
+    """EXISTS semi-join -> human-readable referenced flag
+    (reference server/MySQLDBManager.js:101-105)."""
+    tables = _meta_tables_df(spark)
+    referenced = (
+        _meta_fk_df(spark).select(F.col("referenced_table").alias("rt"))
+        .distinct()
+    )
+    joined = tables.join(
+        referenced, tables.table_name == referenced.rt, "left"
+    )
+    return joined.select(
+        "table_name",
+        case_when_referenced(F.col("rt").isNotNull()).alias(
+            "reference_status"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+
+def q_agg_count_star(spark, sf_dir):
+    """COUNT(*) per table (reference server/MySQLDBManager.js:129-150)."""
+    out = None
+    for name in TABLES:
+        part = (
+            t(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("num_rows"))
+            .select(F.lit(name).alias("table_name"), "num_rows")
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_agg_fk_count_grouped(spark, sf_dir):
+    """COUNT(DISTINCT referenced constraint) per referencing table — the PG
+    variant (reference server/PostgresDBManager.js:134)."""
+    return (
+        _meta_fk_df(spark)
+        .groupBy("table_name")
+        .agg(F.countDistinct("referenced_table").alias("num_referenced"))
+    )
+
+
+def q_agg_group_concat_ordered(spark, sf_dir):
+    """GROUP_CONCAT(col ORDER BY ordinal) — ordered string agg of column
+    names (reference server/MySQLDBManager.js:154-159). Spark has no ordered
+    collect; sort-by-struct-key then transform recovers determinism."""
+    cols = _meta_columns_df(spark)
+    return cols.groupBy("table_name").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("ordinal_position", "column_name")
+                    )
+                ),
+                lambda s: s["column_name"],
+            ),
+            ", ",
+        ).alias("table_columns")
+    )
+
+
+def q_agg_group_concat_distinct(spark, sf_dir):
+    """GROUP_CONCAT(DISTINCT t ORDER BY t) — referencing-tables list per
+    referenced table (reference server/MySQLDBManager.js:231-236)."""
+    return (
+        _meta_fk_df(spark)
+        .groupBy(F.col("referenced_table").alias("table_name"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("table_name")), ", "
+            ).alias("referencing_tables")
+        )
+    )
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary over lineitem — the headline scan+agg
+    (sums routed through decimal for cross-engine determinism)."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dec_sum("l_quantity").alias("sum_qty"),
+            dec_sum("l_extendedprice").alias("sum_base_price"),
+            dec_sum(disc).alias("sum_disc_price"),
+            dec_sum(charge).alias("sum_charge"),
+            dec_avg("l_quantity").alias("avg_qty"),
+            dec_avg("l_extendedprice").alias("avg_price"),
+            dec_avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5 sort + §2.8 scalar functions
+# ---------------------------------------------------------------------------
+
+
+def q_sort_meta_output(spark, sf_dir):
+    """ORDER BY table_name over the FK-count summary
+    (reference server/PostgresDBManager.js:160-162)."""
+    return q_join_meta_left(spark, sf_dir).orderBy("table_name")
+
+
+def q_fn_date_normalize(spark, sf_dir):
+    """Timestamp -> Asia/Bangkok 'yyyy-MM-dd' string (reference
+    server/MySQLDBManager.js:268-276; type-scoped per SURVEY §1.1)."""
+    return t(spark, sf_dir, "orders").select(
+        "o_orderkey", date_normalize(F.col("o_orderdate")).alias("order_date")
+    )
+
+
+def q_fn_split_trim(spark, sf_dir):
+    """Split + trim of a joined list (reference server/DBMigration.js:73)."""
+    return t(spark, sf_dir, "part").select(
+        "p_partkey", split_trim(F.col("p_type"), " ").alias("type_tokens")
+    )
+
+
+def q_fn_whitespace_normalize(spark, sf_dir):
+    """Collapse whitespace runs + trim (reference server/LogManager.js:24)."""
+    return t(spark, sf_dir, "documents").select(
+        "doc_id", whitespace_normalize(F.col("text")).alias("norm_text")
+    )
+
+
+QUERIES = {
+    "src_full_scan": q_src_full_scan,
+    "src_indexed_lookup": q_src_indexed_lookup,
+    "proj_attribute_select": q_proj_attribute_select,
+    "proj_drop_fk_column": q_proj_drop_fk_column,
+    "proj_rename_ref": q_proj_rename_ref,
+    "filter_fk_match": q_filter_fk_match,
+    "filter_nonempty_doc": q_filter_nonempty_doc,
+    "join_nest_one_to_many": q_join_nest_one_to_many,
+    "agg_collect_children": q_agg_collect_children,
+    "join_denormalize_m2m": q_join_denormalize_m2m,
+    "join_meta_left": q_join_meta_left,
+    "join_meta_pg_catalog": q_join_meta_pg_catalog,
+    "fn_case_when_referenced": q_fn_case_when_referenced,
+    "agg_count_star": q_agg_count_star,
+    "agg_fk_count_grouped": q_agg_fk_count_grouped,
+    "agg_group_concat_ordered": q_agg_group_concat_ordered,
+    "agg_group_concat_distinct": q_agg_group_concat_distinct,
+    "agg_pricing_summary": q_agg_pricing_summary,
+    "sort_meta_output": q_sort_meta_output,
+    "fn_date_normalize": q_fn_date_normalize,
+    "fn_split_trim": q_fn_split_trim,
+    "fn_whitespace_normalize": q_fn_whitespace_normalize,
+}
+
+
+def _oracles() -> dict[str, str]:
+    meta_t, meta_k, meta_c = sql_meta_tables(), sql_meta_fk(), sql_meta_columns()
+    counts_union = " UNION ALL ".join(
+        f"SELECT '{n}' AS table_name, COUNT(*) AS num_rows FROM {n}"
+        for n in TABLES
+    )
+    return {
+        "src_full_scan": "SELECT * FROM nation",
+        "src_indexed_lookup": "SELECT * FROM orders WHERE o_custkey = 7",
+        "proj_attribute_select":
+            "SELECT c_custkey, c_name, c_mktsegment FROM customer",
+        "proj_drop_fk_column":
+            "SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate,"
+            " o_orderpriority FROM orders",
+        "proj_rename_ref":
+            "SELECT l_orderkey AS l_orderkey_REF, l_partkey AS l_partkey_REF,"
+            " l_suppkey AS l_suppkey_REF, l_linenumber, l_quantity"
+            " FROM lineitem",
+        "filter_fk_match":
+            "SELECT o_orderkey, c_custkey, c_name FROM orders"
+            " JOIN customer ON o_custkey = c_custkey",
+        "filter_nonempty_doc":
+            "SELECT doc_id, text, lang, source FROM documents WHERE NOT"
+            " (text IS NULL AND lang IS NULL AND source IS NULL)",
+        "join_nest_one_to_many":
+            "SELECT c_custkey, c_name,"
+            " CASE WHEN COUNT(o_orderkey) = 0 THEN NULL ELSE"
+            " list(struct_pack(o_orderkey := o_orderkey,"
+            " o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)"
+            " ORDER BY o_orderkey) END AS orders"
+            " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            " GROUP BY c_custkey, c_name",
+        "agg_collect_children":
+            "SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey)"
+            " AS order_keys FROM orders GROUP BY o_custkey",
+        "join_denormalize_m2m":
+            "SELECT l_orderkey, l_linenumber, l_quantity, p_name, p_brand,"
+            " p_retailprice FROM lineitem JOIN part ON l_partkey = p_partkey",
+        "join_meta_left":
+            f"SELECT t.table_name, COUNT(k.referenced_table) AS"
+            f" num_foreign_keys FROM {meta_t} LEFT JOIN {meta_k}"
+            f" ON t.table_name = k.table_name GROUP BY t.table_name",
+        "join_meta_pg_catalog":
+            f"SELECT k.table_name AS child_table, k.column_name,"
+            f" k.referenced_table AS parent_table, k.referenced_column"
+            f" FROM {meta_k} JOIN {meta_t} ON k.table_name = t.table_name"
+            f" JOIN {sql_meta_tables().replace(' AS t(', ' AS p(')}"
+            f" ON k.referenced_table = p.table_name",
+        "fn_case_when_referenced":
+            f"SELECT t.table_name, CASE WHEN EXISTS (SELECT 1 FROM {meta_k}"
+            f" WHERE k.referenced_table = t.table_name)"
+            f" THEN 'Referenced by other tables'"
+            f" ELSE 'Not referenced by other tables' END AS reference_status"
+            f" FROM {meta_t}",
+        "agg_count_star": counts_union,
+        "agg_fk_count_grouped":
+            f"SELECT k.table_name, COUNT(DISTINCT k.referenced_table) AS"
+            f" num_referenced FROM {meta_k} GROUP BY k.table_name",
+        "agg_group_concat_ordered":
+            f"SELECT c.table_name, string_agg(c.column_name, ', ' ORDER BY"
+            f" c.ordinal_position) AS table_columns FROM {meta_c}"
+            f" GROUP BY c.table_name",
+        "agg_group_concat_distinct":
+            f"SELECT k.referenced_table AS table_name,"
+            f" string_agg(DISTINCT k.table_name, ', ' ORDER BY k.table_name)"
+            f" AS referencing_tables FROM {meta_k} GROUP BY k.referenced_table",
+        "agg_pricing_summary":
+            "SELECT l_returnflag, l_linestatus,"
+            f" {sql_dec_sum('l_quantity')} AS sum_qty,"
+            f" {sql_dec_sum('l_extendedprice')} AS sum_base_price,"
+            f" {sql_dec_sum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,"
+            f" {sql_dec_sum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,"
+            f" {sql_dec_avg('l_quantity')} AS avg_qty,"
+            f" {sql_dec_avg('l_extendedprice')} AS avg_price,"
+            f" {sql_dec_avg('l_discount')} AS avg_disc,"
+            " COUNT(*) AS count_order"
+            " FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'"
+            " GROUP BY l_returnflag, l_linestatus",
+        "sort_meta_output":
+            f"SELECT t.table_name, COUNT(k.referenced_table) AS"
+            f" num_foreign_keys FROM {meta_t} LEFT JOIN {meta_k}"
+            f" ON t.table_name = k.table_name GROUP BY t.table_name"
+            f" ORDER BY t.table_name",
+        "fn_date_normalize":
+            "SELECT o_orderkey, strftime(o_orderdate + INTERVAL 7 HOUR,"
+            " '%Y-%m-%d') AS order_date FROM orders",
+        "fn_split_trim":
+            "SELECT p_partkey, list_transform(string_split(p_type, ' '),"
+            " x -> trim(x)) AS type_tokens FROM part",
+        "fn_whitespace_normalize":
+            "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+            " AS norm_text FROM documents",
+    }
+
+
+ORACLES = _oracles()

@@ -1,0 +1,223 @@
+"""Window / event-time / set-operation extensions (SURVEY §2.11) over the
+`events` table, with DuckDB oracles.
+
+All batch-mode here; Structured Streaming variants live in streaming/.
+Scale notes: every op is a single keyed shuffle (or none); window functions
+partition by user_id, so skewed users are the only hazard — AQE skew
+handling plus the high-cardinality user_id key cover it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    dec_sum,
+    sql_dec_sum,
+    t,
+)
+
+
+def q_ext_window_rank(spark, sf_dir):
+    """Top-3 events per user by value (deterministic tiebreak on event_id)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.desc("value"), F.asc("event_id"))
+    )
+    return (
+        t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("user_id", "event_id", "event_type", "value", "rn")
+    )
+
+
+def q_ext_window_lag_lead(spark, sf_dir):
+    """Per-user event deltas: lag/lead over event time."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.lag("event_id").over(w).alias("prev_event_id"),
+        F.lead("event_id").over(w).alias("next_event_id"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("micros_since_prev"),
+    )
+
+
+def q_ext_tumbling_agg(spark, sf_dir):
+    """10-minute tumbling event-time windows."""
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_ext_sliding_agg(spark, sf_dir):
+    """10-minute windows sliding every 5 minutes (each event lands in 2)."""
+    ev = t(spark, sf_dir, "events")
+    win = F.window("ts", "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events",
+                "sum_value")
+    )
+
+
+def q_ext_session_agg(spark, sf_dir):
+    """Per-user session windows with a 30-minute inactivity gap."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def q_ext_grouping_sets(spark, sf_dir):
+    """ROLLUP over lineitem (returnflag, linestatus)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity").alias("sum_qty"),
+    )
+
+
+def q_ext_setops(spark, sf_dir):
+    """UNION/INTERSECT/EXCEPT: classify users by click/purchase overlap."""
+    ev = t(spark, sf_dir, "events")
+
+    def users(et):
+        return ev.filter(F.col("event_type") == et).select("user_id").distinct()
+
+    clicks, purchases = users("click"), users("purchase")
+    both = clicks.intersect(purchases).withColumn("cohort", F.lit("both"))
+    click_only = clicks.exceptAll(purchases).withColumn(
+        "cohort", F.lit("click_only")
+    )
+    return both.unionByName(click_only).select("cohort", "user_id")
+
+
+def q_ext_approx_distinct(spark, sf_dir):
+    """approx_count_distinct of users per event type (no SQL oracle — the
+    sketch estimate is engine-specific; tests bound its error instead)."""
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id").alias("approx_users"))
+    )
+
+
+QUERIES = {
+    "ext_window_rank": q_ext_window_rank,
+    "ext_window_lag_lead": q_ext_window_lag_lead,
+    "ext_tumbling_agg": q_ext_tumbling_agg,
+    "ext_sliding_agg": q_ext_sliding_agg,
+    "ext_session_agg": q_ext_session_agg,
+    "ext_grouping_sets": q_ext_grouping_sets,
+    "ext_setops": q_ext_setops,
+    "ext_approx_distinct": q_ext_approx_distinct,
+}
+
+ORACLES = {
+    "ext_window_rank": """
+SELECT user_id, event_id, event_type, value, rn FROM (
+  SELECT user_id, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id ASC) AS rn
+  FROM events
+) WHERE rn <= 3
+""",
+    "ext_window_lag_lead": """
+SELECT user_id, event_id, ts,
+       lag(event_id) OVER w AS prev_event_id,
+       lead(event_id) OVER w AS next_event_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS micros_since_prev
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+    "ext_tumbling_agg": f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    # Each event belongs to exactly 2 sliding windows: the 5-minute bucket
+    # it falls in, and the one before.
+    "ext_sliding_agg": f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
+FROM assigned GROUP BY 1
+""",
+    # Gaps-and-islands replication of session_window semantics: a new
+    # session starts when the gap from the previous event is >= 30 minutes;
+    # session_end = last ts + gap (Spark's half-open [start, last+gap)).
+    "ext_session_agg": f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
+FROM islands GROUP BY user_id, session_id
+""",
+    "ext_grouping_sets": f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       {sql_dec_sum('l_quantity')} AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "ext_setops": """
+WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+purchases AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+SELECT 'both' AS cohort, user_id FROM (SELECT user_id FROM clicks INTERSECT
+                                       SELECT user_id FROM purchases)
+UNION ALL
+SELECT 'click_only', user_id FROM (SELECT user_id FROM clicks EXCEPT
+                                   SELECT user_id FROM purchases)
+""",
+}

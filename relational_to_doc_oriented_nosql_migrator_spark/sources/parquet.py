@@ -45,12 +45,43 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    # Timestamp semantics must not depend on the driver machine's zone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def _nanos_timestamp_columns(path: str) -> list[str]:
+    """Columns stored as parquet TIMESTAMP(NANOS): under nanosAsLong Spark
+    surfaces them as LONG nanos-since-epoch; detect from the footer so we
+    can restore proper (micros) timestamps. ms/us timestamp columns are
+    unaffected and read natively."""
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(path)
+        return [
+            f.name
+            for f in schema
+            if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+        ]
+    except Exception:
+        return []
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """`src_full_scan`: lazy full-table scan of one parquet table."""
     ensure_runtime_confs(spark)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_timestamp_columns(path):
+        # long nanos -> micros TIMESTAMP_NTZ (naive, like the source data
+        # and the DuckDB oracle, which truncates nanos to micros the same
+        # way). Session tz is pinned UTC so the LTZ->NTZ cast is identity.
+        df = df.withColumn(
+            col,
+            F.expr(f"timestamp_micros({col} div 1000)").cast("timestamp_ntz"),
+        )
+    return df
 
 
 def load_tables(
