@@ -1,0 +1,100 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the noop sink (a bare count() would
+let Catalyst prune computed columns and under-report the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF_DIR = os.environ["SPARK_GRAFT_SF_DIR"]
+
+
+def _sf_of(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from relational_to_doc_oriented_nosql_migrator_spark.session import get_spark
+    from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        dedup,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def force(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
+    def bench_migrate() -> None:
+        collections = migrate(spark, SF_DIR)
+        for df in collections.values():
+            force(df)
+
+    headline = {
+        "migrate_full": bench_migrate,
+        "q1_pricing": lambda: force(
+            relational.q_agg_pricing_summary(spark, SF_DIR)
+        ),
+        "nest_one_to_many": lambda: force(
+            relational.q_join_nest_one_to_many(spark, SF_DIR)
+        ),
+        "m2m_denormalize": lambda: force(
+            relational.q_join_denormalize_m2m(spark, SF_DIR)
+        ),
+        "dedup_minhash_lsh": lambda: force(
+            dedup.q_ext_dedup_minhash(spark, SF_DIR)
+        ),
+        "similarity_topk": lambda: force(
+            similarity.q_ext_similarity_topk(spark, SF_DIR)
+        ),
+        "session_windows": lambda: force(
+            windows.q_ext_session_agg(spark, SF_DIR)
+        ),
+        "text_quality": lambda: force(text.q_ext_text_quality(spark, SF_DIR)),
+    }
+
+    # Warm the JVM/session so query timings measure queries, not startup.
+    spark.range(1000).count()
+
+    timings: dict[str, float] = {}
+    for name, fn in headline.items():
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_sec",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
