@@ -9,10 +9,17 @@ band-bucket shuffle, never a cross join) and `ext_dedup_simhash`
 DuckDB oracle can reproduce the exact same signatures — the LSH pipeline is
 hash-checked end to end, not just row-counted.
 
+Near-dup similarity is defined over word 5-gram SHINGLE sets, not single
+tokens: shingles keep LSH discriminative even on low-entropy corpora (a
+tiny vocabulary makes almost all single-token minhashes collide, which
+degenerates band buckets toward the full cross product).
+
 Everything is built-in JVM expressions (no Python UDFs).
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import functions as F
 
@@ -22,29 +29,64 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
     tokens_col,
 )
 
+SHINGLE_K = 5        # word n-gram shingle width
 N_PERM = 64          # minhash permutations
 N_BANDS = 16         # bands of 4 rows each
 JACCARD_THRESHOLD = 0.95
 COSINE_THRESHOLD = 0.99
 
-SQL_TOKSET = f"list_distinct({SQL_TOKENS})"
+# Universal-hash permutation family h_j(x) = (A[j]*x + B[j]) mod P over a
+# Mersenne prime: each shingle is md5-hashed ONCE, then the N_PERM permuted
+# values are pure integer arithmetic (vs. N_PERM md5 calls per shingle).
+# Constants are md5-derived so the DuckDB oracle reproduces them exactly.
+MERSENNE_P = 2_147_483_647  # 2^31 - 1
 
 
-def _tokset_df(spark, sf_dir):
+def _perm_const(tag: str, j: int) -> int:
+    h = hashlib.md5(f"{tag}:{j}".encode()).hexdigest()
+    return int(h[:12], 16) % (MERSENNE_P - 1) + 1
+
+
+PERM_A = [_perm_const("a", j) for j in range(N_PERM)]
+PERM_B = [_perm_const("b", j) for j in range(N_PERM)]
+
+# Distinct word 5-gram shingles of the whitespace-token stream (documents
+# shorter than K tokens contribute their single sub-K shingle).
+_SHINGLES_EXPR = (
+    f"array_distinct(transform(sequence(1, greatest(size(tk) -"
+    f" {SHINGLE_K - 1}, 1)), i -> concat_ws(' ', slice(tk, i, {SHINGLE_K}))))"
+)
+SQL_SHINGLES = (
+    f"list_distinct([array_to_string(tk[i:i+{SHINGLE_K - 1}], ' ')"
+    f" for i in generate_series(1, greatest(len(tk) - {SHINGLE_K - 1}, 1))])"
+)
+SQL_TK = f"SELECT doc_id, {SQL_TOKENS} AS tk FROM documents"
+
+
+def _shingle_df(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id",
-        F.array_distinct(tokens_col(F.col("text"))).alias("toks"),
-    )
+        "doc_id", tokens_col(F.col("text")).alias("tk")
+    ).select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+
+
+def _spread(spark, df):
+    """Repartition ahead of CPU-heavy per-row signature expressions.
+
+    Sized to the session's parallelism, not the input file layout: a corpus
+    that arrives as few large (or one small) parquet files would otherwise
+    pin the whole signature computation to a handful of cores.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def q_ext_dedup_exact(spark, sf_dir):
-    """Exact dedup on a canonical content key (md5 of the sorted distinct
-    token set): hash-groupBy, representative = min(doc_id)."""
-    toksets = _tokset_df(spark, sf_dir)
-    key = F.md5(F.array_join(F.array_sort("toks"), " "))
+    """Exact dedup: hash-groupBy on md5 of whitespace-normalized lowercase
+    text, representative = min(doc_id)."""
+    docs = t(spark, sf_dir, "documents")
+    key = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
     return (
-        toksets.select("doc_id", key.alias("content_key"))
+        docs.select("doc_id", key.alias("content_key"))
         .groupBy("content_key")
         .agg(
             F.min("doc_id").alias("rep_doc_id"),
@@ -53,32 +95,36 @@ def q_ext_dedup_exact(spark, sf_dir):
     )
 
 
-def q_ext_dedup_ngram_jaccard(spark, sf_dir):
-    """Brute-force token-set Jaccard pairs >= threshold (the exactness
-    baseline the LSH path is verified against)."""
-    toksets = _tokset_df(spark, sf_dir)
-    a = toksets.select(
-        F.col("doc_id").alias("doc_a"), F.col("toks").alias("toks_a")
-    )
-    b = toksets.select(
-        F.col("doc_id").alias("doc_b"), F.col("toks").alias("toks_b")
-    )
-    pairs = a.join(b, F.col("doc_a") < F.col("doc_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size("toks_a") + F.size("toks_b") - inter
+def _pair_jaccard(pairs):
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
-    return (
-        pairs.select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    return pairs.select(
+        "doc_a", "doc_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
 
 
-# minhash signature: for each permutation j, min over tokens of a 60-bit
-# md5-derived hash of (j ':' token). Shared bit-for-bit with the oracle.
+def q_ext_dedup_ngram_jaccard(spark, sf_dir):
+    """Brute-force shingle-set Jaccard pairs >= threshold (the exactness
+    baseline the LSH path is verified against)."""
+    sh = _shingle_df(spark, sf_dir)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return _pair_jaccard(a.join(b, F.col("doc_a") < F.col("doc_b")))
+
+
+# Base 48-bit md5 hash per distinct shingle, computed exactly once, reduced
+# mod the Mersenne prime. Shared bit-for-bit with the oracle.
+_HS_EXPR = (
+    "transform(sh, s -> CAST(conv(substring(md5(s), 1, 12), 16, 10)"
+    f" AS BIGINT) % {MERSENNE_P})"
+)
+_A_ARR = "array(" + ", ".join(f"{a}L" for a in PERM_A) + ")"
+_B_ARR = "array(" + ", ".join(f"{b}L" for b in PERM_B) + ")"
+# signature j = min over shingles of (A[j]*h + B[j]) mod P — integer-only.
 _SIGS_EXPR = (
-    f"transform(sequence(0, {N_PERM - 1}), j -> array_min(transform(toks,"
-    " t -> CAST(conv(substring(md5(concat(CAST(j AS STRING), ':', t)),"
-    " 1, 15), 16, 10) AS BIGINT))))"
+    f"zip_with({_A_ARR}, {_B_ARR}, (a, b) -> array_min(transform(hs,"
+    f" h -> (a * h + b) % {MERSENNE_P})))"
 )
 _BANDS_EXPR = (
     f"transform(sequence(0, {N_BANDS - 1}), b -> md5(concat(CAST(b AS"
@@ -89,59 +135,66 @@ _BANDS_EXPR = (
 
 def minhash_bands_df(spark, sf_dir):
     """(doc_id, band_key) — one row per band; the LSH blocking relation."""
-    toksets = _tokset_df(spark, sf_dir)
-    sigs = toksets.withColumn("sigs", F.expr(_SIGS_EXPR))
+    sh = _spread(spark, _shingle_df(spark, sf_dir))
+    sigs = sh.withColumn("hs", F.expr(_HS_EXPR)).withColumn(
+        "sigs", F.expr(_SIGS_EXPR)
+    )
     return sigs.select(
         "doc_id", F.explode(F.expr(_BANDS_EXPR)).alias("band_key")
     )
 
 
 def q_ext_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH dedup: signatures -> band buckets -> candidate pairs via
-    a band-key join (a shuffle, not a cross join) -> exact-Jaccard verify.
+    """MinHash-LSH dedup: shingles -> signatures -> band buckets ->
+    candidate pairs via a band-key join (a shuffle, not a cross join) ->
+    exact-Jaccard verify.
 
     At scale the candidate join shuffles only O(docs x bands) small rows;
     the quadratic work is confined to same-bucket collisions.
     """
     bands = minhash_bands_df(spark, sf_dir)
-    a = bands.select(F.col("doc_id").alias("doc_a"), "band_key")
-    b = bands.select(F.col("doc_id").alias("doc_b"), "band_key")
+    # Bucket per band key, then expand ordered pairs inside each bucket:
+    # one aggregation pass computes the signatures exactly once (a
+    # bands-self-join would re-run the whole signature pipeline per side).
+    # Bucket contents are near-dup families, so in-bucket expansion is the
+    # confined quadratic; run exact dedup upstream to collapse identical
+    # docs if a corpus has mega-clusters.
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
+        " size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
+    )
     cand = (
-        a.join(b, "band_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        bands.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    toksets = _tokset_df(spark, sf_dir)
-    ta = toksets.select(F.col("doc_id").alias("doc_a"),
-                        F.col("toks").alias("toks_a"))
-    tb = toksets.select(F.col("doc_id").alias("doc_b"),
-                        F.col("toks").alias("toks_b"))
-    inter = F.size(F.array_intersect("toks_a", "toks_b"))
-    union = F.size("toks_a") + F.size("toks_b") - inter
-    jac = F.round(inter.cast("double") / union, 6)
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-    )
+    sh = _shingle_df(spark, sf_dir)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    return _pair_jaccard(cand.join(sa, "doc_a").join(sb, "doc_b"))
 
 
-# simhash: 60-bit fingerprint; bit i set iff more tokens have bit i set in
-# their md5-derived hash than not (distinct-token weighting).
+# simhash: 48-bit fingerprint; bit i set iff more shingles have bit i set
+# in their md5-derived hash than not (distinct-shingle weighting). Shingle
+# hashes computed once into `hs`, then 48 bit-count passes of integer ops.
+_SIMHS_EXPR = (
+    "transform(sh, s -> CAST(conv(substring(md5(s), 1, 12), 16, 10)"
+    " AS BIGINT))"
+)
 _SIMHASH_EXPR = (
-    "aggregate(sequence(0, 59), CAST(0 AS BIGINT), (acc, i) -> acc +"
-    " IF(size(filter(toks, t -> (shiftright(CAST(conv(substring(md5(t), 1,"
-    " 15), 16, 10) AS BIGINT), i) & 1) = 1)) * 2 > size(toks),"
+    "aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, i) -> acc +"
+    " IF(size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) * 2 > size(hs),"
     " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
 )
 
 
 def q_ext_dedup_simhash(spark, sf_dir):
     """SimHash content fingerprints (constant-size sketch per doc)."""
-    toksets = _tokset_df(spark, sf_dir)
-    return toksets.select(
+    sh = _spread(spark, _shingle_df(spark, sf_dir))
+    return sh.withColumn("hs", F.expr(_SIMHS_EXPR)).select(
         "doc_id", F.expr(_SIMHASH_EXPR).alias("simhash")
     )
 
@@ -183,9 +236,14 @@ QUERIES = {
     "ext_dedup_embedding": q_ext_dedup_embedding,
 }
 
+_SQL_A = "[" + ", ".join(str(a) for a in PERM_A) + "]"
+_SQL_B = "[" + ", ".join(str(b) for b in PERM_B) + "]"
+_SQL_HS = (
+    f"[('0x' || substr(md5(s), 1, 12))::BIGINT % {MERSENNE_P} for s in sh]"
+)
 _SQL_SIGS = (
-    f"[list_min([('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || t), 1,"
-    f" 15))::BIGINT for t in toks]) for j in generate_series(0, {N_PERM - 1})]"
+    f"[list_min([(({_SQL_A})[j] * h + ({_SQL_B})[j]) % {MERSENNE_P}"
+    f" for h in hs]) for j in generate_series(1, {N_PERM})]"
 )
 _SQL_BANDS = (
     f"[md5(CAST(b AS VARCHAR) || ':' ||"
@@ -193,27 +251,30 @@ _SQL_BANDS = (
     f" for b in generate_series(0, {N_BANDS - 1})]"
 )
 _SQL_PAIR_JACCARD = (
-    "round(len(list_intersect(a.toks, b.toks))::DOUBLE /"
-    " (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks))), 6)"
+    "round(len(list_intersect(a.sh, b.sh))::DOUBLE /"
+    " (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)"
 )
 
 ORACLES = {
-    "ext_dedup_exact": f"""
-WITH toksets AS (SELECT doc_id, {SQL_TOKSET} AS toks FROM documents)
-SELECT md5(array_to_string(list_sort(toks), ' ')) AS content_key,
+    "ext_dedup_exact": """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+         AS content_key,
        MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_docs
-FROM toksets GROUP BY 1
+FROM documents GROUP BY 1
 """,
     "ext_dedup_ngram_jaccard": f"""
-WITH toksets AS (SELECT doc_id, {SQL_TOKSET} AS toks FROM documents)
+WITH tk AS ({SQL_TK}),
+shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        {_SQL_PAIR_JACCARD} AS jaccard
-FROM toksets a JOIN toksets b ON a.doc_id < b.doc_id
+FROM shingles a JOIN shingles b ON a.doc_id < b.doc_id
 WHERE {_SQL_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
 """,
     "ext_dedup_minhash": f"""
-WITH toksets AS (SELECT doc_id, {SQL_TOKSET} AS toks FROM documents),
-sigs AS (SELECT doc_id, {_SQL_SIGS} AS sigs FROM toksets),
+WITH tk AS ({SQL_TK}),
+shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk),
+hashed AS (SELECT doc_id, {_SQL_HS} AS hs FROM shingles),
+sigs AS (SELECT doc_id, {_SQL_SIGS} AS sigs FROM hashed),
 bands AS (SELECT doc_id, unnest({_SQL_BANDS}) AS band_key FROM sigs),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
@@ -222,21 +283,22 @@ cand AS (
 )
 SELECT c.doc_a, c.doc_b, {_SQL_PAIR_JACCARD} AS jaccard
 FROM cand c
-JOIN toksets a ON c.doc_a = a.doc_id
-JOIN toksets b ON c.doc_b = b.doc_id
+JOIN shingles a ON c.doc_a = a.doc_id
+JOIN shingles b ON c.doc_b = b.doc_id
 WHERE {_SQL_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
 """,
     "ext_dedup_simhash": f"""
-WITH toksets AS (SELECT doc_id, {SQL_TOKSET} AS toks FROM documents),
+WITH tk AS ({SQL_TK}),
+shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk),
 hashed AS (
-  SELECT doc_id, len(toks) AS n,
-         [('0x' || substr(md5(t), 1, 15))::BIGINT for t in toks] AS hs
-  FROM toksets
+  SELECT doc_id, len(sh) AS n,
+         [('0x' || substr(md5(s), 1, 12))::BIGINT for s in sh] AS hs
+  FROM shingles
 )
 SELECT doc_id,
        list_sum([CASE WHEN len(list_filter(hs, h -> (h >> i) & 1 = 1)) * 2 > n
                       THEN (1::BIGINT << i) ELSE 0::BIGINT END
-                 for i in generate_series(0, 59)]) AS simhash
+                 for i in generate_series(0, 47)]) AS simhash
 FROM hashed
 """,
     "ext_dedup_embedding": f"""
