@@ -184,6 +184,48 @@ def q_filter_nonempty_doc(spark, sf_dir):
     return docs.na.drop(how="all", subset=["text", "lang", "source"])
 
 
+def q_filter_nonempty_collection(spark, sf_dir):
+    """Drop collections with zero documents from the output set
+    (reference server/WriteToFile.js:9-11). `empty_demo` — a collection
+    whose filter matches nothing — must vanish from the result."""
+    counts = q_agg_count_star(spark, sf_dir).withColumnRenamed(
+        "table_name", "collection"
+    ).withColumnRenamed("num_rows", "n_docs")
+    empty = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 0)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("empty_demo").alias("collection"), "n_docs")
+    )
+    return counts.unionByName(empty).filter(F.col("n_docs") > 0)
+
+
+def q_sink_json_collections(spark, sf_dir):
+    """Round-trip through the JSON collection sink (reference
+    server/WriteToFile.js:5-62): migrate, write every non-empty collection
+    as distributed JSON, read it back, return per-collection doc counts.
+    Rows-only check (filesystem side effects aren't SQL-expressible)."""
+    import shutil
+    import tempfile
+
+    from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate
+    from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
+        write_json_collections,
+    )
+
+    out_dir = tempfile.mkdtemp(prefix="sink_json_")
+    try:
+        collections = migrate(spark, sf_dir)
+        written = write_json_collections(collections, out_dir)
+        rows = [
+            (name, spark.read.json(f"{out_dir}/{name}").count())
+            for name in sorted(written)
+        ]
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+    return spark.createDataFrame(rows, "collection string, n_docs long")
+
+
 # ---------------------------------------------------------------------------
 # §2.3 joins
 # ---------------------------------------------------------------------------
@@ -401,6 +443,8 @@ QUERIES = {
     "proj_rename_ref": q_proj_rename_ref,
     "filter_fk_match": q_filter_fk_match,
     "filter_nonempty_doc": q_filter_nonempty_doc,
+    "filter_nonempty_collection": q_filter_nonempty_collection,
+    "sink_json_collections": q_sink_json_collections,
     "join_nest_one_to_many": q_join_nest_one_to_many,
     "agg_collect_children": q_agg_collect_children,
     "join_denormalize_m2m": q_join_denormalize_m2m,
@@ -437,6 +481,16 @@ def _oracles() -> dict[str, str]:
             "SELECT l_orderkey AS l_orderkey_REF, l_partkey AS l_partkey_REF,"
             " l_suppkey AS l_suppkey_REF, l_linenumber, l_quantity"
             " FROM lineitem",
+        "filter_nonempty_collection": (
+            "SELECT collection, n_docs FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{n}' AS collection, COUNT(*) AS n_docs FROM {n}"
+                for n in TABLES
+            )
+            + " UNION ALL SELECT 'empty_demo' AS collection, COUNT(*) AS"
+            " n_docs FROM orders WHERE o_orderkey < 0"
+            ") WHERE n_docs > 0"
+        ),
         "filter_fk_match":
             "SELECT o_orderkey, c_custkey, c_name FROM orders"
             " JOIN customer ON o_custkey = c_custkey",

@@ -85,9 +85,22 @@ def q_filter_statement_type(spark, sf_dir):
 
 
 def q_fn_sql_tablelist(spark, sf_dir):
-    """Statement -> distinct (op, db, table) refs via the pandas UDF
-    (reference server/LogManager.js:53-75), DML-filtered and split on '::'
-    (`fn_split_tableref` + `filter_dml_type`)."""
+    """Statement -> distinct '{op}::{db}::{table}' ref strings via the
+    pandas UDF (reference server/LogManager.js:53-75)."""
+    stmts = W.statements_df(_log_df(spark, MYSQL_LOG), "mysql")
+    return W.tablelist_df(stmts, "mysql")
+
+
+def q_fn_split_tableref(spark, sf_dir):
+    """Split parser refs on '::' into (op, db, table_name)
+    (reference server/LogManager.js:79-82)."""
+    stmts = W.statements_df(_log_df(spark, MYSQL_LOG), "mysql")
+    return W.split_tableref_df(W.tablelist_df(stmts, "mysql"))
+
+
+def q_filter_dml_type(spark, sf_dir):
+    """Keep only select/insert/update/delete refs — drops e.g. CREATE
+    (reference server/LogManager.js:85-91)."""
     stmts = W.statements_df(_log_df(spark, MYSQL_LOG), "mysql")
     return W.table_refs_df(stmts, "mysql")
 
@@ -124,6 +137,8 @@ QUERIES = {
     "fn_regex_log_extract_pg": q_fn_regex_log_extract_pg,
     "filter_statement_type": q_filter_statement_type,
     "fn_sql_tablelist": q_fn_sql_tablelist,
+    "fn_split_tableref": q_fn_split_tableref,
+    "filter_dml_type": q_filter_dml_type,
     "agg_workload_gaf_uaf": q_agg_workload_gaf_uaf,
     "agg_maf_scalar": q_agg_maf_scalar,
 }
@@ -256,7 +271,11 @@ FROM counted c JOIN row_counts r ON c.table_name = r.table_name
             f"SELECT stmt FROM (VALUES {stmt_values}) AS v(stmt) WHERE"
             f" regexp_matches(lower(stmt),"
             f" '^(select|insert|update|delete|create)\\b')",
-        "fn_sql_tablelist": _sql_refs_cte(MYSQL_LOG, "mysql"),
+        "fn_sql_tablelist":
+            f"WITH refs AS ({_sql_refs_cte(MYSQL_LOG, 'mysql', False)})"
+            f" SELECT op || '::' || db || '::' || table_name AS ref FROM refs",
+        "fn_split_tableref": _sql_refs_cte(MYSQL_LOG, "mysql", False),
+        "filter_dml_type": _sql_refs_cte(MYSQL_LOG, "mysql"),
         "agg_workload_gaf_uaf": gaf_uaf,
         "agg_maf_scalar":
             f"WITH stats AS ({gaf_uaf}) SELECT CAST(SUM(gaf) AS DOUBLE)"

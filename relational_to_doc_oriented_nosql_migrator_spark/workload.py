@@ -78,22 +78,30 @@ def statements_df(log_df: DataFrame, dialect: str = "mysql") -> DataFrame:
     )
 
 
-def table_refs_df(stmts: DataFrame, dialect: str = "mysql") -> DataFrame:
-    """Statements -> exploded (op, db, table) refs, DML only.
-
-    Implements `fn_sql_tablelist` + `fn_split_tableref` + `filter_dml_type`.
-    """
-    refs = stmts.select(
+def tablelist_df(stmts: DataFrame, dialect: str = "mysql") -> DataFrame:
+    """`fn_sql_tablelist`: statements -> exploded '{op}::{db}::{table}'
+    ref strings (the raw parser output, reference server/LogManager.js:67)."""
+    return stmts.select(
         F.explode(sql_tablelist_udf(dialect)(F.col("stmt"))).alias("ref")
     )
+
+
+def split_tableref_df(refs: DataFrame) -> DataFrame:
+    """`fn_split_tableref`: '{op}::{db}::{table}' -> (op, db, table_name)
+    columns (reference server/LogManager.js:79-82)."""
     parts = F.split(F.col("ref"), "::")
-    return (
-        refs.select(
-            parts.getItem(0).alias("op"),
-            parts.getItem(1).alias("db"),
-            parts.getItem(2).alias("table_name"),
-        )
-        .filter(F.col("op").isin(*DML_OPS))
+    return refs.select(
+        parts.getItem(0).alias("op"),
+        parts.getItem(1).alias("db"),
+        parts.getItem(2).alias("table_name"),
+    )
+
+
+def table_refs_df(stmts: DataFrame, dialect: str = "mysql") -> DataFrame:
+    """Statements -> exploded (op, db, table) refs, DML only
+    (`fn_sql_tablelist` -> `fn_split_tableref` -> `filter_dml_type`)."""
+    return split_tableref_df(tablelist_df(stmts, dialect)).filter(
+        F.col("op").isin(*DML_OPS)
     )
 
 

@@ -1,0 +1,48 @@
+"""JSON collection sink (`sink_json_collections`, reference
+server/WriteToFile.js:5-62): round trip, empty-collection drop, single-file
+parity mode, zip packaging."""
+
+import json
+import os
+import zipfile
+
+from pyspark.sql import functions as F
+
+from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
+    write_json_collections,
+)
+
+
+def _collections(spark):
+    full = spark.range(3).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("v")
+    )
+    empty = full.filter(F.col("k") < 0)
+    return {"full": full, "empty": empty}
+
+
+def test_distributed_mode_drops_empty_and_round_trips(spark, tmp_path):
+    out = str(tmp_path / "out")
+    written = write_json_collections(_collections(spark), out)
+    assert written == ["full"]
+    assert not os.path.exists(os.path.join(out, "empty"))
+    back = spark.read.json(os.path.join(out, "full"))
+    assert sorted(r["k"] for r in back.collect()) == [0, 1, 2]
+
+
+def test_single_file_parity_mode_and_zip(spark, tmp_path):
+    out = str(tmp_path / "out")
+    zip_path = os.path.join(out, "collections.zip")
+    written = write_json_collections(
+        _collections(spark), out, single_file=True, zip_path=zip_path
+    )
+    assert written == ["full"]
+    with open(os.path.join(out, "full.json")) as fh:
+        docs = json.load(fh)
+    assert sorted(d["k"] for d in docs) == [0, 1, 2]
+    # The zip holds the written json but never itself (reference results/
+    # layout: archive lives inside the output dir).
+    with zipfile.ZipFile(zip_path) as zf:
+        names = zf.namelist()
+    assert "full.json" in names
+    assert "collections.zip" not in names
