@@ -14,8 +14,10 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators import (
     windows,
     workload_ops,
 )
+from relational_to_doc_oriented_nosql_migrator_spark import streaming
 
-MODULES = (relational, workload_ops, windows, text, dedup, similarity)
+MODULES = (relational, workload_ops, windows, text, dedup, similarity,
+           streaming)
 
 
 def all_queries():

@@ -1,0 +1,25 @@
+"""Structured Streaming surface (SURVEY §2.11 extension operators)."""
+
+from relational_to_doc_oriented_nosql_migrator_spark.streaming.ops import (
+    ORACLES,
+    QUERIES,
+    read_events_stream,
+    run_stream_to_batch,
+    stream_dedup_keys,
+    stream_session_agg,
+    stream_sliding_agg,
+    stream_tumbling_agg,
+    stream_user_stats,
+)
+
+__all__ = [
+    "ORACLES",
+    "QUERIES",
+    "read_events_stream",
+    "run_stream_to_batch",
+    "stream_dedup_keys",
+    "stream_session_agg",
+    "stream_sliding_agg",
+    "stream_tumbling_agg",
+    "stream_user_stats",
+]

@@ -1,0 +1,288 @@
+"""Structured Streaming operators (SURVEY §2.11 — extension surface; the
+reference is batch-only, BASELINE mandates a streaming path).
+
+Design:
+- `read_events_stream` is a file-stream source over the same events parquet
+  the batch ops read (nanos timestamps normalized identically), so every
+  streaming op has a batch twin with identical semantics.
+- Each op returns a STREAMING DataFrame; `run_stream_to_batch` executes it
+  with `trigger(availableNow=True)` into a memory sink and returns the
+  result as a batch DataFrame. That makes streaming ops first-class
+  `queries()` entries with real DuckDB oracles — the whole
+  source->watermark->stateful-op->sink path is hash-checked, not smoke-run.
+- Watermarks bound state at scale; with availableNow over a finite input
+  the final result in complete/update mode equals the batch answer (the
+  late-data DROP path is exercised by the multi-batch test in
+  tests/test_streaming.py, where append mode + watermark provably discards
+  a record older than the watermark).
+
+State-store scale notes: windowed aggs and dropDuplicatesWithinWatermark
+keep state keyed by (window/key) and evict by watermark — memory is bounded
+by the active window span, not the stream length. applyInPandasWithState
+state is one tiny tuple per user.
+"""
+
+from __future__ import annotations
+
+import glob
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    dec_sum,
+)
+from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
+    _nanos_timestamp_columns,
+    ensure_runtime_confs,
+)
+
+_MEM_COUNTER = itertools.count()
+
+
+def read_events_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    max_files_per_trigger: int | None = None,
+    path: str | None = None,
+) -> DataFrame:
+    """File-stream source over the events table (new files picked up as
+    they land — the production shape for a continuously-ingested corpus)."""
+    ensure_runtime_confs(spark)
+    if path is None:
+        # Glob form: the file-stream source requires its basePath to be a
+        # directory, and the glob keeps it at sf_dir while matching only
+        # the events table file(s).
+        path = os.path.join(sf_dir, "events.*")
+    # The on-disk schema (under nanosAsLong TIMESTAMP(NANOS) -> long).
+    disk_schema = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(disk_schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    sdf = reader.parquet(path)
+    # Footer inspection needs a concrete file, not the glob.
+    first_file = sorted(glob.glob(path))[0] if glob.glob(path) else path
+    for col in _nanos_timestamp_columns(first_file):
+        # Plain TIMESTAMP (not NTZ): watermarks only accept it. Session tz
+        # is pinned UTC (ensure_runtime_confs), so the cast back to NTZ in
+        # each op's output projection is the identity on wall-clock values.
+        sdf = sdf.withColumn(
+            col, F.expr(f"timestamp_micros({col} div 1000)").cast("timestamp")
+        )
+    return sdf
+
+
+def run_stream_to_batch(sdf: DataFrame, output_mode: str) -> DataFrame:
+    """Execute a streaming DataFrame over all currently-available input
+    (`availableNow`) into a memory sink; return the materialized result."""
+    name = f"sg_stream_{next(_MEM_COUNTER)}"
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def stream_tumbling_agg(events: DataFrame, watermark: str = "30 minutes"):
+    """10-minute tumbling event-time windows (streaming twin of
+    ext_tumbling_agg)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes").alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_sliding_agg(events: DataFrame, watermark: str = "30 minutes"):
+    """10-minute windows sliding every 5 (streaming twin of
+    ext_sliding_agg)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+                "n_events", "sum_value")
+    )
+
+
+def stream_session_agg(events: DataFrame, watermark: str = "30 minutes"):
+    """Per-user session windows, 30-minute gap (streaming twin of
+    ext_session_agg)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup_keys(events: DataFrame, watermark: str = "30 minutes"):
+    """Stateful streaming dedup: first arrival per (user_id, event_type)
+    within the watermark horizon; key-only projection keeps the output
+    deterministic (which duplicate row survives is arrival-order-dependent,
+    which keys exist is not)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+
+
+def stream_user_stats(events: DataFrame):
+    """Custom stateful operator via applyInPandasWithState: running
+    per-user event count + exact micro-scaled value sum. State is one
+    (count, sum) pair per user, updated per micro-batch."""
+    import pandas as pd  # noqa: F401 — required by the worker closure
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, sum_value_micros bigint"
+    )
+    state_schema = "n bigint, s bigint"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, s = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            # Exact integer micros: deterministic across engines, unlike a
+            # float running sum.
+            s += int((pdf["value"] * 1_000_000).round().astype("int64").sum())
+        state.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value_micros": [s]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries()/oracle_sql() registry — each op run end-to-end via availableNow.
+# Complete/update modes over the finite input yield the batch-equivalent
+# answer, so the batch SQL oracles apply unchanged.
+# ---------------------------------------------------------------------------
+
+
+def q_ext_stream_tumbling_agg(spark, sf_dir):
+    return run_stream_to_batch(
+        stream_tumbling_agg(read_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def q_ext_stream_sliding_agg(spark, sf_dir):
+    return run_stream_to_batch(
+        stream_sliding_agg(read_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def q_ext_stream_session_agg(spark, sf_dir):
+    return run_stream_to_batch(
+        stream_session_agg(read_events_stream(spark, sf_dir)), "complete"
+    )
+
+
+def q_ext_stream_dedup(spark, sf_dir):
+    return run_stream_to_batch(
+        stream_dedup_keys(read_events_stream(spark, sf_dir)), "append"
+    )
+
+
+def q_ext_stream_stateful(spark, sf_dir):
+    return run_stream_to_batch(
+        stream_user_stats(read_events_stream(spark, sf_dir)), "update"
+    )
+
+
+QUERIES = {
+    "ext_stream_tumbling_agg": q_ext_stream_tumbling_agg,
+    "ext_stream_sliding_agg": q_ext_stream_sliding_agg,
+    "ext_stream_session_agg": q_ext_stream_session_agg,
+    "ext_stream_dedup": q_ext_stream_dedup,
+    "ext_stream_stateful": q_ext_stream_stateful,
+}
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (  # noqa: E402
+    sql_dec_sum,
+)
+
+ORACLES = {
+    "ext_stream_tumbling_agg": f"""
+SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
+       COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
+FROM events GROUP BY 1, 2
+""",
+    "ext_stream_sliding_agg": f"""
+WITH assigned AS (
+  SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+  FROM events
+)
+SELECT window_start, COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
+FROM assigned GROUP BY 1
+""",
+    "ext_stream_session_agg": f"""
+WITH ordered AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+islands AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+)
+SELECT user_id, MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL '30 minutes' AS session_end,
+       COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
+FROM islands GROUP BY user_id, session_id
+""",
+    "ext_stream_dedup": """
+SELECT DISTINCT user_id, event_type FROM events
+""",
+    "ext_stream_stateful": """
+SELECT user_id, COUNT(*) AS n_events,
+       SUM(CAST(round(value * 1000000) AS BIGINT)) AS sum_value_micros
+FROM events GROUP BY user_id
+""",
+}

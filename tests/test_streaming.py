@@ -1,0 +1,120 @@
+"""Structured Streaming semantics that the oracle parity suite can't see:
+multi-batch watermark advancement and late-data dropping."""
+
+import os
+import time
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from relational_to_doc_oriented_nosql_migrator_spark.streaming import (
+    read_events_stream,
+    run_stream_to_batch,
+    stream_tumbling_agg,
+)
+
+
+def _write_events(path: str, rows: list[tuple], mtime: float) -> None:
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value",
+                       "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"])
+    schema = pa.schema(
+        [
+            ("event_id", pa.int64()),
+            ("ts", pa.timestamp("ns")),  # same physical type as testdata
+            ("user_id", pa.int64()),
+            ("event_type", pa.string()),
+            ("value", pa.float64()),
+            ("props", pa.string()),
+        ]
+    )
+    pq.write_table(pa.Table.from_pandas(df, schema=schema), path)
+    os.utime(path, (mtime, mtime))
+
+
+def test_watermark_drops_late_data_across_batches(spark, tmp_path):
+    """Three micro-batches: on-time data, a watermark-advancing event, then
+    a record far older than the watermark. Append-mode output must contain
+    the finalized on-time window and no trace of the late event.
+
+    (The late record arrives two batches after the advancing event because
+    the watermark used for late-row filtering is the one committed from the
+    batches BEFORE the previous one — filtering with the freshly-advanced
+    value only takes effect one batch later.)"""
+    d = str(tmp_path)
+    now = time.time()
+    # Batch 1: three events 10:00-10:05.
+    _write_events(
+        os.path.join(d, "b1.parquet"),
+        [
+            (1, "2024-08-07 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-08-07 10:03:00", 1, "click", 1.0, "{}"),
+            (3, "2024-08-07 10:05:00", 2, "click", 1.0, "{}"),
+        ],
+        now - 30,
+    )
+    # Batch 2: advances event time to 12:00 (watermark -> 11:50).
+    _write_events(
+        os.path.join(d, "b2.parquet"),
+        [(4, "2024-08-07 12:00:00", 1, "click", 1.0, "{}")],
+        now - 20,
+    )
+    # Batch 3: a record at 08:00, hours behind the watermark -> dropped.
+    _write_events(
+        os.path.join(d, "b3.parquet"),
+        [(99, "2024-08-07 08:00:00", 3, "late", 999.0, "{}")],
+        now - 10,
+    )
+
+    events = read_events_stream(
+        spark, d, max_files_per_trigger=1, path=os.path.join(d, "*.parquet")
+    )
+    out = run_stream_to_batch(
+        stream_tumbling_agg(events, watermark="10 minutes"), "append"
+    ).collect()
+
+    by_window = {str(r["window_start"]): r for r in out}
+    # On-time window finalized once the watermark passed its end.
+    assert "2024-08-07 10:00:00" in by_window
+    assert by_window["2024-08-07 10:00:00"]["n_events"] == 3
+    # The late event's window never appears, in any form.
+    assert "2024-08-07 08:00:00" not in by_window
+    assert not any(r["event_type"] == "late" for r in out)
+    # The 12:00 window is not yet finalized (watermark 11:50 < 12:10), so
+    # append mode must not have emitted it.
+    assert "2024-08-07 12:00:00" not in by_window
+
+
+def test_stateful_accumulates_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches — the
+    update-mode output's final row per user reflects both batches."""
+    from relational_to_doc_oriented_nosql_migrator_spark.streaming import (
+        stream_user_stats,
+    )
+
+    d = str(tmp_path)
+    now = time.time()
+    _write_events(
+        os.path.join(d, "b1.parquet"),
+        [(1, "2024-08-07 10:00:00", 7, "click", 1.5, "{}"),
+         (2, "2024-08-07 10:01:00", 7, "click", 2.5, "{}")],
+        now - 20,
+    )
+    _write_events(
+        os.path.join(d, "b2.parquet"),
+        [(3, "2024-08-07 10:02:00", 7, "click", 3.0, "{}")],
+        now - 10,
+    )
+    events = read_events_stream(
+        spark, d, max_files_per_trigger=1, path=os.path.join(d, "*.parquet")
+    )
+    rows = run_stream_to_batch(stream_user_stats(events), "update").collect()
+    # Update mode emits one row per user per batch; the max-count row is the
+    # final state: 3 events, 7.0 total value.
+    final = max((r for r in rows if r["user_id"] == 7),
+                key=lambda r: r["n_events"])
+    assert final["n_events"] == 3
+    assert final["sum_value_micros"] == 7_000_000
