@@ -8,6 +8,7 @@ Every module exposes:
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators import (
     dedup,
+    multimodal,
     relational,
     similarity,
     text,
@@ -17,7 +18,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators import (
 from relational_to_doc_oriented_nosql_migrator_spark import streaming
 
 MODULES = (relational, workload_ops, windows, text, dedup, similarity,
-           streaming)
+           streaming, multimodal)
 
 
 def all_queries():

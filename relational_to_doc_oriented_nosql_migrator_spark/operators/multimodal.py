@@ -1,0 +1,233 @@
+"""Multimodal (image/audio/video) column plumbing for training-data
+pipelines (BASELINE north star).
+
+Media lives in DataFrames as an opaque `binary` column plus a typed
+metadata struct; decode / feature-extraction / resize / frame-sampling run
+as Arrow-batched `mapInPandas` operators — the shape real media pipelines
+need (PIL/librosa/ffmpeg are not in this container, so the decode kernel is
+a clearly-marked deterministic fake; `decode_image` shows the real-library
+seam and raises NotImplementedError until one is installed).
+
+The fake kernels are chosen to be bit-reproducible in DuckDB (md5 slices /
+integer arithmetic / substring frames), so the whole Spark plumbing —
+binary encode, metadata struct, Arrow batch transfer, pandas UDF signature,
+output schema — is value-hash-checked against an oracle, not just run.
+
+Scale: mapInPandas streams Arrow batches (bounded memory per task); the
+blob column is repartitioned ahead of the Python stage so parallelism does
+not depend on the input file layout.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, functions as F
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+
+FRAME_BYTES = 64        # fake video: fixed-size frames
+FRAME_STRIDE = 4        # sample every 4th frame
+FEATURE_DIM = 4         # fake feature vector width
+
+MM_SCHEMA = (
+    "doc_id bigint, blob binary,"
+    " meta struct<format: string, width: int, height: int, n_bytes: bigint>"
+)
+
+
+def attach_media(docs: DataFrame) -> DataFrame:
+    """`documents` -> (doc_id, blob, meta): the binary ingestion shape.
+
+    The blob is the utf-8 text bytes (a deterministic stand-in for image
+    bytes); metadata is typed and derived deterministically.
+    """
+    return docs.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("blob"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            (F.lit(32) + (F.col("doc_id") % 16) * 16).cast("int")
+            .alias("width"),
+            (F.lit(32) + (F.col("doc_id") % 8) * 16).cast("int")
+            .alias("height"),
+            F.octet_length("text").cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def decode_image(blob: bytes):  # pragma: no cover - exercised by tests only
+    """Real-decoder seam: swap in PIL when available."""
+    try:
+        from PIL import Image  # noqa: F401
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires pillow, which is not installed in this"
+            " environment; the deterministic fake kernels below exercise"
+            " the full Spark plumbing instead"
+        ) from exc
+    raise NotImplementedError("real decode path not wired yet")
+
+
+def _spread(spark, df: DataFrame) -> DataFrame:
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
+def media_df(spark, sf_dir) -> DataFrame:
+    return attach_media(t(spark, sf_dir, "documents"))
+
+
+def q_ext_mm_attach_meta(spark, sf_dir):
+    """Binary ingestion: blob + typed metadata (blob projected to its
+    length; raw bytes are checked via the md5 features below)."""
+    m = media_df(spark, sf_dir)
+    return m.select(
+        "doc_id",
+        F.octet_length("blob").cast("bigint").alias("blob_bytes"),
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.n_bytes").alias("n_bytes"),
+    )
+
+
+def q_ext_mm_decode_features(spark, sf_dir):
+    """Fake feature extraction over Arrow batches: FEATURE_DIM doubles
+    derived from the blob's md5 (a real model embedding would replace the
+    kernel, not the plumbing)."""
+    import hashlib
+
+    import pandas as pd
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                [
+                    int(hashlib.md5(b).hexdigest()[8 * i: 8 * i + 8], 16)
+                    / 4294967296.0
+                    for i in range(FEATURE_DIM)
+                ]
+                for b in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "features": feats}
+            )
+
+    m = _spread(spark, media_df(spark, sf_dir))
+    return m.mapInPandas(
+        extract, "doc_id bigint, features array<double>"
+    ).select(
+        "doc_id",
+        *[
+            F.round(F.col("features").getItem(i), 6).alias(f"f{i}")
+            for i in range(FEATURE_DIM)
+        ],
+    )
+
+
+def q_ext_mm_resize(spark, sf_dir):
+    """Fake resize to 64x64: new metadata plus the proportionally scaled
+    byte budget (integer arithmetic stands in for the pixel kernel)."""
+    import pandas as pd
+
+    tw, th = 64, 64
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            meta = pdf["meta"]
+            w = meta.map(lambda m: m["width"])
+            h = meta.map(lambda m: m["height"])
+            n = meta.map(lambda m: m["n_bytes"])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": tw,
+                    "height": th,
+                    "scaled_bytes": (n * (tw * th) // (w * h)).astype(
+                        "int64"
+                    ),
+                }
+            )
+
+    m = _spread(spark, media_df(spark, sf_dir))
+    return m.mapInPandas(
+        resize, "doc_id bigint, width int, height int, scaled_bytes bigint"
+    )
+
+
+def q_ext_mm_frame_sample(spark, sf_dir):
+    """Fake video frame sampling: the blob is treated as FRAME_BYTES-sized
+    frames; every FRAME_STRIDE-th frame is emitted with its md5 — the
+    row-explosion shape of real frame extraction."""
+    import hashlib
+
+    import pandas as pd
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {"doc_id": [], "frame_idx": [],
+                                    "frame_md5": []}
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                n_frames = (len(blob) + FRAME_BYTES - 1) // FRAME_BYTES
+                for idx in range(0, n_frames, FRAME_STRIDE):
+                    frame = blob[idx * FRAME_BYTES: (idx + 1) * FRAME_BYTES]
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(idx)
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    m = _spread(spark, media_df(spark, sf_dir))
+    return m.mapInPandas(
+        sample, "doc_id bigint, frame_idx int, frame_md5 string"
+    )
+
+
+QUERIES = {
+    "ext_mm_attach_meta": q_ext_mm_attach_meta,
+    "ext_mm_decode_features": q_ext_mm_decode_features,
+    "ext_mm_resize": q_ext_mm_resize,
+    "ext_mm_frame_sample": q_ext_mm_frame_sample,
+}
+
+_FEATS_SQL = ", ".join(
+    f"round(('0x' || substr(md5(text), {8 * i + 1}, 8))::BIGINT"
+    f" / 4294967296.0, 6) AS f{i}"
+    for i in range(FEATURE_DIM)
+)
+
+ORACLES = {
+    # documents.text is ASCII, so octet_length == length and char slicing
+    # == byte slicing (the testdata generator guarantees this; non-ASCII
+    # corpora would only shift the fake kernels, not the plumbing).
+    "ext_mm_attach_meta": """
+SELECT doc_id, length(text)::BIGINT AS blob_bytes, 'fake/rgb8' AS format,
+       (32 + (doc_id % 16) * 16)::INT AS width,
+       (32 + (doc_id % 8) * 16)::INT AS height,
+       length(text)::BIGINT AS n_bytes
+FROM documents
+""",
+    "ext_mm_decode_features": f"""
+SELECT doc_id, {_FEATS_SQL} FROM documents
+""",
+    "ext_mm_resize": """
+SELECT doc_id, 64::INT AS width, 64::INT AS height,
+       (length(text)::BIGINT * 4096)
+         // ((32 + (doc_id % 16) * 16) * (32 + (doc_id % 8) * 16))
+         AS scaled_bytes
+FROM documents
+""",
+    "ext_mm_frame_sample": f"""
+WITH frames AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+           ((length(text) + {FRAME_BYTES - 1}) // {FRAME_BYTES}) - 1,
+           {FRAME_STRIDE})) AS frame_idx,
+         text
+  FROM documents
+)
+SELECT doc_id, frame_idx::INT AS frame_idx,
+       md5(substr(text, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES}))
+         AS frame_md5
+FROM frames
+""",
+}
