@@ -102,9 +102,75 @@ def q_ext_similarity_lsh(spark, sf_dir):
     )
 
 
+N_CENTROIDS = 16    # IVF coarse quantizer size (sampled, not iterated)
+N_PROBE = 2         # clusters probed per query
+IVF_TOP_K = 3
+
+
+def _assign(emb, cents, id_col, out_rank, n_keep):
+    """Nearest-centroid assignment by cosine (centroids broadcast; one
+    narrow pass over the corpus, no shuffle of the big side)."""
+    scored = emb.select(
+        F.col("vec_id").alias(id_col), F.col("v").alias("qv")
+    ).join(F.broadcast(cents), F.lit(True)).select(
+        id_col, "cent_id", _cosine_expr().alias("cent_cos")
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("cent_cos"), F.asc("cent_id")
+    )
+    return (
+        scored.withColumn(out_rank, F.row_number().over(w))
+        .filter(F.col(out_rank) <= n_keep)
+        .select(id_col, "cent_id")
+    )
+
+
+def q_ext_similarity_ivf(spark, sf_dir):
+    """IVF ANN: sampled coarse centroids -> inverted lists keyed by nearest
+    centroid -> queries probe their N_PROBE nearest lists -> exact cosine
+    re-rank of only the probed lists' members.
+
+    At 100 TB the corpus is scanned once for assignment (centroids
+    broadcast), the inverted index is a partitioned table keyed by cent_id,
+    and each query touches N_PROBE lists instead of the full corpus.
+    """
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    inverted = _assign(emb, cents, "cand_id", "arank", 1)
+    probes = _assign(
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0), cents,
+        "query_id", "prank", N_PROBE,
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("cand_id"),
+                    F.col("v").alias("cv"))
+    cand = (
+        probes.join(inverted, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", _cosine_expr().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVF_TOP_K)
+    )
+
+
 QUERIES = {
     "ext_similarity_topk": q_ext_similarity_topk,
     "ext_similarity_lsh": q_ext_similarity_lsh,
+    "ext_similarity_ivf": q_ext_similarity_ivf,
 }
 
 _SQL_COS = (
@@ -126,6 +192,39 @@ SELECT query_id, cand_id, cosine, rank FROM (
   FROM v q JOIN v c ON q.vec_id % {QUERY_STRIDE} = 0
                    AND q.vec_id <> c.vec_id
 ) WHERE rank <= {TOP_K}
+""",
+    "ext_similarity_ivf": f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v FROM v WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT cand_id, cent_id FROM (
+    SELECT q.vec_id AS cand_id, c.cent_id, {_SQL_COS} AS cent_cos,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_SQL_COS} DESC, c.cent_id ASC) AS r
+    FROM v q JOIN cents c ON TRUE
+  ) WHERE r = 1
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id, {_SQL_COS} AS cent_cos,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_SQL_COS} DESC, c.cent_id ASC) AS r
+    FROM v q JOIN cents c ON TRUE
+    WHERE q.vec_id % {QUERY_STRIDE} = 0
+  ) WHERE r <= {N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.cand_id
+  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.cand_id
+)
+SELECT query_id, cand_id, cosine, rank FROM (
+  SELECT cd.query_id, cd.cand_id, {_SQL_COS} AS cosine,
+         row_number() OVER (PARTITION BY cd.query_id
+                            ORDER BY {_SQL_COS} DESC, cd.cand_id ASC) AS rank
+  FROM cand cd JOIN v q ON q.vec_id = cd.query_id
+               JOIN v c ON c.vec_id = cd.cand_id
+) WHERE rank <= {IVF_TOP_K}
 """,
     "ext_similarity_lsh": f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
