@@ -32,8 +32,10 @@ def _sf_of(path: str) -> float:
 def main() -> None:
     from relational_to_doc_oriented_nosql_migrator_spark.session import get_spark
     from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate
+    from relational_to_doc_oriented_nosql_migrator_spark import streaming
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         dedup,
+        multimodal,
         relational,
         similarity,
         text,
@@ -72,10 +74,30 @@ def main() -> None:
             windows.q_ext_session_agg(spark, SF_DIR)
         ),
         "text_quality": lambda: force(text.q_ext_text_quality(spark, SF_DIR)),
+        "similarity_ivf": lambda: force(
+            similarity.q_ext_similarity_ivf(spark, SF_DIR)
+        ),
+        "mm_frame_sample": lambda: force(
+            multimodal.q_ext_mm_frame_sample(spark, SF_DIR)
+        ),
+        "stream_tumbling": lambda: force(
+            streaming.QUERIES["ext_stream_tumbling_agg"](spark, SF_DIR)
+        ),
     }
 
-    # Warm the JVM/session so query timings measure queries, not startup.
+    # Warm the JVM/session and the Python worker pool so query timings
+    # measure queries, not interpreter startup.
     spark.range(1000).count()
+
+    def _noop_batches(batches):
+        yield from batches
+
+    (
+        spark.range(10_000)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapInPandas(_noop_batches, "id long")
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name, fn in headline.items():
