@@ -249,6 +249,34 @@ def q_join_nest_one_to_many(spark, sf_dir):
     ).select("c_custkey", "c_name", "orders")
 
 
+def q_join_nest_salted(spark, sf_dir):
+    """Skew-resistant variant of `join_nest_one_to_many` (SURVEY §7.2 step
+    7): children first aggregate per (fk, salt) so a hot parent's millions
+    of children spread over SALT reducers, then the SALT partial arrays
+    merge per fk. Same result, bounded per-task state under key skew.
+    """
+    salt_buckets = 8
+    orders = t(spark, sf_dir, "orders")
+    customer = t(spark, sf_dir, "customer")
+    partial = (
+        orders.withColumn(
+            "salt", F.pmod(F.hash("o_orderkey"), F.lit(salt_buckets))
+        )
+        .groupBy("o_custkey", "salt")
+        .agg(
+            F.collect_list(
+                F.struct("o_orderkey", "o_orderstatus", "o_totalprice")
+            ).alias("part")
+        )
+    )
+    nested = partial.groupBy("o_custkey").agg(
+        F.array_sort(F.flatten(F.collect_list("part"))).alias("orders")
+    )
+    return customer.select("c_custkey", "c_name").join(
+        nested, customer.c_custkey == nested.o_custkey, "left"
+    ).select("c_custkey", "c_name", "orders")
+
+
 def q_agg_collect_children(spark, sf_dir):
     """The nesting aggregate alone (reference server/DBMigration.js:515-517):
     children grouped per parent key into a sorted array."""
@@ -446,6 +474,7 @@ QUERIES = {
     "filter_nonempty_collection": q_filter_nonempty_collection,
     "sink_json_collections": q_sink_json_collections,
     "join_nest_one_to_many": q_join_nest_one_to_many,
+    "join_nest_salted": q_join_nest_salted,
     "agg_collect_children": q_agg_collect_children,
     "join_denormalize_m2m": q_join_denormalize_m2m,
     "join_meta_left": q_join_meta_left,
@@ -471,6 +500,16 @@ def _oracles() -> dict[str, str]:
     )
     return {
         "src_full_scan": "SELECT * FROM nation",
+        # Same semantics as join_nest_one_to_many (salting is purely a
+        # physical-plan change), so the same oracle must match both.
+        "join_nest_salted":
+            "SELECT c_custkey, c_name,"
+            " CASE WHEN COUNT(o_orderkey) = 0 THEN NULL ELSE"
+            " list(struct_pack(o_orderkey := o_orderkey,"
+            " o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)"
+            " ORDER BY o_orderkey) END AS orders"
+            " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
+            " GROUP BY c_custkey, c_name",
         "src_indexed_lookup": "SELECT * FROM orders WHERE o_custkey = 7",
         "proj_attribute_select":
             "SELECT c_custkey, c_name, c_mktsegment FROM customer",

@@ -74,3 +74,21 @@ def test_date_normalization(collections):
     )
     assert isinstance(row["o_orderdate"], str)
     assert len(row["o_orderdate"]) == 10  # yyyy-MM-dd
+
+
+def test_schema_templates(collections):
+    """Client-parity skeletons (reference NoSqlCollection.js:14-29): empty
+    strings for scalars, one-element arrays for embedded collections,
+    nested to full depth."""
+    from relational_to_doc_oriented_nosql_migrator_spark.functions import (
+        collection_templates,
+    )
+
+    templates = collection_templates(collections)
+    region = templates["region"]
+    assert region["r_name"] == ""
+    nation = region["nation"][0]
+    assert nation["n_name"] == ""
+    customer = nation["customer"][0]
+    assert isinstance(customer["orders"], list)
+    assert customer["orders"][0]["o_orderkey"] == ""
