@@ -131,6 +131,45 @@ def q_src_full_scan(spark, sf_dir):
     return t(spark, sf_dir, "nation")
 
 
+# Fixture dump for `src_sql_dump_import` (covers the sanitization paths:
+# DROP/CREATE DATABASE discarded, USE naming, quoted idents, NULLs).
+DUMP_FIXTURE = """
+-- northlite sample dump
+DROP DATABASE IF EXISTS northlite_old;
+CREATE DATABASE northlite;
+USE northlite;
+CREATE TABLE dept (
+  id INT PRIMARY KEY,
+  name VARCHAR(50),
+  budget DECIMAL(10,2),
+  est DATE
+);
+INSERT INTO dept VALUES (1, 'eng', 100.50, '2024-01-02'),
+                        (2, 'ops', 20.25, '2024-03-04');
+INSERT INTO dept (id, name, budget, est) VALUES (3, 'hr', NULL, NULL);
+CREATE TABLE employee (
+  emp_id INT,
+  dept_id INT,
+  emp_name VARCHAR(80),
+  PRIMARY KEY (emp_id),
+  FOREIGN KEY (dept_id) REFERENCES dept (id)
+);
+INSERT INTO employee VALUES (10, 1, 'ada'), (11, 1, 'alan'), (12, 2, 'rosa');
+"""
+
+
+def q_src_sql_dump_import(spark, sf_dir):
+    """Import a .sql dump into DataFrames + catalog metadata without a
+    staging database (reference server/MySQLDBManager.js:26-43 loads it
+    into live MySQL and re-introspects)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.sqldump import (
+        import_sql_dump,
+    )
+
+    _db, tables, _catalog = import_sql_dump(spark, DUMP_FIXTURE)
+    return tables["dept"]
+
+
 def q_src_indexed_lookup(spark, sf_dir):
     """Point-predicate scan; the predicate reaches the parquet scan as a
     PushedFilter (reference server/MySQLDBManager.js:284-312)."""
@@ -465,6 +504,7 @@ def q_fn_whitespace_normalize(spark, sf_dir):
 
 QUERIES = {
     "src_full_scan": q_src_full_scan,
+    "src_sql_dump_import": q_src_sql_dump_import,
     "src_indexed_lookup": q_src_indexed_lookup,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
@@ -500,6 +540,12 @@ def _oracles() -> dict[str, str]:
     )
     return {
         "src_full_scan": "SELECT * FROM nation",
+        "src_sql_dump_import":
+            "SELECT * FROM (VALUES"
+            " (1::BIGINT, 'eng', 100.50::DOUBLE, DATE '2024-01-02'),"
+            " (2::BIGINT, 'ops', 20.25::DOUBLE, DATE '2024-03-04'),"
+            " (3::BIGINT, 'hr', NULL::DOUBLE, NULL::DATE)"
+            ") AS dept(id, name, budget, est)",
         # Same semantics as join_nest_one_to_many (salting is purely a
         # physical-plan change), so the same oracle must match both.
         "join_nest_salted":

@@ -1,0 +1,64 @@
+"""SQL-dump import (`src_sql_dump_import`): parsing, sanitization parity,
+catalog metadata, and end-to-end migration from dump input."""
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.relational import (
+    DUMP_FIXTURE,
+)
+from relational_to_doc_oriented_nosql_migrator_spark.plans import (
+    convert_schema,
+    materialize,
+)
+from relational_to_doc_oriented_nosql_migrator_spark.sources.sqldump import (
+    import_sql_dump,
+)
+
+
+def test_dump_tables_and_values(spark):
+    db, tables, catalog = import_sql_dump(spark, DUMP_FIXTURE)
+    assert db == "northlite"  # from USE, not the fallback
+    assert set(tables) == {"dept", "employee"}
+    dept = {r["id"]: r for r in tables["dept"].collect()}
+    assert dept[1]["budget"] == 100.50
+    assert dept[3]["budget"] is None and dept[3]["est"] is None
+    assert str(dept[2]["est"]) == "2024-03-04"
+    assert tables["employee"].count() == 3
+
+
+def test_dump_catalog_metadata(spark):
+    _, _, catalog = import_sql_dump(spark, DUMP_FIXTURE)
+    dept = catalog.get_table("dept")
+    emp = catalog.get_table("employee")
+    assert dept.primary_keys == ["id"]          # inline PRIMARY KEY
+    assert emp.primary_keys == ["emp_id"]       # constraint PRIMARY KEY
+    assert [(fk.column, fk.referenced_table, fk.referenced_column)
+            for fk in emp.foreign_keys] == [("dept_id", "dept", "id")]
+    assert dept.is_referenced and dept.referencing_tables == ["employee"]
+    assert dept.num_rows == 3 and emp.num_rows == 3
+
+
+def test_dump_sanitization(spark):
+    """DROP/CREATE DATABASE and comment/meta lines never become tables."""
+    dump = """\\c somedb
+DROP DATABASE x;
+CREATE DATABASE y;
+CREATE TABLE t (a INT);
+INSERT INTO t VALUES (7);
+"""
+    db, tables, _ = import_sql_dump(spark, dump, default_db="fallback")
+    assert db == "fallback"
+    assert set(tables) == {"t"}
+    assert tables["t"].collect()[0]["a"] == 7
+
+
+def test_dump_drives_full_migration(spark):
+    """The dump-derived catalog feeds the planner/materializer unchanged:
+    employee (1 FK, idle workload) one-way-embeds into dept."""
+    _, tables, catalog = import_sql_dump(spark, DUMP_FIXTURE)
+    plan = convert_schema(catalog)
+    collections = materialize(tables, catalog, plan)
+    assert set(collections) == {"dept"}
+    docs = {r["id"]: r for r in collections["dept"].collect()}
+    # dept 1 embeds its two employees; the child FK column is dropped.
+    emb = sorted(e["emp_name"] for e in docs[1]["employee"])
+    assert emb == ["ada", "alan"]
+    assert "dept_id" not in docs[1]["employee"][0].asDict()
