@@ -127,6 +127,24 @@ def q_ext_setops(spark, sf_dir):
     return both.unionByName(click_only).select("cohort", "user_id")
 
 
+def q_ext_json_extract(spark, sf_dir):
+    """Semi-structured extraction: parse the events.props JSON column with
+    a typed schema (from_json stays JVM-side/codegen) and aggregate the
+    extracted field per event type."""
+    ev = t(spark, sf_dir, "events")
+    k = F.from_json("props", "k int").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+        )
+    )
+
+
 def q_ext_approx_distinct(spark, sf_dir):
     """approx_count_distinct of users per event type (no SQL oracle — the
     sketch estimate is engine-specific; tests bound its error instead)."""
@@ -145,6 +163,7 @@ QUERIES = {
     "ext_session_agg": q_ext_session_agg,
     "ext_grouping_sets": q_ext_grouping_sets,
     "ext_setops": q_ext_setops,
+    "ext_json_extract": q_ext_json_extract,
     "ext_approx_distinct": q_ext_approx_distinct,
 }
 
@@ -210,6 +229,13 @@ FROM islands GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        {sql_dec_sum('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "ext_json_extract": """
+SELECT event_type, COUNT(json_extract(props, '$.k')) AS n_with_k,
+       MIN(json_extract(props, '$.k')::INT) AS min_k,
+       MAX(json_extract(props, '$.k')::INT) AS max_k,
+       SUM(json_extract(props, '$.k')::INT)::BIGINT AS sum_k
+FROM events GROUP BY event_type
 """,
     "ext_setops": """
 WITH clicks AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
