@@ -27,14 +27,39 @@ from relational_to_doc_oriented_nosql_migrator_spark.sources import (
 from relational_to_doc_oriented_nosql_migrator_spark import workload as workload_mod
 
 
+def _parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Row count straight from the parquet footer (no Spark job): the
+    catalog-metadata path a warehouse uses. Returns None when footers are
+    unavailable (non-parquet layout) -> fall back to df.count()."""
+    import glob
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        pattern = os.path.join(sf_dir, f"{name}.parquet")
+        paths = glob.glob(pattern) or glob.glob(
+            os.path.join(pattern, "*.parquet")
+        )
+        if not paths:
+            return None
+        return sum(pq.read_metadata(p).num_rows for p in paths)
+    except Exception:
+        return None
+
+
 def build_testdata_catalog(
     spark: SparkSession, sf_dir: str, tables: dict[str, DataFrame] | None = None
 ) -> tuple[Catalog, dict[str, DataFrame]]:
-    """Catalog for the driver testdata: schemas from parquet footers, row
-    counts via `agg_count_star`, FK graph from plans/catalog.py."""
+    """Catalog for the driver testdata: schemas + row counts from parquet
+    footers (one metadata read per table, no scan jobs — `agg_count_star`
+    remains the query-surface equivalent), FK graph from plans/catalog.py."""
     tables = tables or load_tables(spark, sf_dir, ALL_TABLES)
     columns = {name: df.columns for name, df in tables.items()}
-    counts = {name: df.count() for name, df in tables.items()}
+    counts = {}
+    for name, df in tables.items():
+        footer = _parquet_row_count(sf_dir, name)
+        counts[name] = footer if footer is not None else df.count()
     return tpch_catalog(columns, counts), tables
 
 
