@@ -155,6 +155,21 @@ def q_ext_approx_distinct(spark, sf_dir):
     )
 
 
+def q_ext_percentiles(spark, sf_dir):
+    """Exact quartiles of extended price per return flag (`percentile` is
+    the exact interpolating aggregate; percentile_approx is the sketch
+    variant for the 100 TB path, checked by error-bound tests instead)."""
+    li = t(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "percentile(l_extendedprice, array(0.25, 0.5, 0.75))"
+    )
+    return li.groupBy("l_returnflag").agg(
+        F.round(pct.getItem(0), 6).alias("p25"),
+        F.round(pct.getItem(1), 6).alias("p50"),
+        F.round(pct.getItem(2), 6).alias("p75"),
+    )
+
+
 QUERIES = {
     "ext_window_rank": q_ext_window_rank,
     "ext_window_lag_lead": q_ext_window_lag_lead,
@@ -165,6 +180,7 @@ QUERIES = {
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
     "ext_approx_distinct": q_ext_approx_distinct,
+    "ext_percentiles": q_ext_percentiles,
 }
 
 ORACLES = {
@@ -229,6 +245,13 @@ FROM islands GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        {sql_dec_sum('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "ext_percentiles": """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+FROM lineitem GROUP BY l_returnflag
 """,
     "ext_json_extract": """
 SELECT event_type, COUNT(json_extract(props, '$.k')) AS n_with_k,

@@ -5,6 +5,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.streaming.ops import (
     QUERIES,
     read_events_stream,
     run_stream_to_batch,
+    stream_to_json_files,
     stream_dedup_keys,
     stream_session_agg,
     stream_sliding_agg,
@@ -17,6 +18,7 @@ __all__ = [
     "QUERIES",
     "read_events_stream",
     "run_stream_to_batch",
+    "stream_to_json_files",
     "stream_dedup_keys",
     "stream_session_agg",
     "stream_sliding_agg",

@@ -89,6 +89,23 @@ def run_stream_to_batch(sdf: DataFrame, output_mode: str) -> DataFrame:
     return sdf.sparkSession.table(name)
 
 
+def stream_to_json_files(
+    sdf: DataFrame, out_dir: str, checkpoint_dir: str
+) -> None:
+    """File sink: append-mode newline-JSON with exactly-once checkpointing
+    (the streaming twin of sink_json_collections — restarts resume from the
+    checkpoint instead of re-emitting)."""
+    query = (
+        sdf.writeStream.format("json")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
 def stream_tumbling_agg(events: DataFrame, watermark: str = "30 minutes"):
     """10-minute tumbling event-time windows (streaming twin of
     ext_tumbling_agg)."""

@@ -118,3 +118,35 @@ def test_stateful_accumulates_across_batches(spark, tmp_path):
                 key=lambda r: r["n_events"])
     assert final["n_events"] == 3
     assert final["sum_value_micros"] == 7_000_000
+
+
+def test_stream_file_sink_exactly_once(spark, tmp_path):
+    """Streamed JSON file sink: all rows land once; a restart over the same
+    checkpoint emits nothing new (exactly-once via checkpoint)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.streaming import (
+        read_events_stream,
+        stream_to_json_files,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+    now = time.time()
+    _write_events(
+        os.path.join(src, "b1.parquet"),
+        [(i, "2024-08-07 10:00:00", i % 3, "click", 1.0, "{}")
+         for i in range(20)],
+        now - 10,
+    )
+
+    def run():
+        events = read_events_stream(
+            spark, src, path=os.path.join(src, "*.parquet")
+        ).select("event_id", "user_id", "event_type")
+        stream_to_json_files(events, out, ckpt)
+
+    run()
+    assert spark.read.json(out).count() == 20
+    run()  # same checkpoint, no new input -> no duplicates
+    assert spark.read.json(out).count() == 20
