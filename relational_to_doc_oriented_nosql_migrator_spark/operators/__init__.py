@@ -11,6 +11,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators import (
     multimodal,
     relational,
     similarity,
+    temporal,
     text,
     windows,
     workload_ops,
@@ -18,7 +19,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators import (
 from relational_to_doc_oriented_nosql_migrator_spark import streaming
 
 MODULES = (relational, workload_ops, windows, text, dedup, similarity,
-           streaming, multimodal)
+           streaming, multimodal, temporal)
 
 
 def all_queries():

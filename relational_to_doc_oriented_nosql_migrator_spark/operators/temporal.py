@@ -1,0 +1,151 @@
+"""Temporal join operators Spark lacks natively (SURVEY §2.3 notes the
+reference has none either; they're standard feature-pipeline primitives and
+DuckDB oracles them directly, so both are first-class checked queries).
+
+- `ext_asof_join`: for each purchase, the most recent click at-or-before it
+  by the same user. Implemented as the union-then-window pattern: tag both
+  sides, sort per user by event time, carry the last click forward with
+  last(..., ignorenulls) — one shuffle keyed by user, no inequality join,
+  no nested-loop. DuckDB oracle: native ASOF JOIN.
+- `ext_range_join`: event pairs within a time band. Implemented as the
+  bucketized range join: coarse time-bucket equi-join (each left row joins
+  its own and the next bucket) + exact band filter — the scale shape that
+  avoids BroadcastNestedLoopJoin entirely.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+
+RANGE_SECONDS = 120  # range-join band width
+
+
+def _dedup_clicks(ev):
+    """One click per (user_id, ts): keep max event_id, so the as-of pick at
+    tied timestamps is deterministic on both engines."""
+    w = Window.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+
+
+def q_ext_asof_join(spark, sf_dir):
+    """Most recent click at-or-before each purchase, per user."""
+    ev = t(spark, sf_dir, "events")
+    clicks = _dedup_clicks(ev).select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("click_id"),
+        F.col("value").alias("click_value"),
+        F.lit(0).alias("is_purchase"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.lit(None).cast("double").alias("click_value"),
+        F.lit(1).alias("is_purchase"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    # Clicks sort before purchases at equal ts (is_purchase 0 < 1), so an
+    # exactly-simultaneous click is eligible — matching ASOF's >= bound.
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "is_purchase")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = clicks.unionByName(purchases).select(
+        "user_id",
+        "ets",
+        "is_purchase",
+        "purchase_id",
+        F.last("click_id", ignorenulls=True).over(w).alias("prev_click_id"),
+        F.last("click_value", ignorenulls=True).over(w)
+        .alias("prev_click_value"),
+    )
+    return merged.filter(F.col("is_purchase") == 1).select(
+        "user_id",
+        F.col("ets").alias("purchase_ts"),
+        "purchase_id",
+        "prev_click_id",
+        "prev_click_value",
+    )
+
+
+def q_ext_range_join(spark, sf_dir):
+    """Click->purchase pairs per user within RANGE_SECONDS, via bucketized
+    equi-join (bucket b joins b and b+1; exact band filter after)."""
+    ev = t(spark, sf_dir, "events")
+    bucket = (F.unix_timestamp(F.col("ts").cast("timestamp"))
+              / RANGE_SECONDS).cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+        bucket.alias("b"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        bucket.alias("pb"),
+    )
+    # A purchase within [click_ts, click_ts + RANGE] lives in the click's
+    # bucket or the next one.
+    expanded = clicks.withColumn(
+        "jb", F.explode(F.array(F.col("b"), F.col("b") + 1))
+    )
+    joined = expanded.join(
+        purchases,
+        (F.col("jb") == F.col("pb")) & (F.col("user_id") == F.col("p_user")),
+    )
+    in_band = (
+        (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("click_ts") + F.expr(f"INTERVAL {RANGE_SECONDS} SECONDS"))
+    )
+    return joined.filter(in_band).select(
+        "user_id", "click_id", "purchase_id", "click_ts", "purchase_ts"
+    )
+
+
+QUERIES = {
+    "ext_asof_join": q_ext_asof_join,
+    "ext_range_join": q_ext_range_join,
+}
+
+ORACLES = {
+    "ext_asof_join": """
+WITH clicks AS (
+  SELECT user_id, ts, event_id, value FROM (
+    SELECT user_id, ts, event_id, value,
+           row_number() OVER (PARTITION BY user_id, ts
+                              ORDER BY event_id DESC) AS rn
+    FROM events WHERE event_type = 'click'
+  ) WHERE rn = 1
+),
+purchases AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+)
+SELECT p.user_id, p.ts AS purchase_ts, p.event_id AS purchase_id,
+       c.event_id AS prev_click_id, c.value AS prev_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+    "ext_range_join": f"""
+SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+       c.ts AS click_ts, p.ts AS purchase_ts
+FROM events c JOIN events p
+  ON c.user_id = p.user_id
+ AND c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.ts >= c.ts
+ AND p.ts <= c.ts + INTERVAL {RANGE_SECONDS} SECONDS
+""",
+}
