@@ -228,8 +228,66 @@ def q_ext_dedup_embedding(spark, sf_dir):
     )
 
 
+def q_ext_dedup_components(spark, sf_dir):
+    """Near-dup cluster representatives: connected components over the
+    LSH-verified pair graph via iterative min-label propagation (the
+    GraphFrames-CC pattern, bounded by component diameter). Output is one
+    row per doc that belongs to any near-dup pair: (doc_id, rep_doc_id =
+    component minimum) — what a dedup pipeline keeps/drops at scale.
+    """
+    pairs = q_ext_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.unionByName(
+            pairs.select(
+                F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+            )
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("doc_a").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    labels.count()  # materialize before iterating
+    while True:
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy("doc_a")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(
+                neighbor_min, labels.node == neighbor_min.doc_a, "left"
+            )
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
+            .filter(F.col("lbl") != F.col("old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select("node", F.col("lbl").alias("rep_doc_id")).select(
+        F.col("node").alias("doc_id"), "rep_doc_id"
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": q_ext_dedup_exact,
+    "ext_dedup_components": q_ext_dedup_components,
     "ext_dedup_ngram_jaccard": q_ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": q_ext_dedup_minhash,
     "ext_dedup_simhash": q_ext_dedup_simhash,
@@ -254,6 +312,8 @@ _SQL_PAIR_JACCARD = (
     "round(len(list_intersect(a.sh, b.sh))::DOUBLE /"
     " (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)"
 )
+
+_SQL_MINHASH_PAIRS = None  # assigned below once the minhash oracle exists
 
 ORACLES = {
     "ext_dedup_exact": """
@@ -313,3 +373,20 @@ WHERE round(list_dot_product(a.e, b.e) /
              sqrt(list_dot_product(b.e, b.e))), 6) >= {COSINE_THRESHOLD}
 """,
 }
+
+# Connected components via transitive closure (recursive CTE) over the same
+# minhash pair graph; rep = min reachable doc (incl. self).
+ORACLES["ext_dedup_components"] = f"""
+WITH RECURSIVE mh AS ({ORACLES['ext_dedup_minhash']}),
+edges AS (
+  SELECT doc_a, doc_b FROM mh
+  UNION
+  SELECT doc_b, doc_a FROM mh
+),
+reach(a, b) AS (
+  SELECT doc_a, doc_b FROM edges
+  UNION
+  SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
+)
+SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_doc_id FROM reach GROUP BY a
+"""
