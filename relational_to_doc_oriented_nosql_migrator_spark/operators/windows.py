@@ -112,6 +112,35 @@ def q_ext_grouping_sets(spark, sf_dir):
     )
 
 
+def q_ext_cube(spark, sf_dir):
+    """CUBE over events (event_type, user_id bucket)."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 4).cast("long")
+    )
+    return ev.cube("event_type", "user_bucket").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("value").alias("sum_value"),
+    )
+
+
+def q_ext_window_running(spark, sf_dir):
+    """Cumulative frames: per-user running event count and value sum
+    ordered by time (rowsBetween unboundedPreceding..currentRow)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("running_n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w)
+        .cast("double").alias("running_value"),
+    )
+
+
 def q_ext_setops(spark, sf_dir):
     """UNION/INTERSECT/EXCEPT: classify users by click/purchase overlap."""
     ev = t(spark, sf_dir, "events")
@@ -177,6 +206,8 @@ QUERIES = {
     "ext_sliding_agg": q_ext_sliding_agg,
     "ext_session_agg": q_ext_session_agg,
     "ext_grouping_sets": q_ext_grouping_sets,
+    "ext_cube": q_ext_cube,
+    "ext_window_running": q_ext_window_running,
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
     "ext_approx_distinct": q_ext_approx_distinct,
@@ -245,6 +276,21 @@ FROM islands GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        {sql_dec_sum('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "ext_cube": f"""
+SELECT event_type, user_bucket, COUNT(*) AS n,
+       {sql_dec_sum('value')} AS sum_value
+FROM (SELECT event_type, user_id % 4 AS user_bucket, value FROM events)
+GROUP BY CUBE (event_type, user_bucket)
+""",
+    "ext_window_running": """
+SELECT user_id, event_id,
+       COUNT(*) OVER w AS running_n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+         AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS UNBOUNDED PRECEDING)
 """,
     "ext_percentiles": """
 SELECT l_returnflag,
