@@ -1,0 +1,28 @@
+"""Approximate aggregates: no SQL oracle (sketches are engine-specific),
+so correctness is an explicit error bound against the exact answer."""
+
+from pyspark.sql import functions as F
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+from relational_to_doc_oriented_nosql_migrator_spark.operators.windows import (
+    q_ext_approx_distinct,
+)
+from tests.conftest import SF001
+
+
+def test_approx_distinct_within_error_bound(spark):
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in q_ext_approx_distinct(spark, SF001).collect()
+    }
+    exact = {
+        r["event_type"]: r["exact_users"]
+        for r in t(spark, SF001, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        # HLL++ default rsd is 5%; allow 3 sigma.
+        assert abs(approx[et] - n) <= max(1, 0.15 * n), (et, approx[et], n)
