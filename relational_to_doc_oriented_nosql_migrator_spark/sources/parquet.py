@@ -53,12 +53,33 @@ def _nanos_timestamp_columns(path: str) -> list[str]:
     """Columns stored as parquet TIMESTAMP(NANOS): under nanosAsLong Spark
     surfaces them as LONG nanos-since-epoch; detect from the footer so we
     can restore proper (micros) timestamps. ms/us timestamp columns are
-    unaffected and read natively."""
+    unaffected and read natively.
+
+    Accepts a single file, a directory of part files (the production
+    layout), or a glob — the footer is read from the first data file."""
     try:
+        import glob as _glob
+        import os
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        schema = pq.read_schema(path)
+        if os.path.isdir(path):
+            candidates = sorted(
+                p
+                for p in _glob.glob(os.path.join(path, "**", "*"),
+                                    recursive=True)
+                if os.path.isfile(p) and not os.path.basename(p).startswith(
+                    ("_", ".")
+                )
+            )
+        elif any(ch in path for ch in "*?["):
+            candidates = sorted(_glob.glob(path))
+        else:
+            candidates = [path]
+        if not candidates:
+            return []
+        schema = pq.read_schema(candidates[0])
         return [
             f.name
             for f in schema

@@ -2,6 +2,8 @@
 iteration is real (not one collected blob), and the real-decoder seam is
 explicit."""
 
+import os
+
 import pytest
 
 from pyspark.sql import functions as F
@@ -76,3 +78,23 @@ def test_frame_sample_covers_all_docs(spark):
     idx = frames.filter(F.col("doc_id") == frames.first()["doc_id"])
     vals = sorted(r["frame_idx"] for r in idx.collect())
     assert all(b - a == mm.FRAME_STRIDE for a, b in zip(vals, vals[1:]))
+
+
+def test_directory_layout_restores_nanos_timestamps(spark, tmp_path):
+    """Production tables are DIRECTORIES of part files; footer detection
+    must resolve a data file inside, so nanos timestamps still surface as
+    timestamps, not raw longs."""
+    import shutil
+
+    d = str(tmp_path)
+    os.makedirs(os.path.join(d, "events.parquet"))
+    shutil.copy(
+        os.path.join(SF0001, "events.parquet"),
+        os.path.join(d, "events.parquet", "part-00000.parquet"),
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    df = load_table(spark, d, "events")
+    assert dict(df.dtypes)["ts"].startswith("timestamp")
