@@ -1,14 +1,17 @@
 """Similarity search over the `embeddings` table (SURVEY §2.11 / BASELINE
 north star), with DuckDB oracles.
 
-Two paths:
+Three paths:
 - `ext_similarity_topk`: brute-force cosine top-k — correctness baseline.
   Queries are broadcast, so the scan of the corpus is a single narrow pass
   (no shuffle of the big side) at any scale.
-- `ext_similarity_lsh`: sign-random-projection bucketing (here: signs of the
-  leading 8 dimensions — deterministic and engine-independent). Candidates
-  come from a bucket equi-join; at 100 TB this is the ANN path: the cross
-  product never materializes, only same-bucket collisions do.
+- `ext_similarity_lsh`: multi-table sign-projection LSH (L tables of K sign
+  bits, deterministic and engine-independent). Candidates come from bucket
+  equi-joins; at 100 TB this is an ANN path: the cross product never
+  materializes, only same-bucket collisions do. Recall is bounded against
+  brute force in tests/test_ann_recall.py.
+- `ext_similarity_ivf`: inverted-file ANN (sampled coarse centroids,
+  nprobe probing, exact re-rank).
 
 Cosines are computed in double with sequential fold order and rounded to 6
 digits on both engines, so rankings (with vec_id tiebreak) are identical.
@@ -23,7 +26,6 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
 
 TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % stride == 0 -> query vector
-N_SIGN_BITS = 8
 
 _DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE),"
@@ -69,28 +71,49 @@ def q_ext_similarity_topk(spark, sf_dir):
     )
 
 
-_BUCKET_EXPR = (
-    f"aggregate(sequence(1, {N_SIGN_BITS}), 0, (acc, i) -> acc +"
-    " IF(element_at(v, i) >= CAST(0 AS DOUBLE), shiftleft(1, i - 1), 0))"
+# Multi-table sign LSH: L tables of K sign bits each (table t hashes dims
+# t*K+1 .. t*K+K). For neighbors at angle θ the per-table collision
+# probability is (1-θ/π)^K; the L-table union lifts recall to
+# 1-(1-(1-θ/π)^K)^L while random pairs stay near L/2^K of the corpus —
+# the classic recall/candidate dial (K up = fewer candidates, L up = more
+# recall). One table of many bits (the naive choice) collapses recall on
+# weakly-clustered embeddings.
+LSH_K = 4
+LSH_TABLES = 8
+
+_TABLES_EXPR = (
+    f"transform(sequence(0, {LSH_TABLES - 1}), t -> t * {2 ** LSH_K} +"
+    f" aggregate(sequence(1, {LSH_K}), 0, (acc, i) -> acc +"
+    f" IF(element_at(v, t * {LSH_K} + i) >= CAST(0 AS DOUBLE),"
+    " shiftleft(1, i - 1), 0)))"
 )
 
 
 def q_ext_similarity_lsh(spark, sf_dir):
-    """Sign-projection LSH: search only the query's bucket (top-3)."""
-    emb = _emb(spark, sf_dir).withColumn("bucket", F.expr(_BUCKET_EXPR))
-    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("bucket").alias("qb"),
+    """Multi-table sign-projection LSH top-3: candidates = union of the
+    query's bucket across all tables, then exact cosine re-rank."""
+    emb = _emb(spark, sf_dir)
+    keys = emb.select(
+        "vec_id", "v", F.explode(F.expr(_TABLES_EXPR)).alias("bkey")
     )
-    corpus = emb.select(F.col("vec_id").alias("cand_id"),
-                        F.col("v").alias("cv"),
-                        F.col("bucket").alias("cb"))
+    queries = keys.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk")
+    )
+    cand = (
+        keys.select(F.col("vec_id").alias("cand_id"), "bkey")
+        .join(F.broadcast(queries),
+              (F.col("qk") == F.col("bkey"))
+              & (F.col("query_id") != F.col("cand_id")))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    qv = emb.select(F.col("vec_id").alias("query_id"),
+                    F.col("v").alias("qv"))
+    cv = emb.select(F.col("vec_id").alias("cand_id"),
+                    F.col("v").alias("cv"))
     scored = (
-        corpus.join(
-            F.broadcast(queries),
-            (F.col("qb") == F.col("cb"))
-            & (F.col("query_id") != F.col("cand_id")),
-        )
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
         .select("query_id", "cand_id", _cosine_expr().alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -103,7 +126,7 @@ def q_ext_similarity_lsh(spark, sf_dir):
 
 
 N_CENTROIDS = 16    # IVF coarse quantizer size (sampled, not iterated)
-N_PROBE = 2         # clusters probed per query
+N_PROBE = 4         # clusters probed per query (25% of lists scanned)
 IVF_TOP_K = 3
 
 
@@ -177,9 +200,11 @@ _SQL_COS = (
     "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) *"
     " sqrt(list_dot_product(c.v, c.v))), 6)"
 )
-_SQL_BUCKET = (
-    f"list_sum([CASE WHEN e[i] >= 0 THEN (1 << (i - 1)) ELSE 0 END"
-    f" for i in generate_series(1, {N_SIGN_BITS})])"
+_SQL_TABLE_KEYS = (
+    f"[t * {2 ** LSH_K} +"
+    f" list_sum([CASE WHEN e[t * {LSH_K} + i] >= 0 THEN (1 << (i - 1))"
+    f" ELSE 0 END for i in generate_series(1, {LSH_K})])"
+    f" for t in generate_series(0, {LSH_TABLES - 1})]"
 )
 
 ORACLES = {
@@ -229,14 +254,19 @@ SELECT query_id, cand_id, cosine, rank FROM (
     "ext_similarity_lsh": f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   embedding::DOUBLE[] AS v FROM embeddings),
-b AS (SELECT vec_id, v, {_SQL_BUCKET} AS bucket FROM v)
+keys AS (SELECT vec_id, v, unnest({_SQL_TABLE_KEYS}) AS bkey FROM v),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS cand_id
+  FROM keys q JOIN keys c ON q.vec_id % {QUERY_STRIDE} = 0
+                         AND q.vec_id <> c.vec_id
+                         AND q.bkey = c.bkey
+)
 SELECT query_id, cand_id, cosine, rank FROM (
-  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, {_SQL_COS} AS cosine,
-         row_number() OVER (PARTITION BY q.vec_id
-                            ORDER BY {_SQL_COS} DESC, c.vec_id ASC) AS rank
-  FROM b q JOIN b c ON q.vec_id % {QUERY_STRIDE} = 0
-                   AND q.vec_id <> c.vec_id
-                   AND q.bucket = c.bucket
+  SELECT cd.query_id, cd.cand_id, {_SQL_COS} AS cosine,
+         row_number() OVER (PARTITION BY cd.query_id
+                            ORDER BY {_SQL_COS} DESC, cd.cand_id ASC) AS rank
+  FROM cand cd JOIN v q ON q.vec_id = cd.query_id
+               JOIN v c ON c.vec_id = cd.cand_id
 ) WHERE rank <= 3
 """,
 }
