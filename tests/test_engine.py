@@ -92,3 +92,24 @@ def test_schema_templates(collections):
     customer = nation["customer"][0]
     assert isinstance(customer["orders"], list)
     assert customer["orders"][0]["o_orderkey"] == ""
+
+
+def test_hot_workload_flips_design(spark):
+    """A write-heavy query log must flip hot tables from embedding to
+    referencing through the REAL pipeline (log parse -> gaf/uaf -> maf ->
+    plan -> materialize), reproducing reference DBMigration.js:354-386."""
+    log = "\n".join(
+        f"240807 10:15:{i:02d}\t   42 Query\tUPDATE orders SET"
+        f" o_orderstatus = 'F' WHERE o_orderkey = {i}"
+        for i in range(10)
+    ) + "\n"
+    collections = migrate(spark, SF0001, log_content=log)
+    # orders: uaf >> maf -> referencing root with *_REF renames.
+    assert "orders" in collections
+    assert "o_custkey_REF" in collections["orders"].columns
+    # customer is referenced by hot orders -> also a referencing root, and
+    # the region tree no longer embeds it.
+    assert "customer" in collections
+    assert "c_nationkey_REF" in collections["customer"].columns
+    region_fields = collections["region"].schema.simpleString()
+    assert "customer" not in region_fields
