@@ -108,7 +108,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(
     spark: SparkSession, sf_dir: str, names: tuple[str, ...] = ALL_TABLES
 ) -> dict[str, DataFrame]:
-    return {name: load_table(spark, sf_dir, name) for name in names}
+    """Load all tables concurrently: each spark.read.parquet is a driver
+    round trip for schema discovery (~250ms), so a serial loop costs
+    len(names) x that latency before any query runs."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, len(names))) as pool:
+        futures = {
+            name: pool.submit(load_table, spark, sf_dir, name)
+            for name in names
+        }
+        return {name: f.result() for name, f in futures.items()}
 
 
 def register_views(

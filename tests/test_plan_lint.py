@@ -1,0 +1,56 @@
+"""Plan lint: no query in the registry may plan a cartesian product or
+nested-loop join — the operators that would collapse at 100 TB.
+
+Exemptions are the documented brute-force correctness baselines (explicit
+quadratic pair generators that exist to oracle the LSH/IVF scale paths).
+"""
+
+import io
+import contextlib
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF0001
+
+QUERIES = entrymod.queries()
+
+# Quadratic-by-design baselines (each has a scale-path sibling).
+BRUTE_FORCE_BASELINES = {
+    "ext_dedup_ngram_jaccard",   # sibling: ext_dedup_minhash
+    "ext_dedup_embedding",       # sibling: ext_similarity_lsh / _ivf
+    "ext_similarity_topk",       # sibling: ext_similarity_lsh / _ivf
+}
+
+# Broadcast cross against a CONSTANT-size side (N_CENTROIDS=16 rows): a
+# map-side nested loop linear in the corpus — the correct plan for coarse
+# quantizer assignment, not a scale hazard.
+TINY_BROADCAST_CROSS = {"ext_similarity_ivf"}
+
+# Ops that execute eagerly (streaming/iterative/sink) — their final
+# DataFrame is a materialized result, not the interesting plan; their
+# building blocks are linted via the other entries.
+EAGER = {
+    "ext_stream_tumbling_agg", "ext_stream_sliding_agg",
+    "ext_stream_session_agg", "ext_stream_dedup", "ext_stream_stateful",
+    "ext_dedup_components", "sink_json_collections", "src_sql_dump_import",
+    "src_log_text",
+}
+
+BAD = ("CartesianProduct", "BroadcastNestedLoopJoin")
+
+
+@pytest.mark.parametrize(
+    "qid",
+    sorted(set(QUERIES) - BRUTE_FORCE_BASELINES - EAGER
+           - TINY_BROADCAST_CROSS),
+)
+def test_no_quadratic_join_in_plan(qid, spark):
+    df = QUERIES[qid](spark, SF0001)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    plan = buf.getvalue()
+    offending = [b for b in BAD if b in plan]
+    assert not offending, f"{qid} plans {offending}"
