@@ -199,6 +199,41 @@ def q_ext_dedup_simhash(spark, sf_dir):
     )
 
 
+HAMMING_MAX = 3       # near-dup when simhash hamming distance <= 3
+SIMHASH_CHUNKS = 4    # 48 bits -> 4 chunks of 12; pigeonhole: any pair
+                      # within hamming<=3 agrees on at least one chunk
+
+
+def q_ext_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs (Manku-style): band the 48-bit fingerprint
+    into SIMHASH_CHUNKS chunks, bucket-join on (chunk index, chunk value)
+    — pigeonhole-complete for hamming <= HAMMING_MAX — then exact
+    bit_count(xor) verify. Quadratic work confined to chunk buckets."""
+    sim = q_ext_dedup_simhash(spark, sf_dir)
+    chunks = sim.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {SIMHASH_CHUNKS - 1}), c ->"
+                f" c * 4096 + ((simhash >> (c * 12)) & 4095))"
+            )
+        ).alias("chunk_key"),
+    )
+    a = chunks.select(F.col("doc_id").alias("doc_a"),
+                      F.col("simhash").alias("sim_a"), "chunk_key")
+    b = chunks.select(F.col("doc_id").alias("doc_b"),
+                      F.col("simhash").alias("sim_b"), "chunk_key")
+    ham = F.expr("bit_count(sim_a ^ sim_b)")
+    return (
+        a.join(b, "chunk_key")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= HAMMING_MAX)
+        .distinct()
+    )
+
+
 def q_ext_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs >= threshold (brute force baseline;
     the LSH-bucketed scale path is ext_similarity_lsh in similarity.py)."""
@@ -291,6 +326,7 @@ QUERIES = {
     "ext_dedup_ngram_jaccard": q_ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": q_ext_dedup_minhash,
     "ext_dedup_simhash": q_ext_dedup_simhash,
+    "ext_dedup_simhash_pairs": q_ext_dedup_simhash_pairs,
     "ext_dedup_embedding": q_ext_dedup_embedding,
 }
 
@@ -389,4 +425,21 @@ reach(a, b) AS (
   SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
 )
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_doc_id FROM reach GROUP BY a
+"""
+
+# SimHash near-dup pairs: same chunk-banding + exact hamming verify.
+ORACLES["ext_dedup_simhash_pairs"] = f"""
+WITH sim AS ({ORACLES['ext_dedup_simhash']}),
+chunks AS (
+  SELECT doc_id, simhash,
+         unnest([c * 4096 + ((simhash >> (c * 12)) & 4095)
+                 for c in generate_series(0, {SIMHASH_CHUNKS - 1})])
+           AS chunk_key
+  FROM sim
+)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM chunks a JOIN chunks b
+  ON a.chunk_key = b.chunk_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_MAX}
 """
