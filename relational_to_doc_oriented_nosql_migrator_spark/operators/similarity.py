@@ -33,11 +33,16 @@ _DOT = (
 )
 
 
-def _emb(spark, sf_dir):
-    return t(spark, sf_dir, "embeddings").select(
+def _emb(spark, sf_dir, spread: bool = False):
+    emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
+    if spread:
+        # Cosine scoring is CPU-bound; parallelism must not depend on the
+        # input file layout (a single-file corpus reads as one partition).
+        emb = emb.repartition(spark.sparkContext.defaultParallelism)
+    return emb
 
 
 def _cosine_expr():
@@ -51,7 +56,7 @@ def _cosine_expr():
 
 def q_ext_similarity_topk(spark, sf_dir):
     """Brute-force cosine top-k for a fixed query set."""
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=True)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
@@ -157,7 +162,7 @@ def q_ext_similarity_ivf(spark, sf_dir):
     broadcast), the inverted index is a partitioned table keyed by cent_id,
     and each query touches N_PROBE lists instead of the full corpus.
     """
-    emb = _emb(spark, sf_dir)
+    emb = _emb(spark, sf_dir, spread=True)
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
