@@ -144,8 +144,45 @@ def q_ext_text_fingerprint(spark, sf_dir):
     )
 
 
+def q_ext_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: md5-bucket the doc id so the
+    assignment is stable across runs, engines, and repartitioning (a
+    seeded df.sample would be engine-specific RNG). 90/5/5."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return docs.select("doc_id", bucket.alias("bucket"),
+                       split.alias("split"))
+
+
+def q_ext_token_bigrams(spark, sf_dir):
+    """Corpus-wide token-pair frequencies (the merge-candidate counting
+    step of BPE training): adjacent-token bigrams exploded and counted."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    bigrams = F.expr(
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+    )
+    return (
+        docs.select(toks.alias("tk"))
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
 QUERIES = {
     "ext_text_tokens": q_ext_text_tokens,
+    "ext_split_assign": q_ext_split_assign,
+    "ext_token_bigrams": q_ext_token_bigrams,
     "ext_text_stats": q_ext_text_stats,
     "ext_text_quality": q_ext_text_quality,
     "ext_text_langid": q_ext_text_langid,
@@ -162,6 +199,26 @@ def _votes_sql(lang: str) -> str:
 
 
 ORACLES = {
+    "ext_split_assign": """
+SELECT doc_id,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100
+         AS bucket,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 100 < 90 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
+    "ext_token_bigrams": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents)
+SELECT bigram, COUNT(*) AS n FROM (
+  SELECT unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in generate_series(1, greatest(len(tk) - 1, 0))])
+           AS bigram
+  FROM tk
+) GROUP BY bigram
+""",
     "ext_text_tokens": f"""
 SELECT doc_id, length(text) AS n_chars_seen,
        len({SQL_TOKENS}) AS n_tokens,
