@@ -36,6 +36,7 @@ def main() -> None:
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         dedup,
         multimodal,
+        pipeline,
         relational,
         similarity,
         text,
@@ -74,6 +75,9 @@ def main() -> None:
             windows.q_ext_session_agg(spark, SF_DIR)
         ),
         "text_quality": lambda: force(text.q_ext_text_quality(spark, SF_DIR)),
+        "decontaminate": lambda: force(
+            pipeline.q_ext_decontaminate(spark, SF_DIR)
+        ),
         "similarity_ivf": lambda: force(
             similarity.q_ext_similarity_ivf(spark, SF_DIR)
         ),

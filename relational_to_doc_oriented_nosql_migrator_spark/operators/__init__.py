@@ -9,6 +9,8 @@ Every module exposes:
 from relational_to_doc_oriented_nosql_migrator_spark.operators import (
     dedup,
     multimodal,
+    pipeline,
+    planops,
     relational,
     similarity,
     temporal,
@@ -19,7 +21,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators import (
 from relational_to_doc_oriented_nosql_migrator_spark import streaming
 
 MODULES = (relational, workload_ops, windows, text, dedup, similarity,
-           streaming, multimodal, temporal)
+           streaming, multimodal, temporal, planops, pipeline)
 
 
 def all_queries():

@@ -1,0 +1,290 @@
+"""Corpus-curation operators for training-data pipelines (SURVEY §2.11 /
+BASELINE north star): PII scrubbing, benchmark decontamination, repetition
+quality signals, and domain-mix rebalancing over the `documents` table.
+
+All built-in JVM expressions (regexp/array/higher-order/window) — no Python
+UDFs — so every op stays inside whole-stage codegen. Regex patterns are
+written in the common Java-regex/RE2 dialect subset so the DuckDB oracles
+run the byte-identical pattern.
+
+Scale notes (100 TB):
+- PII scrub is a narrow per-row map: no shuffle, fully pushdown-friendly.
+- Decontamination shuffles once on the shingle hash (the canonical
+  inverted-index join); shingles are md5-hashed so the shuffle key is
+  uniform — no skew. Distinct-per-doc before the join keeps the join input
+  at most |doc| x |unique shingles|.
+- Repetition signals shuffle on doc_id only (explode -> count -> window),
+  partition-pruned to each doc's own bigrams.
+- Domain mix aggregates to |sources| rows FIRST, then runs the global-share
+  window over that tiny frame — the single-partition window never sees
+  row-scale data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    t,
+)
+from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
+    SQL_TOKENS,
+    tokens_col,
+)
+
+# Shared Java-regex/RE2-compatible PII patterns (applied in this order).
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+?\d[\d -]{7,}\d"
+
+# Decontamination shingle width (word n-grams; 13 is the common LLM value,
+# 8 keeps the synthetic short docs exercised end to end).
+DECONTAM_N = 8
+
+
+def q_ext_text_pii_scrub(spark, sf_dir):
+    """PII redaction: emails -> <EMAIL>, IPv4s -> <IP>, phone-like digit
+    runs -> <PHONE>, applied in that order. Returns per-doc match counts
+    plus an md5 of the scrubbed text (hash, not body, to keep the result
+    row narrow — the full scrubbed column is the same expression)."""
+    docs = t(spark, sf_dir, "documents")
+    n_emails = F.size(F.regexp_extract_all("text", F.lit(EMAIL_RE), 0))
+    after_email = F.regexp_replace("text", EMAIL_RE, "<EMAIL>")
+    n_ips = F.size(F.regexp_extract_all(after_email, F.lit(IPV4_RE), 0))
+    after_ip = F.regexp_replace(after_email, IPV4_RE, "<IP>")
+    n_phones = F.size(F.regexp_extract_all(after_ip, F.lit(PHONE_RE), 0))
+    scrubbed = F.regexp_replace(after_ip, PHONE_RE, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        F.md5(scrubbed).alias("scrubbed_md5"),
+    )
+
+
+def _shingles(col: str):
+    """Distinct md5-hashed word n-grams (n = DECONTAM_N) of a token-array
+    column (by name); docs shorter than n yield one whole-doc shingle."""
+    n = DECONTAM_N
+    return F.array_distinct(
+        F.expr(
+            f"transform(sequence(1, greatest(size({col}) - {n - 1}, 1)),"
+            f" i -> md5(concat_ws(' ', slice({col}, i, {n}))))"
+        )
+    )
+
+
+def q_ext_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: for every held-out (val/test) document,
+    count its shingles that also occur in ANY train-split document; a doc
+    with n_shared > 0 is contaminated and would be dropped from the eval
+    set. Split assignment reuses ext_split_assign's md5 bucketing, so the
+    check is deterministic end to end."""
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    with_shingles = docs.select(
+        "doc_id",
+        (bucket < 90).alias("is_train"),
+        tokens_col(F.col("text")).alias("tk"),
+    ).select(
+        "doc_id",
+        "is_train",
+        F.explode(_shingles("tk")).alias("shingle"),
+    )
+    train = with_shingles.filter("is_train").select("shingle").distinct()
+    heldout = with_shingles.filter(~F.col("is_train"))
+    joined = heldout.join(train, "shingle", "left_semi")
+    shared = joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared")
+    )
+    per_doc = heldout.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shingles")
+    )
+    return (
+        per_doc.join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def q_ext_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals: distinct-token ratio and the
+    fraction of bigram occurrences taken by the single most frequent
+    bigram; high top-bigram fraction / low distinct ratio flags looping or
+    boilerplate text."""
+    docs = t(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("tk"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+    bigrams = base.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+                " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bigrams.groupBy(
+        "doc_id", "n_tokens", "n_distinct", "bigram"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("doc_id")
+    per_doc = (
+        counts.withColumn("max_n", F.max("n").over(w))
+        .withColumn("total_bigrams", F.sum("n").over(w))
+        .select("doc_id", "n_tokens", "n_distinct", "max_n",
+                "total_bigrams")
+        .distinct()
+    )
+    distinct_ratio = F.round(
+        F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
+    )
+    top_frac = F.round(
+        F.col("max_n").cast("double") / F.col("total_bigrams"), 6
+    )
+    return per_doc.select(
+        "doc_id",
+        distinct_ratio.alias("distinct_ratio"),
+        top_frac.alias("top_bigram_frac"),
+        ((distinct_ratio >= 0.2) & (top_frac <= 0.18)).alias("keep"),
+    )
+
+
+def q_ext_domain_mix(spark, sf_dir):
+    """Domain-mix rebalancing: per-source corpus share by token count and
+    the capped sampling weight (no domain may exceed 30% of the mix) that a
+    sampler would apply — the classic pretraining mixture step."""
+    docs = t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(tokens_col(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+        )
+    )
+    # Global-share window over the aggregated |sources|-row frame only.
+    total = F.sum("sum_tokens").over(Window.partitionBy())
+    share = F.round(F.col("sum_tokens").cast("double") / total, 6)
+    weight = F.round(
+        F.least(share, F.lit(0.3)) / share, 6
+    )
+    return per_source.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        share.alias("token_share"),
+        weight.alias("sample_weight"),
+    )
+
+
+QUERIES = {
+    "ext_text_pii_scrub": q_ext_text_pii_scrub,
+    "ext_decontaminate": q_ext_decontaminate,
+    "ext_repetition_filter": q_ext_repetition_filter,
+    "ext_domain_mix": q_ext_domain_mix,
+}
+
+_SQL_SHINGLES = (
+    f"list_distinct([md5(array_to_string(tk[i:i+{DECONTAM_N - 1}], ' '))"
+    f" for i in generate_series(1, greatest(len(tk) - {DECONTAM_N - 1}, 1))])"
+)
+
+_SQL_BUCKET = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 100"
+)
+
+ORACLES = {
+    "ext_text_pii_scrub": f"""
+WITH s1 AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '{EMAIL_RE}')) AS n_emails,
+         regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g') AS t1
+  FROM documents
+), s2 AS (
+  SELECT doc_id, n_emails,
+         len(regexp_extract_all(t1, '{IPV4_RE}')) AS n_ips,
+         regexp_replace(t1, '{IPV4_RE}', '<IP>', 'g') AS t2
+  FROM s1
+)
+SELECT doc_id, n_emails, n_ips,
+       len(regexp_extract_all(t2, '{PHONE_RE}')) AS n_phones,
+       md5(regexp_replace(t2, '{PHONE_RE}', '<PHONE>', 'g')) AS scrubbed_md5
+FROM s2
+""",
+    "ext_decontaminate": f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_BUCKET} < 90 AS is_train, {SQL_TOKENS} AS tk
+  FROM documents
+), sh AS (
+  SELECT doc_id, is_train, unnest({_SQL_SHINGLES}) AS shingle FROM toks
+), train AS (
+  SELECT DISTINCT shingle FROM sh WHERE is_train
+), heldout AS (
+  SELECT doc_id, shingle FROM sh WHERE NOT is_train
+)
+SELECT h.doc_id,
+       COUNT(*) AS n_shingles,
+       COUNT(t.shingle) AS n_shared,
+       COUNT(t.shingle) > 0 AS contaminated
+FROM heldout h LEFT JOIN train t USING (shingle)
+GROUP BY h.doc_id
+""",
+    "ext_repetition_filter": f"""
+WITH toks AS (
+  SELECT doc_id, {SQL_TOKENS} AS tk FROM documents
+), base AS (
+  SELECT doc_id, len(tk) AS n_tokens,
+         len(list_distinct(tk)) AS n_distinct, tk
+  FROM toks
+), bg AS (
+  SELECT doc_id, n_tokens, n_distinct,
+         unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in generate_series(1, greatest(len(tk) - 1, 0))])
+           AS bigram
+  FROM base
+), counts AS (
+  SELECT doc_id, n_tokens, n_distinct, bigram, COUNT(*) AS n
+  FROM bg GROUP BY ALL
+), per_doc AS (
+  SELECT doc_id, n_tokens, n_distinct, MAX(n) AS max_n,
+         SUM(n) AS total_bigrams
+  FROM counts GROUP BY doc_id, n_tokens, n_distinct
+)
+SELECT doc_id,
+       round(n_distinct::DOUBLE / n_tokens, 6) AS distinct_ratio,
+       round(max_n::DOUBLE / total_bigrams, 6) AS top_bigram_frac,
+       round(n_distinct::DOUBLE / n_tokens, 6) >= 0.2 AND
+         round(max_n::DOUBLE / total_bigrams, 6) <= 0.18 AS keep
+FROM per_doc
+""",
+    "ext_domain_mix": f"""
+WITH per_source AS (
+  SELECT source, COUNT(*) AS n_docs, SUM(len({SQL_TOKENS})) AS sum_tokens
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, sum_tokens,
+       round(sum_tokens::DOUBLE / SUM(sum_tokens) OVER (), 6)
+         AS token_share,
+       round(least(round(sum_tokens::DOUBLE / SUM(sum_tokens) OVER (), 6),
+                   0.3)
+             / round(sum_tokens::DOUBLE / SUM(sum_tokens) OVER (), 6), 6)
+         AS sample_weight
+FROM per_source
+""",
+}

@@ -170,16 +170,19 @@ def _referencing(plan: NoSQLPlan, table: TableMeta) -> None:
     plan.collections.append(Collection(table.name, attributes))
 
 
-def convert_schema(catalog: Catalog, name: str = "db") -> NoSQLPlan:
-    """Run the embed-vs-reference rules over the processing queue."""
-    plan = NoSQLPlan(name)
+def classify_tables(catalog: Catalog) -> list[tuple[TableMeta, str]]:
+    """Label every table in processing order with its embed-vs-reference
+    decision (the rule cascade of server/DBMigration.js:335-392). This is
+    the single decision point — `convert_schema` dispatches on these labels,
+    and the `plan_embed_or_reference` registry query exposes them.
+    """
     maf = catalog.maf
-
+    out: list[tuple[TableMeta, str]] = []
     for table in create_table_queue(catalog):
         if table.num_foreign_keys == 0:
-            plan.collections.append(Collection(table.name, list(table.columns)))
+            decision = "root"
         elif is_self_referencing(table):
-            _referencing(plan, table)
+            decision = "reference_self"
         elif table.num_foreign_keys <= 2:
             use_referencing = table.uaf > maf
             if table.is_referenced and not use_referencing:
@@ -189,11 +192,28 @@ def convert_schema(catalog: Catalog, name: str = "db") -> NoSQLPlan:
                     if catalog.get_table(r) is not None
                 )
             if use_referencing:
-                _referencing(plan, table)
+                decision = "reference_workload"
             elif table.num_foreign_keys == 2:
-                _two_way_embed(catalog, plan, table)
+                decision = "embed_two_way"
             else:
-                _one_way_embed(plan, table)
+                decision = "embed_one_way"
+        else:
+            decision = "reference_many_fks"
+        out.append((table, decision))
+    return out
+
+
+def convert_schema(catalog: Catalog, name: str = "db") -> NoSQLPlan:
+    """Run the embed-vs-reference rules over the processing queue."""
+    plan = NoSQLPlan(name)
+
+    for table, decision in classify_tables(catalog):
+        if decision == "root":
+            plan.collections.append(Collection(table.name, list(table.columns)))
+        elif decision == "embed_two_way":
+            _two_way_embed(catalog, plan, table)
+        elif decision == "embed_one_way":
+            _one_way_embed(plan, table)
         else:
             _referencing(plan, table)
 

@@ -245,7 +245,27 @@ def q_ext_stream_stateful(spark, sf_dir):
     )
 
 
+def q_stream_to_json_files(spark, sf_dir):
+    """Checkpointed streaming JSON sink, verified end to end: stream the
+    events table through the file sink, read the files back, hash-compare
+    against the source. Integer/string projection only — the JSON text
+    round-trip is then exact by construction."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_stream_sink_")
+    out = os.path.join(base, "out")
+    ckpt = os.path.join(base, "ckpt")
+    events = read_events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type"
+    )
+    stream_to_json_files(events, out, ckpt)
+    return spark.read.schema(
+        "event_id bigint, user_id bigint, event_type string"
+    ).json(out)
+
+
 QUERIES = {
+    "stream_to_json_files": q_stream_to_json_files,
     "ext_stream_tumbling_agg": q_ext_stream_tumbling_agg,
     "ext_stream_sliding_agg": q_ext_stream_sliding_agg,
     "ext_stream_session_agg": q_ext_stream_session_agg,
@@ -301,5 +321,8 @@ SELECT DISTINCT user_id, event_type FROM events
 SELECT user_id, COUNT(*) AS n_events,
        SUM(CAST(round(value * 1000000) AS BIGINT)) AS sum_value_micros
 FROM events GROUP BY user_id
+""",
+    "stream_to_json_files": """
+SELECT event_id, user_id, event_type FROM events
 """,
 }

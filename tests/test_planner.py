@@ -178,3 +178,16 @@ def test_northwind_hot_orderdetail_flips_chain():
     # (salesorder, product) also flip to referencing.
     assert "salesorder" in roots
     assert "product" in roots
+
+
+def test_plan_golden_fixture_not_stale():
+    """operators/plan_golden.json (the frozen plan_* oracle literals) must
+    match what the live planner produces — regenerate via
+    tests/gen_plan_golden.py after intentional rule changes."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import planops
+    from tests.conftest import SF001
+    from tests.gen_plan_golden import build
+
+    assert planops.GOLDEN, "plan_golden.json missing — run gen_plan_golden.py"
+    live = {k: [tuple(r) for r in v] for k, v in build(SF001).items()}
+    assert live == planops.GOLDEN
