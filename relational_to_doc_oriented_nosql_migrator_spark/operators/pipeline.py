@@ -96,22 +96,28 @@ def q_ext_decontaminate(spark, sf_dir):
         "is_train",
         F.explode(_shingles("tk")).alias("shingle"),
     )
-    train = with_shingles.filter("is_train").select("shingle").distinct()
+    train = (
+        with_shingles.filter("is_train")
+        .select("shingle")
+        .distinct()
+        .withColumn("in_train", F.lit(1))
+    )
     heldout = with_shingles.filter(~F.col("is_train"))
-    joined = heldout.join(train, "shingle", "left_semi")
-    shared = joined.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared")
-    )
-    per_doc = heldout.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shingles")
-    )
+    # One left join + one groupBy: count(in_train) counts only matched
+    # shingles, so the contaminated flag falls out of the same aggregation
+    # — no second scan of the held-out branch, no semi-join + re-join.
     return (
-        per_doc.join(shared, "doc_id", "left")
+        heldout.join(train, "shingle", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("in_train").alias("n_shared"),
+        )
         .select(
             "doc_id",
             "n_shingles",
-            F.coalesce("n_shared", F.lit(0)).alias("n_shared"),
-            (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+            "n_shared",
+            (F.col("n_shared") > 0).alias("contaminated"),
         )
     )
 
@@ -143,13 +149,11 @@ def q_ext_repetition_filter(spark, sf_dir):
     counts = bigrams.groupBy(
         "doc_id", "n_tokens", "n_distinct", "bigram"
     ).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("doc_id")
-    per_doc = (
-        counts.withColumn("max_n", F.max("n").over(w))
-        .withColumn("total_bigrams", F.sum("n").over(w))
-        .select("doc_id", "n_tokens", "n_distinct", "max_n",
-                "total_bigrams")
-        .distinct()
+    # Second groupBy instead of window + distinct: same answer, one fewer
+    # shuffle, and the partial aggregation combines map-side.
+    per_doc = counts.groupBy("doc_id", "n_tokens", "n_distinct").agg(
+        F.max("n").alias("max_n"),
+        F.sum("n").alias("total_bigrams"),
     )
     distinct_ratio = F.round(
         F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
