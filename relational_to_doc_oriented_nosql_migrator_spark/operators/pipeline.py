@@ -197,11 +197,89 @@ def q_ext_domain_mix(spark, sf_dir):
     )
 
 
+def q_ext_sample_stratified(spark, sf_dir):
+    """Stratified downsampling that APPLIES the domain-mix weights: each
+    doc keeps iff its md5 sampling bucket (decorrelated from the split
+    bucket by using hex chars 13-24) falls under source_weight x 1000. The
+    per-source weight frame is tiny and broadcast — the corpus-side scan
+    is one narrow map + broadcast-hash join, no shuffle of the docs."""
+    docs = t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(tokens_col(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("sum_tokens"))
+    )
+    total = F.sum("sum_tokens").over(Window.partitionBy())
+    share = F.round(F.col("sum_tokens").cast("double") / total, 6)
+    weights = per_source.select(
+        "source",
+        F.round(F.least(share, F.lit(0.3)) / share, 6).alias("w"),
+    )
+    samp_bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 13, 12), 16, 10)"
+        " AS BIGINT) % 1000"
+    )
+    return (
+        docs.select("doc_id", "source", samp_bucket.alias("samp_bucket"))
+        .join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "source",
+            "samp_bucket",
+            (
+                F.col("samp_bucket")
+                < F.floor(F.col("w") * 1000).cast("bigint")
+            ).alias("keep"),
+        )
+    )
+
+
+# Sequence packing: fixed training-context length, and the bucket count
+# that bounds each packer's state. Packing is greedy WITHIN a bucket (docs
+# orderd by md5 for determinism), buckets pack independently — at 100 TB
+# raise PACK_BUCKETS so each bucket's window stays executor-sized; the
+# assignment stays deterministic at any bucket count.
+PACK_SEQ_LEN = 4096
+PACK_BUCKETS = 64
+
+
+def q_ext_pack_sequences(spark, sf_dir):
+    """Deterministic context-window packing: docs are bucketed by id hash,
+    md5-ordered within each bucket, and laid head-to-tail; a doc's sequence
+    id and offset fall out of the running token cumsum. One shuffle
+    (partitionBy bucket), embarrassingly parallel across buckets."""
+    docs = t(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16,"
+            f" 10) AS BIGINT) % {PACK_BUCKETS}"
+        ).alias("pack_bucket"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start")
+    return base.select("doc_id", "pack_bucket", "n_tokens", start).select(
+        "doc_id",
+        "pack_bucket",
+        "n_tokens",
+        F.expr(f"start div {PACK_SEQ_LEN}").alias("seq_id"),
+        (F.col("start") % PACK_SEQ_LEN).alias("seq_offset"),
+    )
+
+
 QUERIES = {
     "ext_text_pii_scrub": q_ext_text_pii_scrub,
     "ext_decontaminate": q_ext_decontaminate,
     "ext_repetition_filter": q_ext_repetition_filter,
     "ext_domain_mix": q_ext_domain_mix,
+    "ext_sample_stratified": q_ext_sample_stratified,
+    "ext_pack_sequences": q_ext_pack_sequences,
 }
 
 _SQL_SHINGLES = (
@@ -290,5 +368,42 @@ SELECT source, n_docs, sum_tokens,
              / round(sum_tokens::DOUBLE / SUM(sum_tokens) OVER (), 6), 6)
          AS sample_weight
 FROM per_source
+""",
+    "ext_sample_stratified": f"""
+WITH per_source AS (
+  SELECT source, SUM(len({SQL_TOKENS})) AS sum_tokens
+  FROM documents GROUP BY source
+), weights AS (
+  SELECT source,
+         round(least(round(sum_tokens::DOUBLE / SUM(sum_tokens) OVER (), 6),
+                     0.3)
+               / round(sum_tokens::DOUBLE / SUM(sum_tokens) OVER (), 6), 6)
+           AS w
+  FROM per_source
+)
+SELECT doc_id, source,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12))::BIGINT % 1000
+         AS samp_bucket,
+       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 13, 12))::BIGINT % 1000
+         < CAST(floor(w * 1000) AS BIGINT) AS keep
+FROM documents JOIN weights USING (source)
+""",
+    "ext_pack_sequences": f"""
+WITH base AS (
+  SELECT doc_id, len({SQL_TOKENS}) AS n_tokens,
+         md5(CAST(doc_id AS VARCHAR)) AS ord,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % {PACK_BUCKETS} AS pack_bucket
+  FROM documents
+), c AS (
+  SELECT doc_id, pack_bucket, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY ord
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start
+  FROM base
+)
+SELECT doc_id, pack_bucket, n_tokens,
+       start // {PACK_SEQ_LEN} AS seq_id,
+       start % {PACK_SEQ_LEN} AS seq_offset
+FROM c
 """,
 }
