@@ -171,10 +171,30 @@ def q_ext_dedup_minhash(spark, sf_dir):
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
+    # Exact-Jaccard verify with ONE corpus shingle pass: explode each pair
+    # into its two member ids, join the shingle relation once, regroup per
+    # pair. (Joining an sh_a and an sh_b relation would re-run the whole
+    # shingle computation per side — 2x the dominant scan cost.) Shuffle
+    # volume beyond the one scan is only the candidate docs' shingles.
+    sides = cand.select(
+        "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    )
     sh = _shingle_df(spark, sf_dir)
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    return _pair_jaccard(cand.join(sa, "doc_a").join(sb, "doc_b"))
+    per_pair = (
+        sides.join(sh, "doc_id")
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
+    )
+    return _pair_jaccard(per_pair)
 
 
 # simhash: 48-bit fingerprint; bit i set iff more shingles have bit i set
@@ -206,9 +226,12 @@ SIMHASH_CHUNKS = 4    # 48 bits -> 4 chunks of 12; pigeonhole: any pair
 
 def q_ext_dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs (Manku-style): band the 48-bit fingerprint
-    into SIMHASH_CHUNKS chunks, bucket-join on (chunk index, chunk value)
-    — pigeonhole-complete for hamming <= HAMMING_MAX — then exact
-    bit_count(xor) verify. Quadratic work confined to chunk buckets."""
+    into SIMHASH_CHUNKS chunks, bucket on (chunk index, chunk value) —
+    pigeonhole-complete for hamming <= HAMMING_MAX — then exact
+    bit_count(xor) verify. One groupBy pass: the fingerprint rides along
+    into the bucket (it is one BIGINT), so the verify needs no re-join and
+    the signature pipeline runs exactly once. Quadratic work confined to
+    chunk buckets."""
     sim = q_ext_dedup_simhash(spark, sf_dir)
     chunks = sim.select(
         "doc_id",
@@ -220,15 +243,22 @@ def q_ext_dedup_simhash_pairs(spark, sf_dir):
             )
         ).alias("chunk_key"),
     )
-    a = chunks.select(F.col("doc_id").alias("doc_a"),
-                      F.col("simhash").alias("sim_a"), "chunk_key")
-    b = chunks.select(F.col("doc_id").alias("doc_b"),
-                      F.col("simhash").alias("sim_b"), "chunk_key")
-    ham = F.expr("bit_count(sim_a ^ sim_b)")
+    pairs_expr = (
+        "flatten(transform(members, (x, i) -> transform(slice(members,"
+        " i + 2, size(members)), y -> struct(x.doc_id AS doc_a,"
+        " y.doc_id AS doc_b,"
+        " bit_count(x.simhash ^ y.simhash) AS hamming))))"
+    )
     return (
-        a.join(b, "chunk_key")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", ham.alias("hamming"))
+        chunks.groupBy("chunk_key")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("doc_id", "simhash"))
+            ).alias("members")
+        )
+        .filter(F.size("members") > 1)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
