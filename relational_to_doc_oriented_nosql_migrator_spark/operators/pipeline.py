@@ -22,6 +22,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -273,7 +275,33 @@ def q_ext_pack_sequences(spark, sf_dir):
     )
 
 
+def q_sink_parquet_partitioned(spark, sf_dir):
+    """Hive-partitioned parquet sink, verified round trip: write documents
+    partitioned by their deterministic split assignment, read the layout
+    back, return (doc_id, split). Downstream readers filtering one split
+    prune to that directory (partition pruning — the layout that makes a
+    100 TB corpus scannable per-split; tests assert the pruning)."""
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="sg_part_sink_"), "docs")
+    docs.select("doc_id", split.alias("split")).write.partitionBy(
+        "split"
+    ).mode("overwrite").parquet(out)
+    return spark.read.parquet(out).select("doc_id", "split")
+
+
 QUERIES = {
+    "sink_parquet_partitioned": q_sink_parquet_partitioned,
     "ext_text_pii_scrub": q_ext_text_pii_scrub,
     "ext_decontaminate": q_ext_decontaminate,
     "ext_repetition_filter": q_ext_repetition_filter,
@@ -292,6 +320,15 @@ _SQL_BUCKET = (
 )
 
 ORACLES = {
+    "sink_parquet_partitioned": """
+SELECT doc_id,
+       CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 100 < 90 THEN 'train'
+            WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+                 % 100 < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""",
     "ext_text_pii_scrub": f"""
 WITH s1 AS (
   SELECT doc_id,

@@ -46,3 +46,28 @@ def test_single_file_parity_mode_and_zip(spark, tmp_path):
         names = zf.namelist()
     assert "full.json" in names
     assert "collections.zip" not in names
+
+
+def test_partitioned_parquet_sink_prunes_splits(spark):
+    """The hive-partitioned corpus layout must actually prune: a reader
+    filtering one split may only touch that split's directory."""
+    from pyspark.sql import functions as F
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.pipeline import (
+        q_sink_parquet_partitioned,
+    )
+    from tests.conftest import SF001
+
+    back = q_sink_parquet_partitioned(spark, SF001)
+    assert back.count() > 0
+    # Recover the written location from the returned frame's files.
+    sample = back.select(F.input_file_name().alias("f")).first()["f"]
+    base = sample.split("/split=")[0]
+    pruned = spark.read.parquet(base).filter("split = 'val'")
+    files = {
+        r["f"]
+        for r in pruned.select(F.input_file_name().alias("f"))
+        .distinct()
+        .collect()
+    }
+    assert files and all("split=val" in f for f in files)
