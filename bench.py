@@ -78,6 +78,9 @@ def main() -> None:
         "decontaminate": lambda: force(
             pipeline.q_ext_decontaminate(spark, SF_DIR)
         ),
+        "curation_pipeline": lambda: force(
+            pipeline.q_ext_curation_pipeline(spark, SF_DIR)
+        ),
         "similarity_ivf": lambda: force(
             similarity.q_ext_similarity_ivf(spark, SF_DIR)
         ),

@@ -300,8 +300,110 @@ def q_sink_parquet_partitioned(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "split")
 
 
+def q_ext_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation pipeline as ONE composed plan: a doc
+    survives iff it passes the quality filter, the repetition filter,
+    is its exact-dup group's representative, is not the greater side of
+    any verified MinHash near-dup pair (one-pass keep-first policy; the
+    fully-transitive variant is ext_dedup_components), is not a
+    contaminated held-out doc, and survives stratified sampling.
+    Surviving train docs then get their packed-sequence assignment.
+
+    Every stage reuses the registered single-op builder, so this is the
+    integration query proving the ops compose; each input frame is narrow
+    (doc_id + booleans) and joins on doc_id."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        dedup as dedup_ops,
+        text as text_ops,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    qual = text_ops.q_ext_text_quality(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_quality")
+    )
+    rept = q_ext_repetition_filter(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    ck = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+    exact = docs.select("doc_id", ck.alias("ck"))
+    winners = exact.groupBy("ck").agg(F.min("doc_id").alias("rep"))
+    keepex = exact.join(winners, "ck").select(
+        "doc_id", (F.col("doc_id") == F.col("rep")).alias("keep_exact")
+    )
+    near_losers = (
+        dedup_ops.q_ext_dedup_minhash(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_loser", F.lit(True))
+    )
+    decon = q_ext_decontaminate(spark, sf_dir).select(
+        "doc_id", "contaminated"
+    )
+    samp = q_ext_sample_stratified(spark, sf_dir).select(
+        "doc_id", F.col("keep").alias("keep_sample")
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    base = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+    )
+    keep = (
+        F.col("keep_quality")
+        & F.coalesce("keep_repetition", F.lit(True))
+        & F.col("keep_exact")
+        & ~F.coalesce("near_loser", F.lit(False))
+        & ~F.coalesce("contaminated", F.lit(False))
+        & F.col("keep_sample")
+    )
+    joined = (
+        base.join(qual, "doc_id")
+        .join(rept, "doc_id", "left")
+        .join(keepex, "doc_id")
+        .join(near_losers, "doc_id", "left")
+        .join(decon, "doc_id", "left")
+        .join(samp, "doc_id")
+        .select("doc_id", "split", "n_tokens", keep.alias("keep"))
+    )
+    train = joined.filter(F.col("keep") & (F.col("split") == "train")).select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16,"
+            f" 10) AS BIGINT) % {PACK_BUCKETS}"
+        ).alias("pack_bucket"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = train.select(
+        "doc_id",
+        "pack_bucket",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    ).select(
+        "doc_id",
+        "pack_bucket",
+        F.expr(f"start div {PACK_SEQ_LEN}").alias("seq_id"),
+    )
+    return joined.join(packed, "doc_id", "left").select(
+        "doc_id", "split", "keep", "pack_bucket", "seq_id"
+    )
+
+
 QUERIES = {
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
+    "ext_curation_pipeline": q_ext_curation_pipeline,
     "ext_text_pii_scrub": q_ext_text_pii_scrub,
     "ext_decontaminate": q_ext_decontaminate,
     "ext_repetition_filter": q_ext_repetition_filter,
@@ -444,3 +546,75 @@ SELECT doc_id, pack_bucket, n_tokens,
 FROM c
 """,
 }
+
+
+def _curation_oracle() -> str:
+    """Compose the single-op oracles as subqueries — the composite is
+    checked against the same SQL the stages are checked against."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        dedup as dedup_ops,
+        text as text_ops,
+    )
+
+    return f"""
+WITH qual AS (
+  SELECT doc_id, keep AS keep_quality
+  FROM ({text_ops.ORACLES["ext_text_quality"]})
+), rept AS (
+  SELECT doc_id, keep AS keep_repetition
+  FROM ({ORACLES["ext_repetition_filter"]})
+), exact AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS ck
+  FROM documents
+), winners AS (
+  SELECT ck, MIN(doc_id) AS rep FROM exact GROUP BY ck
+), keepex AS (
+  SELECT doc_id, doc_id = rep AS keep_exact
+  FROM exact JOIN winners USING (ck)
+), nearl AS (
+  SELECT DISTINCT doc_b AS doc_id, TRUE AS near_loser
+  FROM ({dedup_ops.ORACLES["ext_dedup_minhash"]})
+), decon AS (
+  SELECT doc_id, contaminated FROM ({ORACLES["ext_decontaminate"]})
+), samp AS (
+  SELECT doc_id, keep AS keep_sample
+  FROM ({ORACLES["ext_sample_stratified"]})
+), base AS (
+  SELECT doc_id,
+         CASE WHEN {_SQL_BUCKET} < 90 THEN 'train'
+              WHEN {_SQL_BUCKET} < 95 THEN 'val'
+              ELSE 'test' END AS split,
+         len({SQL_TOKENS}) AS n_tokens
+  FROM documents
+), j AS (
+  SELECT doc_id, b.split, b.n_tokens,
+         q.keep_quality AND coalesce(r.keep_repetition, TRUE)
+           AND k.keep_exact AND NOT coalesce(n.near_loser, FALSE)
+           AND NOT coalesce(d.contaminated, FALSE)
+           AND s.keep_sample AS keep
+  FROM base b
+  JOIN qual q USING (doc_id)
+  LEFT JOIN rept r USING (doc_id)
+  JOIN keepex k USING (doc_id)
+  LEFT JOIN nearl n USING (doc_id)
+  LEFT JOIN decon d USING (doc_id)
+  JOIN samp s USING (doc_id)
+), train AS (
+  SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS ord,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+           % {PACK_BUCKETS} AS pack_bucket
+  FROM j WHERE keep AND split = 'train'
+), packed AS (
+  SELECT doc_id, pack_bucket,
+         (SUM(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY ord
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+           // {PACK_SEQ_LEN} AS seq_id
+  FROM train
+)
+SELECT doc_id, j.split, j.keep, p.pack_bucket, p.seq_id
+FROM j LEFT JOIN packed p USING (doc_id)
+"""
+
+
+ORACLES["ext_curation_pipeline"] = _curation_oracle()
