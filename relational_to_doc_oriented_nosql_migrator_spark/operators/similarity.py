@@ -130,8 +130,10 @@ def q_ext_similarity_lsh(spark, sf_dir):
     )
 
 
-N_CENTROIDS = 16    # IVF coarse quantizer size (sampled, not iterated)
-N_PROBE = 4         # clusters probed per query (25% of lists scanned)
+N_CENTROIDS = 64    # IVF coarse quantizer size (sampled, not iterated)
+N_PROBE = 8         # clusters probed per query (12.5% of lists scanned;
+                    # measured recall@3 0.53 on the isotropic testdata vs
+                    # 0.50 for 16/4 at twice the probe fraction)
 IVF_TOP_K = 3
 
 

@@ -2,7 +2,7 @@
 
 The testdata embeddings are isotropic (no cluster structure), which is the
 worst case for ANN — true neighbors sit near cosine 0.4. Bounds are set
-below the measured values (LSH ~0.73, IVF ~0.50 at sf0.01) to allow noise
+below the measured values (LSH ~0.73, IVF ~0.53 at sf0.01 (12.5% probe fraction)) to allow noise
 while still catching parameterization regressions like the single-table
 sign hash whose recall was 0.03."""
 
@@ -30,4 +30,4 @@ def test_ann_recall_bounds(spark):
     lsh = _recall(truth, _topk_sets(S.q_ext_similarity_lsh(spark, SF001)))
     ivf = _recall(truth, _topk_sets(S.q_ext_similarity_ivf(spark, SF001)))
     assert lsh >= 0.6, f"LSH recall@3 degraded: {lsh:.3f}"
-    assert ivf >= 0.35, f"IVF recall@3 degraded: {ivf:.3f}"
+    assert ivf >= 0.4, f"IVF recall@3 degraded: {ivf:.3f}"
