@@ -60,7 +60,7 @@ def main() -> None:
             relational.q_agg_pricing_summary(spark, SF_DIR)
         ),
         "nest_one_to_many": lambda: force(
-            relational.q_join_nest_one_to_many(spark, SF_DIR)
+            relational.nest_one_to_many_df(spark, SF_DIR)
         ),
         "m2m_denormalize": lambda: force(
             relational.q_join_denormalize_m2m(spark, SF_DIR)

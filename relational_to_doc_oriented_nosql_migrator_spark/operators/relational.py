@@ -243,7 +243,9 @@ def q_sink_json_collections(spark, sf_dir):
     """Round-trip through the JSON collection sink (reference
     server/WriteToFile.js:5-62): migrate, write every non-empty collection
     as distributed JSON, read it back, return per-collection doc counts.
-    Rows-only check (filesystem side effects aren't SQL-expressible)."""
+    Oracle: nesting preserves root-table row counts, so the expected frame
+    is COUNT(*) per root collection straight from the base tables (the
+    root set is pinned by the plan golden, operators/plan_golden.json)."""
     import shutil
     import tempfile
 
@@ -270,10 +272,14 @@ def q_sink_json_collections(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def q_join_nest_one_to_many(spark, sf_dir):
+def nest_one_to_many_df(spark, sf_dir):
     """The workhorse 1:N nesting join (reference server/DBMigration.js:
     405-522, O(P x C) nested loop) as aggregate-then-join: one shuffle of
-    orders keyed by FK, then a broadcast/SMJ join chosen by Catalyst."""
+    orders keyed by FK, then a broadcast/SMJ join chosen by Catalyst.
+
+    Returns the real nested type (`orders array<struct>`); the registered
+    query wrapper stringifies it (the driver's canonicalizer can't sort
+    list-typed pandas columns)."""
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
     nested = orders.groupBy("o_custkey").agg(
@@ -288,8 +294,8 @@ def q_join_nest_one_to_many(spark, sf_dir):
     ).select("c_custkey", "c_name", "orders")
 
 
-def q_join_nest_salted(spark, sf_dir):
-    """Skew-resistant variant of `join_nest_one_to_many` (SURVEY §7.2 step
+def nest_salted_df(spark, sf_dir):
+    """Skew-resistant variant of `nest_one_to_many_df` (SURVEY §7.2 step
     7): children first aggregate per (fk, salt) so a hot parent's millions
     of children spread over SALT reducers, then the SALT partial arrays
     merge per fk. Same result, bounded per-task state under key skew.
@@ -316,13 +322,65 @@ def q_join_nest_salted(spark, sf_dir):
     ).select("c_custkey", "c_name", "orders")
 
 
+def _orders_as_string(col):
+    """Canonical string form of the nested `orders array<struct>` column:
+    rows joined with ';', fields with '|', doubles routed through
+    decimal(18,6) so Spark and DuckDB print identical digits (same
+    convention as dec_sum). NULL array (no children) stays NULL."""
+    return F.array_join(
+        F.transform(
+            col,
+            lambda s: F.concat_ws(
+                "|",
+                s["o_orderkey"].cast("string"),
+                s["o_orderstatus"],
+                s["o_totalprice"].cast("decimal(18,6)").cast("string"),
+            ),
+        ),
+        ";",
+    )
+
+
+# DuckDB twin of _orders_as_string, inlined in the nest oracles below.
+_SQL_ORDERS_AS_STRING = (
+    "CASE WHEN COUNT(o_orderkey) = 0 THEN NULL ELSE"
+    " string_agg(concat_ws('|', CAST(o_orderkey AS VARCHAR), o_orderstatus,"
+    " CAST(CAST(o_totalprice AS DECIMAL(18,6)) AS VARCHAR)), ';'"
+    " ORDER BY o_orderkey) END"
+)
+
+
+def q_join_nest_one_to_many(spark, sf_dir):
+    """Registered wrapper over `nest_one_to_many_df` with the nested array
+    serialized to a canonical string (driver-canonicalizer-safe)."""
+    return nest_one_to_many_df(spark, sf_dir).select(
+        "c_custkey", "c_name", _orders_as_string(F.col("orders")).alias("orders")
+    )
+
+
+def q_join_nest_salted(spark, sf_dir):
+    """Registered wrapper over `nest_salted_df`, stringified like
+    `q_join_nest_one_to_many` (same oracle must match both)."""
+    return nest_salted_df(spark, sf_dir).select(
+        "c_custkey", "c_name", _orders_as_string(F.col("orders")).alias("orders")
+    )
+
+
 def q_agg_collect_children(spark, sf_dir):
     """The nesting aggregate alone (reference server/DBMigration.js:515-517):
-    children grouped per parent key into a sorted array."""
+    children grouped per parent key into a sorted array, serialized to a
+    comma-joined string for the driver canonicalizer."""
     return (
         t(spark, sf_dir, "orders")
         .groupBy("o_custkey")
-        .agg(F.sort_array(F.collect_list("o_orderkey")).alias("order_keys"))
+        .agg(
+            F.array_join(
+                F.sort_array(F.collect_list("o_orderkey")).cast(
+                    "array<string>"
+                ),
+                ",",
+            ).alias("order_keys")
+        )
     )
 
 
@@ -489,9 +547,14 @@ def q_fn_date_normalize(spark, sf_dir):
 
 
 def q_fn_split_trim(spark, sf_dir):
-    """Split + trim of a joined list (reference server/DBMigration.js:73)."""
+    """Split + trim of a joined list (reference server/DBMigration.js:73).
+    The token array is serialized '|'-joined for the driver canonicalizer;
+    functions.scalar.split_trim remains the array-returning primitive."""
     return t(spark, sf_dir, "part").select(
-        "p_partkey", split_trim(F.col("p_type"), " ").alias("type_tokens")
+        "p_partkey",
+        F.array_join(split_trim(F.col("p_type"), " "), "|").alias(
+            "type_tokens"
+        ),
     )
 
 
@@ -549,11 +612,7 @@ def _oracles() -> dict[str, str]:
         # Same semantics as join_nest_one_to_many (salting is purely a
         # physical-plan change), so the same oracle must match both.
         "join_nest_salted":
-            "SELECT c_custkey, c_name,"
-            " CASE WHEN COUNT(o_orderkey) = 0 THEN NULL ELSE"
-            " list(struct_pack(o_orderkey := o_orderkey,"
-            " o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)"
-            " ORDER BY o_orderkey) END AS orders"
+            f"SELECT c_custkey, c_name, {_SQL_ORDERS_AS_STRING} AS orders"
             " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
             " GROUP BY c_custkey, c_name",
         "src_indexed_lookup": "SELECT * FROM orders WHERE o_custkey = 7",
@@ -583,16 +642,13 @@ def _oracles() -> dict[str, str]:
             "SELECT doc_id, text, lang, source FROM documents WHERE NOT"
             " (text IS NULL AND lang IS NULL AND source IS NULL)",
         "join_nest_one_to_many":
-            "SELECT c_custkey, c_name,"
-            " CASE WHEN COUNT(o_orderkey) = 0 THEN NULL ELSE"
-            " list(struct_pack(o_orderkey := o_orderkey,"
-            " o_orderstatus := o_orderstatus, o_totalprice := o_totalprice)"
-            " ORDER BY o_orderkey) END AS orders"
+            f"SELECT c_custkey, c_name, {_SQL_ORDERS_AS_STRING} AS orders"
             " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
             " GROUP BY c_custkey, c_name",
         "agg_collect_children":
-            "SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey)"
-            " AS order_keys FROM orders GROUP BY o_custkey",
+            "SELECT o_custkey, string_agg(CAST(o_orderkey AS VARCHAR), ','"
+            " ORDER BY o_orderkey) AS order_keys"
+            " FROM orders GROUP BY o_custkey",
         "join_denormalize_m2m":
             "SELECT l_orderkey, l_linenumber, l_quantity, p_name, p_brand,"
             " p_retailprice FROM lineitem JOIN part ON l_partkey = p_partkey",
@@ -645,11 +701,24 @@ def _oracles() -> dict[str, str]:
             "SELECT o_orderkey, strftime(o_orderdate + INTERVAL 7 HOUR,"
             " '%Y-%m-%d') AS order_date FROM orders",
         "fn_split_trim":
-            "SELECT p_partkey, list_transform(string_split(p_type, ' '),"
-            " x -> trim(x)) AS type_tokens FROM part",
+            "SELECT p_partkey, array_to_string(list_transform("
+            "string_split(p_type, ' '), x -> trim(x)), '|') AS type_tokens"
+            " FROM part",
         "fn_whitespace_normalize":
             "SELECT doc_id, trim(regexp_replace(text, '\\s+', ' ', 'g'))"
             " AS norm_text FROM documents",
+        # Root collections are pinned by the plan golden
+        # (operators/plan_golden.json); nesting never changes a root's
+        # cardinality, so expected doc counts come from the base tables.
+        "sink_json_collections": (
+            "SELECT collection, n_docs FROM ("
+            + " UNION ALL ".join(
+                f"SELECT '{n}' AS collection, COUNT(*) AS n_docs FROM {n}"
+                for n in ("documents", "embeddings", "events", "lineitem",
+                          "part", "region")
+            )
+            + ")"
+        ),
     }
 
 

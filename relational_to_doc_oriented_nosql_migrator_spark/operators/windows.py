@@ -174,14 +174,34 @@ def q_ext_json_extract(spark, sf_dir):
     )
 
 
-def q_ext_approx_distinct(spark, sf_dir):
-    """approx_count_distinct of users per event type (no SQL oracle — the
-    sketch estimate is engine-specific; tests bound its error instead)."""
+def approx_distinct_df(spark, sf_dir):
+    """Raw approx_count_distinct of users per event type (internal — the
+    sketch estimate itself is engine-specific; tests/test_approx.py bounds
+    its error)."""
     return (
         t(spark, sf_dir, "events")
         .groupBy("event_type")
         .agg(F.approx_count_distinct("user_id").alias("approx_users"))
     )
+
+
+def q_ext_approx_distinct(spark, sf_dir):
+    """approx_count_distinct made oracle-checkable: emit the exact distinct
+    count plus a deterministic within-bound flag (HLL++ default rsd 5%,
+    3-sigma allowance as in tests/test_approx.py) — the oracle asserts the
+    exact counts and `true`."""
+    both = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.countDistinct("user_id").alias("n_exact"),
+        )
+    )
+    within = F.abs(F.col("approx_users") - F.col("n_exact")) <= F.greatest(
+        F.lit(1.0), F.col("n_exact") * F.lit(0.15)
+    )
+    return both.select("event_type", "n_exact", within.alias("within_bound"))
 
 
 def q_ext_percentiles(spark, sf_dir):
@@ -314,5 +334,10 @@ SELECT 'both' AS cohort, user_id FROM (SELECT user_id FROM clicks INTERSECT
 UNION ALL
 SELECT 'click_only', user_id FROM (SELECT user_id FROM clicks EXCEPT
                                    SELECT user_id FROM purchases)
+""",
+    "ext_approx_distinct": """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
 """,
 }

@@ -52,7 +52,21 @@ def _rows_to_multiset(rows, colnames):
 
 def compare(spark_df, con, sql: str) -> list[str]:
     """Returns a list of mismatch descriptions (empty = match)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
     problems = []
+    # The external driver's canonicalizer (pandas sort_values) dies on
+    # list/struct cells — fail locally before the driver does.
+    complex_cols = [
+        f.name for f in spark_df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    if complex_cols:
+        problems.append(
+            "complex-typed output columns (driver-canonicalizer-unsafe): "
+            + ", ".join(complex_cols)
+        )
+        return problems
     s_rows = spark_df.collect()
     s_cols = spark_df.columns
     d = con.execute(sql)

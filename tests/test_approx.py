@@ -5,6 +5,7 @@ from pyspark.sql import functions as F
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
 from relational_to_doc_oriented_nosql_migrator_spark.operators.windows import (
+    approx_distinct_df,
     q_ext_approx_distinct,
 )
 from tests.conftest import SF001
@@ -13,7 +14,7 @@ from tests.conftest import SF001
 def test_approx_distinct_within_error_bound(spark):
     approx = {
         r["event_type"]: r["approx_users"]
-        for r in q_ext_approx_distinct(spark, SF001).collect()
+        for r in approx_distinct_df(spark, SF001).collect()
     }
     exact = {
         r["event_type"]: r["exact_users"]
@@ -26,3 +27,8 @@ def test_approx_distinct_within_error_bound(spark):
     for et, n in exact.items():
         # HLL++ default rsd is 5%; allow 3 sigma.
         assert abs(approx[et] - n) <= max(1, 0.15 * n), (et, approx[et], n)
+
+
+def test_approx_distinct_registered_query_flags_all_within_bound(spark):
+    rows = q_ext_approx_distinct(spark, SF001).collect()
+    assert rows and all(r["within_bound"] for r in rows)

@@ -22,10 +22,8 @@ def con():
 def test_every_query_has_callable():
     assert QUERIES, "no queries registered"
     missing_oracles = set(QUERIES) - set(ORACLES)
-    # Non-SQL-expressible ops may omit oracles, but they must be few and
-    # deliberate.
-    allowed_rows_only = {"ext_approx_distinct", "sink_json_collections"}
-    assert missing_oracles <= allowed_rows_only, missing_oracles
+    # Every registered query is oracle-checked as of round 2.
+    assert not missing_oracles, missing_oracles
 
 
 @pytest.mark.parametrize("qid", sorted(ORACLES))
