@@ -112,17 +112,34 @@ def main() -> None:
         fn()
         timings[name] = round(time.time() - t0, 3)
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_of(SF_DIR),
+    out = {
+        "metric": "headline_suite_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": _sf_of(SF_DIR),
+    }
+
+    # Self-reporting regression check against the checked-in round-1
+    # baseline (same headline set, same sf): per-query delta in seconds,
+    # negative = faster than r1. Folded into the same single JSON line.
+    base_path = os.path.join(os.path.dirname(__file__),
+                             "BENCH_BASELINE_r01.json")
+    try:
+        with open(base_path) as f:
+            base = json.load(f)
+        if base.get("sf") == out["sf"]:
+            out["delta_vs_r01"] = {
+                q: round(timings[q] - base["queries"][q], 3)
+                for q in timings if q in base.get("queries", {})
             }
-        )
-    )
+            out["delta_total_vs_r01"] = round(
+                out["value"] - base["value"], 3
+            )
+    except (OSError, ValueError):
+        pass
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -63,11 +63,17 @@ SQL_SHINGLES = (
 SQL_TK = f"SELECT doc_id, {SQL_TOKENS} AS tk FROM documents"
 
 
+def shingles_from(docs_tk):
+    """(doc_id, sh) word-5-gram shingle frame from a pre-tokenized
+    (doc_id, ..., tk) frame — lets pipelines tokenize once."""
+    return docs_tk.select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+
+
 def _shingle_df(spark, sf_dir):
     docs = t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", tokens_col(F.col("text")).alias("tk")
-    ).select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
+    return shingles_from(
+        docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
+    )
 
 
 def _spread(spark, df):
@@ -95,6 +101,23 @@ def q_ext_dedup_exact(spark, sf_dir):
     )
 
 
+# Input-size ceiling for the brute-force all-pairs baselines: above this
+# the O(n^2) self-join is a scale-killer by construction — refuse loudly
+# instead of silently running as the scale path.
+ALL_PAIRS_CEILING = 100_000
+
+
+def _guard_all_pairs(df, op: str, alternative: str):
+    n = df.count()
+    if n > ALL_PAIRS_CEILING:
+        raise ValueError(
+            f"{op} is an O(n^2) small-corpus baseline and refuses inputs"
+            f" over {ALL_PAIRS_CEILING} rows (got {n}); use {alternative}"
+            " for corpora at scale"
+        )
+    return df
+
+
 def _pair_jaccard(pairs):
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -106,8 +129,12 @@ def _pair_jaccard(pairs):
 
 def q_ext_dedup_ngram_jaccard(spark, sf_dir):
     """Brute-force shingle-set Jaccard pairs >= threshold (the exactness
-    baseline the LSH path is verified against)."""
-    sh = _shingle_df(spark, sf_dir)
+    baseline the LSH path is verified against). Guarded: refuses corpora
+    over ALL_PAIRS_CEILING rows — ext_dedup_minhash is the scale path."""
+    sh = _guard_all_pairs(
+        _shingle_df(spark, sf_dir),
+        "ext_dedup_ngram_jaccard", "ext_dedup_minhash",
+    )
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     return _pair_jaccard(a.join(b, F.col("doc_a") < F.col("doc_b")))
@@ -118,6 +145,14 @@ def q_ext_dedup_ngram_jaccard(spark, sf_dir):
 _HS_EXPR = (
     "transform(sh, s -> CAST(conv(substring(md5(s), 1, 12), 16, 10)"
     f" AS BIGINT) % {MERSENNE_P})"
+)
+# Raw 48-bit shingle hashes (no mod): md5 computed ONCE per shingle, then
+# reused both for the perm signatures (mod P) and the exact-Jaccard verify
+# (set intersection over ints == over strings, md5 being collision-free at
+# corpus scale — and both engines hash identically regardless).
+_HS48_EXPR = (
+    "transform(sh, s -> CAST(conv(substring(md5(s), 1, 12), 16, 10)"
+    " AS BIGINT))"
 )
 _A_ARR = "array(" + ", ".join(f"{a}L" for a in PERM_A) + ")"
 _B_ARR = "array(" + ", ".join(f"{b}L" for b in PERM_B) + ")"
@@ -133,9 +168,12 @@ _BANDS_EXPR = (
 )
 
 
-def minhash_bands_df(spark, sf_dir):
-    """(doc_id, band_key) — one row per band; the LSH blocking relation."""
-    sh = _spread(spark, _shingle_df(spark, sf_dir))
+def minhash_bands_from(spark, sh, spread=True):
+    """(doc_id, band_key) from a (doc_id, sh) shingle frame — one row per
+    band; the LSH blocking relation. Pass spread=False when the input is
+    already repartitioned/cached at full parallelism."""
+    if spread:
+        sh = _spread(spark, sh)
     sigs = sh.withColumn("hs", F.expr(_HS_EXPR)).withColumn(
         "sigs", F.expr(_SIGS_EXPR)
     )
@@ -144,15 +182,35 @@ def minhash_bands_df(spark, sf_dir):
     )
 
 
-def q_ext_dedup_minhash(spark, sf_dir):
-    """MinHash-LSH dedup: shingles -> signatures -> band buckets ->
-    candidate pairs via a band-key join (a shuffle, not a cross join) ->
-    exact-Jaccard verify.
+def minhash_bands_df(spark, sf_dir):
+    """(doc_id, band_key) — one row per band; the LSH blocking relation."""
+    return minhash_bands_from(spark, _shingle_df(spark, sf_dir))
 
-    At scale the candidate join shuffles only O(docs x bands) small rows;
-    the quadratic work is confined to same-bucket collisions.
-    """
-    bands = minhash_bands_df(spark, sf_dir)
+
+def minhash_pairs_from(spark, sh):
+    """MinHash-LSH verified near-dup pairs from a (doc_id, sh) shingle
+    frame.
+
+    The persisted intermediate is (doc_id, hs) — 48-bit md5 ints, one md5
+    per shingle for the whole pipeline: the banding pass derives mod-P
+    values for the permutations, the verify pass set-intersects the same
+    ints (identical Jaccard to string intersection; the string-side oracle
+    still matches value-for-value). Int arrays also cache/shuffle far
+    narrower than shingle strings.
+    CRITICAL ordering: repartition BEFORE persist — a cache materializes in
+    its input's partition layout, and a few-file corpus would otherwise pin
+    the whole hash computation (and every cache reader) to 1-2 cores."""
+    from pyspark.storagelevel import StorageLevel
+
+    hashed = _spread(
+        spark, sh.select("doc_id", F.expr(_HS48_EXPR).alias("hs48"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = hashed.withColumn(
+        "hs", F.expr(f"transform(hs48, h -> h % {MERSENNE_P})")
+    ).withColumn("sigs", F.expr(_SIGS_EXPR))
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(_BANDS_EXPR)).alias("band_key")
+    )
     # Bucket per band key, then expand ordered pairs inside each bucket:
     # one aggregation pass computes the signatures exactly once (a
     # bands-self-join would re-run the whole signature pipeline per side).
@@ -171,30 +229,40 @@ def q_ext_dedup_minhash(spark, sf_dir):
         .select("p.doc_a", "p.doc_b")
         .distinct()
     )
-    # Exact-Jaccard verify with ONE corpus shingle pass: explode each pair
-    # into its two member ids, join the shingle relation once, regroup per
-    # pair. (Joining an sh_a and an sh_b relation would re-run the whole
+    # Exact-Jaccard verify from the SAME cached hash relation: explode each
+    # pair into its two member ids, join the cache once, regroup per pair.
+    # (Joining an sh_a and an sh_b relation would re-run the whole
     # shingle computation per side — 2x the dominant scan cost.) Shuffle
-    # volume beyond the one scan is only the candidate docs' shingles.
+    # volume beyond the one cache read is only the candidate docs' hashes.
     sides = cand.select(
         "doc_a", "doc_b", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
     )
-    sh = _shingle_df(spark, sf_dir)
     per_pair = (
-        sides.join(sh, "doc_id")
+        sides.join(hashed, "doc_id")
         .groupBy("doc_a", "doc_b")
         .agg(
             F.first(
-                F.when(F.col("doc_id") == F.col("doc_a"), F.col("sh")),
+                F.when(F.col("doc_id") == F.col("doc_a"), F.col("hs48")),
                 ignorenulls=True,
             ).alias("sh_a"),
             F.first(
-                F.when(F.col("doc_id") == F.col("doc_b"), F.col("sh")),
+                F.when(F.col("doc_id") == F.col("doc_b"), F.col("hs48")),
                 ignorenulls=True,
             ).alias("sh_b"),
         )
     )
     return _pair_jaccard(per_pair)
+
+
+def q_ext_dedup_minhash(spark, sf_dir):
+    """MinHash-LSH dedup: shingles -> signatures -> band buckets ->
+    candidate pairs via a band-key join (a shuffle, not a cross join) ->
+    exact-Jaccard verify.
+
+    At scale the candidate join shuffles only O(docs x bands) small rows;
+    the quadratic work is confined to same-bucket collisions.
+    """
+    return minhash_pairs_from(spark, _shingle_df(spark, sf_dir))
 
 
 # simhash: 48-bit fingerprint; bit i set iff more shingles have bit i set
@@ -266,10 +334,14 @@ def q_ext_dedup_simhash_pairs(spark, sf_dir):
 
 def q_ext_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs >= threshold (brute force baseline;
-    the LSH-bucketed scale path is ext_similarity_lsh in similarity.py)."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
-        .alias("v")
+    the LSH-bucketed scale path is ext_similarity_lsh in similarity.py).
+    Guarded: refuses inputs over ALL_PAIRS_CEILING rows."""
+    emb = _guard_all_pairs(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+        ),
+        "ext_dedup_embedding", "ext_similarity_lsh",
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
@@ -422,9 +494,10 @@ hashed AS (
   FROM shingles
 )
 SELECT doc_id,
-       list_sum([CASE WHEN len(list_filter(hs, h -> (h >> i) & 1 = 1)) * 2 > n
-                      THEN (1::BIGINT << i) ELSE 0::BIGINT END
-                 for i in generate_series(0, 47)]) AS simhash
+       CAST(list_sum(
+           [CASE WHEN len(list_filter(hs, h -> (h >> i) & 1 = 1)) * 2 > n
+                 THEN (1::BIGINT << i) ELSE 0::BIGINT END
+            for i in generate_series(0, 47)]) AS BIGINT) AS simhash
 FROM hashed
 """,
     "ext_dedup_embedding": f"""

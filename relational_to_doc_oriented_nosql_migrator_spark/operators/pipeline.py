@@ -32,6 +32,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
 )
 from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
     SQL_TOKENS,
+    docs_tokenized,
     tokens_col,
 )
 
@@ -78,21 +79,16 @@ def _shingles(col: str):
     )
 
 
-def q_ext_decontaminate(spark, sf_dir):
-    """Benchmark decontamination: for every held-out (val/test) document,
-    count its shingles that also occur in ANY train-split document; a doc
-    with n_shared > 0 is contaminated and would be dropped from the eval
-    set. Split assignment reuses ext_split_assign's md5 bucketing, so the
-    check is deterministic end to end."""
-    docs = t(spark, sf_dir, "documents")
+def decontaminate_from(docs_tk):
+    """Decontamination over a pre-tokenized (doc_id, ..., tk) frame."""
     bucket = F.expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
         " AS BIGINT) % 100"
     )
-    with_shingles = docs.select(
+    with_shingles = docs_tk.select(
         "doc_id",
         (bucket < 90).alias("is_train"),
-        tokens_col(F.col("text")).alias("tk"),
+        "tk",
     ).select(
         "doc_id",
         "is_train",
@@ -124,16 +120,21 @@ def q_ext_decontaminate(spark, sf_dir):
     )
 
 
-def q_ext_repetition_filter(spark, sf_dir):
-    """Gopher-style repetition signals: distinct-token ratio and the
-    fraction of bigram occurrences taken by the single most frequent
-    bigram; high top-bigram fraction / low distinct ratio flags looping or
-    boilerplate text."""
-    docs = t(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
-    base = docs.select(
+def q_ext_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: for every held-out (val/test) document,
+    count its shingles that also occur in ANY train-split document; a doc
+    with n_shared > 0 is contaminated and would be dropped from the eval
+    set. Split assignment reuses ext_split_assign's md5 bucketing, so the
+    check is deterministic end to end."""
+    return decontaminate_from(docs_tokenized(spark, sf_dir))
+
+
+def repetition_filter_from(docs_tk):
+    """Repetition signals over a pre-tokenized (doc_id, ..., tk) frame."""
+    toks = F.col("tk")
+    base = docs_tk.select(
         "doc_id",
-        toks.alias("tk"),
+        "tk",
         F.size(toks).alias("n_tokens"),
         F.size(F.array_distinct(toks)).alias("n_distinct"),
     )
@@ -171,6 +172,14 @@ def q_ext_repetition_filter(spark, sf_dir):
     )
 
 
+def q_ext_repetition_filter(spark, sf_dir):
+    """Gopher-style repetition signals: distinct-token ratio and the
+    fraction of bigram occurrences taken by the single most frequent
+    bigram; high top-bigram fraction / low distinct ratio flags looping or
+    boilerplate text."""
+    return repetition_filter_from(docs_tokenized(spark, sf_dir))
+
+
 def q_ext_domain_mix(spark, sf_dir):
     """Domain-mix rebalancing: per-source corpus share by token count and
     the capped sampling weight (no domain may exceed 30% of the mix) that a
@@ -199,15 +208,11 @@ def q_ext_domain_mix(spark, sf_dir):
     )
 
 
-def q_ext_sample_stratified(spark, sf_dir):
-    """Stratified downsampling that APPLIES the domain-mix weights: each
-    doc keeps iff its md5 sampling bucket (decorrelated from the split
-    bucket by using hex chars 13-24) falls under source_weight x 1000. The
-    per-source weight frame is tiny and broadcast — the corpus-side scan
-    is one narrow map + broadcast-hash join, no shuffle of the docs."""
-    docs = t(spark, sf_dir, "documents")
+def sample_stratified_from(docs_tk):
+    """Stratified sampling over a pre-tokenized (doc_id, source, tk)
+    frame."""
     per_source = (
-        docs.select("source", F.size(tokens_col(F.col("text"))).alias("n"))
+        docs_tk.select("source", F.size(F.col("tk")).alias("n"))
         .groupBy("source")
         .agg(F.sum("n").alias("sum_tokens"))
     )
@@ -222,7 +227,7 @@ def q_ext_sample_stratified(spark, sf_dir):
         " AS BIGINT) % 1000"
     )
     return (
-        docs.select("doc_id", "source", samp_bucket.alias("samp_bucket"))
+        docs_tk.select("doc_id", "source", samp_bucket.alias("samp_bucket"))
         .join(F.broadcast(weights), "source")
         .select(
             "doc_id",
@@ -234,6 +239,15 @@ def q_ext_sample_stratified(spark, sf_dir):
             ).alias("keep"),
         )
     )
+
+
+def q_ext_sample_stratified(spark, sf_dir):
+    """Stratified downsampling that APPLIES the domain-mix weights: each
+    doc keeps iff its md5 sampling bucket (decorrelated from the split
+    bucket by using hex chars 13-24) falls under source_weight x 1000. The
+    per-source weight frame is tiny and broadcast — the corpus-side scan
+    is one narrow map + broadcast-hash join, no shuffle of the docs."""
+    return sample_stratified_from(docs_tokenized(spark, sf_dir))
 
 
 # Sequence packing: fixed training-context length, and the bucket count
@@ -309,37 +323,45 @@ def q_ext_curation_pipeline(spark, sf_dir):
     contaminated held-out doc, and survives stratified sampling.
     Surviving train docs then get their packed-sequence assignment.
 
-    Every stage reuses the registered single-op builder, so this is the
-    integration query proving the ops compose; each input frame is narrow
-    (doc_id + booleans) and joins on doc_id."""
+    Every stage reuses the shared `*_from` stage builders over ONE
+    persisted tokenized frame (tokenization is the dominant CPU cost at
+    corpus scale — round 1 re-tokenized 4-5x), so this is the integration
+    query proving the ops compose with a single corpus scan."""
+    from pyspark.storagelevel import StorageLevel
+
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         dedup as dedup_ops,
         text as text_ops,
     )
 
-    docs = t(spark, sf_dir, "documents")
-    qual = text_ops.q_ext_text_quality(spark, sf_dir).select(
+    # Repartition BEFORE persist: the cache materializes in its input's
+    # partition layout, and a few-file corpus would otherwise tokenize on
+    # 1-2 cores and serve every downstream stage from a 1-partition cache.
+    docs_tk = (
+        docs_tokenized(spark, sf_dir)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    qual = text_ops.text_quality_from(docs_tk).select(
         "doc_id", F.col("keep").alias("keep_quality")
     )
-    rept = q_ext_repetition_filter(spark, sf_dir).select(
+    rept = repetition_filter_from(docs_tk).select(
         "doc_id", F.col("keep").alias("keep_repetition")
     )
     ck = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    exact = docs.select("doc_id", ck.alias("ck"))
+    exact = docs_tk.select("doc_id", ck.alias("ck"))
     winners = exact.groupBy("ck").agg(F.min("doc_id").alias("rep"))
     keepex = exact.join(winners, "ck").select(
         "doc_id", (F.col("doc_id") == F.col("rep")).alias("keep_exact")
     )
     near_losers = (
-        dedup_ops.q_ext_dedup_minhash(spark, sf_dir)
+        dedup_ops.minhash_pairs_from(spark, dedup_ops.shingles_from(docs_tk))
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
         .withColumn("near_loser", F.lit(True))
     )
-    decon = q_ext_decontaminate(spark, sf_dir).select(
-        "doc_id", "contaminated"
-    )
-    samp = q_ext_sample_stratified(spark, sf_dir).select(
+    decon = decontaminate_from(docs_tk).select("doc_id", "contaminated")
+    samp = sample_stratified_from(docs_tk).select(
         "doc_id", F.col("keep").alias("keep_sample")
     )
     bucket = F.expr(
@@ -351,10 +373,10 @@ def q_ext_curation_pipeline(spark, sf_dir):
         .when(bucket < 95, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    base = docs.select(
+    base = docs_tk.select(
         "doc_id",
         split.alias("split"),
-        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.size(F.col("tk")).alias("n_tokens"),
     )
     keep = (
         F.col("keep_quality")
@@ -496,7 +518,8 @@ FROM per_doc
 """,
     "ext_domain_mix": f"""
 WITH per_source AS (
-  SELECT source, COUNT(*) AS n_docs, SUM(len({SQL_TOKENS})) AS sum_tokens
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS sum_tokens
   FROM documents GROUP BY source
 )
 SELECT source, n_docs, sum_tokens,
@@ -541,8 +564,8 @@ WITH base AS (
   FROM base
 )
 SELECT doc_id, pack_bucket, n_tokens,
-       start // {PACK_SEQ_LEN} AS seq_id,
-       start % {PACK_SEQ_LEN} AS seq_offset
+       CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
+       CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
 FROM c
 """,
 }

@@ -41,6 +41,20 @@ def tokens_col(col: Column) -> Column:
 SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
+def docs_tokenized(spark, sf_dir) -> DataFrame:
+    """The shared tokenization scan: (doc_id, text, lang, source, tk).
+
+    Tokenization dominates CPU at corpus scale, so multi-stage pipelines
+    (ext_curation_pipeline) compute this frame ONCE, persist it, and thread
+    it through the `*_from` stage builders instead of re-tokenizing per
+    stage."""
+    docs = t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "text", "lang", "source",
+        tokens_col(F.col("text")).alias("tk"),
+    )
+
+
 def q_ext_text_tokens(spark, sf_dir):
     """Token counting: whitespace tokens + a BPE-ish regex segmentation."""
     docs = t(spark, sf_dir, "documents")
@@ -71,11 +85,9 @@ def q_ext_text_stats(spark, sf_dir):
     )
 
 
-def q_ext_text_quality(spark, sf_dir):
-    """Per-doc quality features: length, punctuation ratio, stopword ratio,
-    and a keep/drop flag — the classic pretraining quality filter shape."""
-    docs = t(spark, sf_dir, "documents")
-    toks = tokens_col(F.col("text"))
+def text_quality_from(docs_tk: DataFrame) -> DataFrame:
+    """Quality features over a pre-tokenized (doc_id, text, tk) frame."""
+    toks = F.col("tk")
     n_tokens = F.size(toks)
     n_chars = F.length("text")
     punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
@@ -84,7 +96,7 @@ def q_ext_text_quality(spark, sf_dir):
     )
     punct_ratio = F.round(punct.cast("double") / n_chars, 6)
     stop_ratio = F.round(stop.cast("double") / n_tokens, 6)
-    return docs.select(
+    return docs_tk.select(
         "doc_id",
         n_chars.alias("n_chars_seen"),
         n_tokens.alias("n_tokens"),
@@ -94,6 +106,12 @@ def q_ext_text_quality(spark, sf_dir):
             (n_chars >= 100) & (punct_ratio <= F.lit(0.1))
         ).alias("keep"),
     )
+
+
+def q_ext_text_quality(spark, sf_dir):
+    """Per-doc quality features: length, punctuation ratio, stopword ratio,
+    and a keep/drop flag — the classic pretraining quality filter shape."""
+    return text_quality_from(docs_tokenized(spark, sf_dir))
 
 
 def q_ext_text_langid(spark, sf_dir):

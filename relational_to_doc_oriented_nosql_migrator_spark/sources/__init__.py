@@ -6,6 +6,11 @@ from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
     register_views,
 )
 from relational_to_doc_oriented_nosql_migrator_spark.sources.logtext import read_log_text
+from relational_to_doc_oriented_nosql_migrator_spark.sources.introspect import (
+    catalog_from_meta_frames,
+    jdbc_catalog,
+    jdbc_meta_frames,
+)
 
 __all__ = [
     "TPCH_TABLES",
@@ -14,4 +19,7 @@ __all__ = [
     "load_tables",
     "register_views",
     "read_log_text",
+    "catalog_from_meta_frames",
+    "jdbc_catalog",
+    "jdbc_meta_frames",
 ]

@@ -319,7 +319,8 @@ SELECT DISTINCT user_id, event_type FROM events
 """,
     "ext_stream_stateful": """
 SELECT user_id, COUNT(*) AS n_events,
-       SUM(CAST(round(value * 1000000) AS BIGINT)) AS sum_value_micros
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+         AS sum_value_micros
 FROM events GROUP BY user_id
 """,
     "stream_to_json_files": """

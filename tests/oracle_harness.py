@@ -76,6 +76,37 @@ def compare(spark_df, con, sql: str) -> list[str]:
     if sorted(s_cols) != sorted(d_cols):
         problems.append(f"columns: spark={sorted(s_cols)} duck={sorted(d_cols)}")
         return problems
+
+    # Numeric-kind drift check: the external driver compares Spark
+    # toPandas() against DuckDB .df(); a DuckDB HUGEINT/DECIMAL aggregate
+    # surfacing as float64 against a Spark integer column (or vice versa)
+    # breaks its hash even when every value matches. Cast the oracle
+    # (e.g. CAST(SUM(..) AS BIGINT)) when this fires.
+    from pyspark.sql.types import (
+        ByteType, DoubleType, FloatType, IntegerType, LongType, ShortType,
+    )
+
+    def _spark_kind(dt):
+        if isinstance(dt, (ByteType, ShortType, IntegerType, LongType)):
+            return "i"
+        if isinstance(dt, (FloatType, DoubleType)):
+            return "f"
+        return None
+
+    d_pdf = con.execute(sql).df()
+    for f_ in spark_df.schema.fields:
+        sk = _spark_kind(f_.dataType)
+        if sk is None or f_.name not in d_pdf.columns:
+            continue
+        dk = d_pdf[f_.name].dtype.kind
+        if sk == "i" and dk == "f" and not d_pdf[f_.name].isna().any():
+            problems.append(
+                f"dtype drift: {f_.name} spark int vs duckdb float"
+            )
+        elif sk == "f" and dk in "iu":
+            problems.append(
+                f"dtype drift: {f_.name} spark float vs duckdb int"
+            )
     if len(s_rows) != len(d_rows):
         problems.append(f"row count: spark={len(s_rows)} duck={len(d_rows)}")
     s_set = _rows_to_multiset(
