@@ -65,12 +65,22 @@ SQL_TK = f"SELECT doc_id, {SQL_TOKENS} AS tk FROM documents"
 
 def shingles_from(docs_tk):
     """(doc_id, sh) word-5-gram shingle frame from a pre-tokenized
-    (doc_id, ..., tk) frame — lets pipelines tokenize once."""
+    (doc_id, ..., tk) frame — lets pipelines tokenize once. The input is
+    expected to already be partitioned at full parallelism (curation's
+    persisted frame is; `_shingle_df` spreads the raw scan)."""
     return docs_tk.select("doc_id", F.expr(_SHINGLES_EXPR).alias("sh"))
 
 
 def _shingle_df(spark, sf_dir):
-    docs = t(spark, sf_dir, "documents")
+    """Shingles from the raw corpus. The repartition sits at the NARROW
+    point — the (doc_id, text) scan — BEFORE tokenize/shingle/hash project:
+    `select(expensive).repartition(n)` keeps the projection below the
+    exchange (it runs in the input file layout, 1 task for a 1-file
+    corpus); `repartition(n).select(expensive)` is the layout-independent
+    order. Verified via explain: the Project must sit above the Exchange."""
+    docs = _spread(spark, t(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ))
     return shingles_from(
         docs.select("doc_id", tokens_col(F.col("text")).alias("tk"))
     )
@@ -168,12 +178,10 @@ _BANDS_EXPR = (
 )
 
 
-def minhash_bands_from(spark, sh, spread=True):
+def minhash_bands_from(spark, sh):
     """(doc_id, band_key) from a (doc_id, sh) shingle frame — one row per
-    band; the LSH blocking relation. Pass spread=False when the input is
-    already repartitioned/cached at full parallelism."""
-    if spread:
-        sh = _spread(spark, sh)
+    band; the LSH blocking relation. Input partitioning is inherited (all
+    producers spread at the narrow scan)."""
     sigs = sh.withColumn("hs", F.expr(_HS_EXPR)).withColumn(
         "sigs", F.expr(_SIGS_EXPR)
     )
@@ -197,13 +205,14 @@ def minhash_pairs_from(spark, sh):
     ints (identical Jaccard to string intersection; the string-side oracle
     still matches value-for-value). Int arrays also cache/shuffle far
     narrower than shingle strings.
-    CRITICAL ordering: repartition BEFORE persist — a cache materializes in
-    its input's partition layout, and a few-file corpus would otherwise pin
-    the whole hash computation (and every cache reader) to 1-2 cores."""
+    Partitioning: every `sh` producer repartitions at the narrow scan
+    BEFORE the shingle/hash projections (see `_shingle_df`), so the hash
+    computation and the cache it materializes both run at full parallelism
+    regardless of the input file layout."""
     from pyspark.storagelevel import StorageLevel
 
-    hashed = _spread(
-        spark, sh.select("doc_id", F.expr(_HS48_EXPR).alias("hs48"))
+    hashed = sh.select(
+        "doc_id", F.expr(_HS48_EXPR).alias("hs48")
     ).persist(StorageLevel.MEMORY_AND_DISK)
     sigs = hashed.withColumn(
         "hs", F.expr(f"transform(hs48, h -> h % {MERSENNE_P})")
@@ -281,7 +290,7 @@ _SIMHASH_EXPR = (
 
 def q_ext_dedup_simhash(spark, sf_dir):
     """SimHash content fingerprints (constant-size sketch per doc)."""
-    sh = _spread(spark, _shingle_df(spark, sf_dir))
+    sh = _shingle_df(spark, sf_dir)  # spread at the scan inside
     return sh.withColumn("hs", F.expr(_SIMHS_EXPR)).select(
         "doc_id", F.expr(_SIMHASH_EXPR).alias("simhash")
     )

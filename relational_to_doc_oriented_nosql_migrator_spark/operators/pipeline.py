@@ -334,13 +334,12 @@ def q_ext_curation_pipeline(spark, sf_dir):
         text as text_ops,
     )
 
-    # Repartition BEFORE persist: the cache materializes in its input's
-    # partition layout, and a few-file corpus would otherwise tokenize on
-    # 1-2 cores and serve every downstream stage from a 1-partition cache.
-    docs_tk = (
-        docs_tokenized(spark, sf_dir)
-        .repartition(spark.sparkContext.defaultParallelism)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+    # spread=True: repartition the raw scan BEFORE tokenizing/persisting —
+    # the cache materializes in its input's partition layout, and a
+    # few-file corpus would otherwise tokenize on 1-2 cores and serve
+    # every downstream stage from a 1-partition cache.
+    docs_tk = docs_tokenized(spark, sf_dir, spread=True).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
     qual = text_ops.text_quality_from(docs_tk).select(
         "doc_id", F.col("keep").alias("keep_quality")

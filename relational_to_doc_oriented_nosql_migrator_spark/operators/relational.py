@@ -258,8 +258,15 @@ def q_sink_json_collections(spark, sf_dir):
     try:
         collections = migrate(spark, sf_dir)
         written = write_json_collections(collections, out_dir)
+        # Read back with the writer's schema: json without one pays a full
+        # schema-inference scan per collection (2x the read cost).
         rows = [
-            (name, spark.read.json(f"{out_dir}/{name}").count())
+            (
+                name,
+                spark.read.schema(collections[name].schema)
+                .json(f"{out_dir}/{name}")
+                .count(),
+            )
             for name in sorted(written)
         ]
     finally:

@@ -34,15 +34,17 @@ _DOT = (
 
 
 def _emb(spark, sf_dir, spread: bool = False):
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
+    emb = t(spark, sf_dir, "embeddings")
     if spread:
         # Cosine scoring is CPU-bound; parallelism must not depend on the
         # input file layout (a single-file corpus reads as one partition).
+        # Repartition BEFORE the projection so the cast — and everything
+        # downstream — runs post-exchange.
         emb = emb.repartition(spark.sparkContext.defaultParallelism)
-    return emb
+    return emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
 
 
 def _cosine_expr():

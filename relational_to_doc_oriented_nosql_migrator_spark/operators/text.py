@@ -41,14 +41,23 @@ def tokens_col(col: Column) -> Column:
 SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
 
 
-def docs_tokenized(spark, sf_dir) -> DataFrame:
+def docs_tokenized(spark, sf_dir, spread: bool = False) -> DataFrame:
     """The shared tokenization scan: (doc_id, text, lang, source, tk).
 
     Tokenization dominates CPU at corpus scale, so multi-stage pipelines
     (ext_curation_pipeline) compute this frame ONCE, persist it, and thread
     it through the `*_from` stage builders instead of re-tokenizing per
-    stage."""
+    stage.
+
+    spread=True repartitions the RAW scan before tokenizing — required
+    before a persist (the cache materializes in its input's layout) or any
+    multi-consumer use, so a few-file corpus doesn't pin tokenization to a
+    few cores. The repartition must precede the projection:
+    `select(expensive).repartition(n)` leaves the work below the exchange.
+    """
     docs = t(spark, sf_dir, "documents")
+    if spread:
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     return docs.select(
         "doc_id", "text", "lang", "source",
         tokens_col(F.col("text")).alias("tk"),

@@ -34,6 +34,9 @@ def write_json_collections(
             # Parity mode: one JSON array per collection file, like the
             # reference's JSON.stringify of the whole collection. One action
             # per collection; the empty check falls out of the collect.
+            # NOT a scale path: this collects the entire collection to the
+            # driver — byte-parity testing on small outputs only. The
+            # default distributed mode is the one to point at a real corpus.
             docs = [json.loads(r) for r in df.toJSON().collect()]
             if not docs:
                 # `filter_nonempty_collection` (reference
