@@ -68,13 +68,17 @@ def q_ext_text_pii_scrub(spark, sf_dir):
 
 
 def _shingles(col: str):
-    """Distinct md5-hashed word n-grams (n = DECONTAM_N) of a token-array
-    column (by name); docs shorter than n yield one whole-doc shingle."""
+    """Distinct md5-derived 48-bit int word n-grams (n = DECONTAM_N) of a
+    token-array column (by name); docs shorter than n yield one whole-doc
+    shingle. Int keys (not md5-hex strings) so the decontamination join
+    shuffles 8-byte keys instead of 32-char strings — half the shuffle
+    volume at corpus scale; the oracle derives the identical ints."""
     n = DECONTAM_N
     return F.array_distinct(
         F.expr(
             f"transform(sequence(1, greatest(size({col}) - {n - 1}, 1)),"
-            f" i -> md5(concat_ws(' ', slice({col}, i, {n}))))"
+            f" i -> CAST(conv(substring(md5(concat_ws(' ',"
+            f" slice({col}, i, {n}))), 1, 12), 16, 10) AS BIGINT))"
         )
     )
 
@@ -434,7 +438,8 @@ QUERIES = {
 }
 
 _SQL_SHINGLES = (
-    f"list_distinct([md5(array_to_string(tk[i:i+{DECONTAM_N - 1}], ' '))"
+    f"list_distinct([('0x' || substr(md5(array_to_string("
+    f"tk[i:i+{DECONTAM_N - 1}], ' ')), 1, 12))::BIGINT"
     f" for i in generate_series(1, greatest(len(tk) - {DECONTAM_N - 1}, 1))])"
 )
 
