@@ -134,33 +134,42 @@ def q_ext_decontaminate(spark, sf_dir):
 
 
 def repetition_filter_from(docs_tk):
-    """Repetition signals over a pre-tokenized (doc_id, ..., tk) frame."""
-    toks = F.col("tk")
-    base = docs_tk.select(
-        "doc_id",
-        "tk",
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    """Repetition signals over a pre-tokenized (doc_id, ..., tk) frame.
+
+    Zero-shuffle: the signals are per-doc functions of the doc's own
+    bigrams, so instead of exploding every bigram into a corpus-sized
+    shuffle (explode -> groupBy doc_id,bigram -> groupBy doc_id), the max
+    bigram multiplicity is computed row-locally as the longest run in the
+    per-doc SORTED bigram array. Cost is O(len * log len) per doc, bounded
+    by document length — at 100 TB this is a narrow map over the corpus
+    versus shuffling ~1 bigram row per corpus token."""
+    # Longest run in the sorted array == max multiplicity of any element.
+    max_n = F.expr(
+        "aggregate(array_sort(bg),"
+        " struct(0 AS run, 0 AS best, CAST(NULL AS STRING) AS prev),"
+        " (acc, x) -> struct("
+        "   IF(x <=> acc.prev, acc.run + 1, 1),"
+        "   greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1)), x),"
+        " acc -> acc.best)"
     )
-    bigrams = base.select(
+    per_doc = docs_tk.select(
+        "doc_id",
+        F.size("tk").alias("n_tokens"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        F.expr(
+            "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+            " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+        ).alias("bg"),
+    ).filter(
+        # Docs with < 2 tokens have no bigrams: absent from the output,
+        # exactly as the previous explode-based plan dropped them.
+        F.size("bg") > 0
+    ).select(
         "doc_id",
         "n_tokens",
         "n_distinct",
-        F.explode(
-            F.expr(
-                "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
-                " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
-            )
-        ).alias("bigram"),
-    )
-    counts = bigrams.groupBy(
-        "doc_id", "n_tokens", "n_distinct", "bigram"
-    ).agg(F.count(F.lit(1)).alias("n"))
-    # Second groupBy instead of window + distinct: same answer, one fewer
-    # shuffle, and the partial aggregation combines map-side.
-    per_doc = counts.groupBy("doc_id", "n_tokens", "n_distinct").agg(
-        F.max("n").alias("max_n"),
-        F.sum("n").alias("total_bigrams"),
+        max_n.alias("max_n"),
+        F.size("bg").alias("total_bigrams"),
     )
     distinct_ratio = F.round(
         F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
@@ -180,8 +189,9 @@ def q_ext_repetition_filter(spark, sf_dir):
     """Gopher-style repetition signals: distinct-token ratio and the
     fraction of bigram occurrences taken by the single most frequent
     bigram; high top-bigram fraction / low distinct ratio flags looping or
-    boilerplate text."""
-    return repetition_filter_from(docs_tokenized(spark, sf_dir))
+    boilerplate text. spread=True: the whole cost is the per-row sort/run
+    scan, so parallelism must not be pinned to the input file layout."""
+    return repetition_filter_from(docs_tokenized(spark, sf_dir, spread=True))
 
 
 def q_ext_domain_mix(spark, sf_dir):
