@@ -345,24 +345,46 @@ def q_ext_curation_pipeline(spark, sf_dir):
 
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         dedup as dedup_ops,
-        text as text_ops,
     )
 
     # spread=True: repartition the raw scan BEFORE tokenizing/persisting —
     # the cache materializes in its input's partition layout, and a
     # few-file corpus would otherwise tokenize on 1-2 cores and serve
     # every downstream stage from a 1-partition cache.
-    docs_tk = docs_tokenized(spark, sf_dir, spread=True).persist(
-        StorageLevel.MEMORY_AND_DISK
+    #
+    # The persisted frame carries tk plus the three scalar features the
+    # raw text is needed for (char count, punct count, exact-dup key) and
+    # DROPS the text column itself: every downstream stage is tk-driven,
+    # and caching the raw corpus alongside its token arrays would double
+    # the cache footprint at scale for no reader.
+    docs_tk = (
+        docs_tokenized(spark, sf_dir, spread=True)
+        .withColumn("n_chars_seen", F.length("text"))
+        .withColumn(
+            "punct", F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+        )
+        .withColumn(
+            "ck",
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ),
+        )
+        .drop("text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    qual = text_ops.text_quality_from(docs_tk).select(
-        "doc_id", F.col("keep").alias("keep_quality")
+    punct_ratio = F.round(
+        F.col("punct").cast("double") / F.col("n_chars_seen"), 6
+    )
+    qual = docs_tk.select(
+        "doc_id",
+        (
+            (F.col("n_chars_seen") >= 100) & (punct_ratio <= F.lit(0.1))
+        ).alias("keep_quality"),
     )
     rept = repetition_filter_from(docs_tk).select(
         "doc_id", F.col("keep").alias("keep_repetition")
     )
-    ck = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-    exact = docs_tk.select("doc_id", ck.alias("ck"))
+    exact = docs_tk.select("doc_id", F.col("ck").alias("ck"))
     winners = exact.groupBy("ck").agg(F.min("doc_id").alias("rep"))
     keepex = exact.join(winners, "ck").select(
         "doc_id", (F.col("doc_id") == F.col("rep")).alias("keep_exact")
