@@ -1,0 +1,66 @@
+"""Positive plan assertions — the properties that make the plans hold at
+100 TB, asserted so a regression is caught, not re-discovered in a bench:
+
+- dimension-sized join sides BROADCAST (no shuffle of the big fact side);
+- point-lookup predicates reach the parquet scan as PushedFilters;
+- aggregations read only the columns they use (column pruning) and
+  partial-aggregate map-side before the exchange.
+"""
+
+import io
+import contextlib
+
+import __spark_entry__ as entrymod
+
+from tests.conftest import SF0001
+
+QUERIES = entrymod.queries()
+
+
+def _plan(spark, qid: str) -> str:
+    df = QUERIES[qid](spark, SF0001)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("simple")
+    return buf.getvalue()
+
+
+def test_m2m_denormalize_broadcasts_dimension(spark):
+    plan = _plan(spark, "join_denormalize_m2m")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_nest_one_to_many_joins_aggregated_child_hash(spark):
+    # The child is aggregated to one row per FK before the join; the join
+    # itself must be a hash join (broadcast locally; never nested-loop).
+    plan = _plan(spark, "join_nest_one_to_many")
+    assert "HashJoin" in plan, plan
+    assert "NestedLoop" not in plan, plan
+
+
+def test_indexed_lookup_pushes_key_predicate_to_scan(spark):
+    plan = _plan(spark, "src_indexed_lookup")
+    assert "EqualTo(o_custkey" in plan, plan
+
+
+def test_pricing_summary_prunes_and_partial_aggregates(spark):
+    plan = _plan(spark, "agg_pricing_summary")
+    # Column pruning: the lineitem scan must not read unused wide columns.
+    scan_lines = [ln for ln in plan.splitlines() if "FileScan" in ln]
+    assert scan_lines and all(
+        "l_comment" not in ln and "l_orderkey" not in ln
+        for ln in scan_lines
+    ), plan
+    # Map-side partial aggregation before the exchange (two HashAggregate
+    # levels around one hashpartitioning exchange).
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_" in plan, plan
+
+
+def test_filter_fk_match_pushes_join_null_filter(spark):
+    # The FK semi filter must not plan a nested loop and must prune
+    # columns at the scan.
+    plan = _plan(spark, "filter_fk_match")
+    assert "NestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
