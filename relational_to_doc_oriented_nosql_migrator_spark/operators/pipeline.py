@@ -13,8 +13,9 @@ Scale notes (100 TB):
   inverted-index join); shingles are md5-hashed so the shuffle key is
   uniform — no skew. Distinct-per-doc before the join keeps the join input
   at most |doc| x |unique shingles|.
-- Repetition signals shuffle on doc_id only (explode -> count -> window),
-  partition-pruned to each doc's own bigrams.
+- Repetition signals are zero-shuffle: per-doc functions computed
+  row-locally (max bigram multiplicity = longest run of the sorted per-doc
+  bigram array), never exploding bigrams into a corpus-sized shuffle.
 - Domain mix aggregates to |sources| rows FIRST, then runs the global-share
   window over that tiny frame — the single-partition window never sees
   row-scale data.
