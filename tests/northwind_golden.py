@@ -33,6 +33,14 @@ EMPLOYEE_COLS = ["employeeId", "lastname", "firstname", "title",
 PRODUCT_OWN_COLS = ["productId", "productName", "quantityPerUnit",
                     "unitPrice", "unitsInStock", "unitsOnOrder",
                     "reorderLevel", "discontinued"]
+CUSTOMER_COLS = ["custId", "companyName", "contactName", "contactTitle",
+                 "address", "city", "region", "postalCode", "country",
+                 "phone", "mobile", "email", "fax"]
+SHIPPER_COLS = ["shipperId", "companyName", "phone"]
+SALESORDER_OWN_COLS = ["orderId", "orderDate", "requiredDate", "shippedDate",
+                       "freight", "shipName", "shipAddress", "shipCity",
+                       "shipRegion", "shipPostalCode", "shipCountry",
+                       "employeeId"]
 
 
 def load_golden() -> dict[int, list[dict]]:
@@ -93,10 +101,24 @@ def invert_golden(g: dict[int, list[dict]]) -> dict[str, list[dict]]:
         for d in g[7]
     ]
 
+    customer = [_pick(d, CUSTOMER_COLS) for d in g[2]]
+    shipper = [_pick(d, SHIPPER_COLS) for d in g[5]]
+    ship_id = _unique_index(shipper, ("companyName",), "shipperId")
+    # salesorder rows from collection2 (customer roots): custId from the
+    # nesting parent, shipperId recovered from the two-way-denormalized
+    # shipper companyName (unique across the 3 shippers — asserted).
+    salesorder = [
+        {**_pick(o, SALESORDER_OWN_COLS),
+         "custId": c["custId"],
+         "shipperId": ship_id[(o["companyName"],)]}
+        for c in g[2] for o in (c.get("salesorder") or [])
+    ]
+
     return {
         "category": category, "supplier": supplier, "product": product,
         "region": region, "territory": territory, "employee": employee,
         "employeeterritory": employeeterritory, "orderdetail": orderdetail,
+        "customer": customer, "shipper": shipper, "salesorder": salesorder,
     }
 
 
@@ -125,6 +147,16 @@ SCHEMAS = {
     "employeeterritory": "employeeId int, territoryId string",
     "orderdetail": "orderDetailId int, orderId int, productId int,"
                    " unitPrice double, quantity int, discount double",
+    "customer": "custId int, companyName string, contactName string,"
+                " contactTitle string, address string, city string,"
+                " region string, postalCode string, country string,"
+                " phone string, mobile string, email string, fax string",
+    "shipper": "shipperId int, companyName string, phone string",
+    "salesorder": "orderId int, orderDate string, requiredDate string,"
+                  " shippedDate string, freight double, shipName string,"
+                  " shipAddress string, shipCity string, shipRegion string,"
+                  " shipPostalCode string, shipCountry string,"
+                  " employeeId int, custId int, shipperId int",
 }
 
 
