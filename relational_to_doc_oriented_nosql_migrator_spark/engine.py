@@ -76,3 +76,27 @@ def migrate(
         workload_mod.apply_workload(spark, catalog, log_content, log_dialect)
     plan = convert_schema(catalog)
     return materialize(tables, catalog, plan, normalize_dates=normalize_dates)
+
+
+def migrate_from_dump(
+    spark: SparkSession,
+    sql_text: str,
+    log_content: str | None = None,
+    log_dialect: str = "mysql",
+    normalize_dates: bool = True,
+) -> dict[str, DataFrame]:
+    """The reference's actual entry point (`POST /migration`, reference
+    server/index.js:33-43 -> DBMigration.migrate): a SQL dump plus an
+    optional query log in, nested document collections out. Schema, FK
+    graph, and row counts come from the dump itself (sources/sqldump.py);
+    the query log folds GAF/UAF workload stats into the embed-vs-reference
+    decision exactly as the parquet path does."""
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.sqldump import (
+        import_sql_dump,
+    )
+
+    _db, tables, catalog = import_sql_dump(spark, sql_text)
+    if log_content:
+        workload_mod.apply_workload(spark, catalog, log_content, log_dialect)
+    plan = convert_schema(catalog)
+    return materialize(tables, catalog, plan, normalize_dates=normalize_dates)
