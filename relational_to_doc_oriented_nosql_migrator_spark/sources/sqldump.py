@@ -73,8 +73,67 @@ _DISCARD_RE = re.compile(
 )
 
 
+_COPY_RE = re.compile(
+    r"^copy\s+([`\"\w.]+)\s*(?:\(([^)]*)\))?\s+from\s+stdin\s*;?\s*$",
+    re.I,
+)
+
+
 def _unquote(ident: str) -> str:
     return ident.strip().strip('`"').split(".")[-1].strip('`"')
+
+
+def _extract_copy_blocks(
+    text: str,
+) -> tuple[str, list[tuple[str, list[str] | None, list[str]]]]:
+    """Pull pg_dump `COPY t (cols) FROM stdin; ... \\.` blocks out of the
+    dump BEFORE statement splitting (COPY data is newline-framed, not
+    ';'-terminated, and its lines may contain anything). Returns the dump
+    text without the blocks plus [(table, cols|None, data_lines)]."""
+    out_lines: list[str] = []
+    blocks: list[tuple[str, list[str] | None, list[str]]] = []
+    lines = text.splitlines()
+    i = 0
+    while i < len(lines):
+        m = _COPY_RE.match(lines[i].strip())
+        if not m:
+            out_lines.append(lines[i])
+            i += 1
+            continue
+        cols = (
+            [_unquote(c) for c in m.group(2).split(",")]
+            if m.group(2) else None
+        )
+        data: list[str] = []
+        i += 1
+        while i < len(lines) and lines[i].strip() != "\\.":
+            data.append(lines[i])
+            i += 1
+        i += 1  # skip the \. terminator
+        blocks.append((_unquote(m.group(1)), cols, data))
+    return "\n".join(out_lines), blocks
+
+
+# pg COPY text-format escapes (tab-separated, \N = NULL).
+_COPY_ESCAPES = {"\\t": "\t", "\\n": "\n", "\\r": "\r", "\\\\": "\\"}
+
+
+def _parse_copy_value(raw: str, dtype: T.DataType):
+    if raw == "\\N":
+        return None
+    for esc, ch in _COPY_ESCAPES.items():
+        raw = raw.replace(esc, ch)
+    if isinstance(dtype, T.LongType):
+        return int(raw)
+    if isinstance(dtype, T.DoubleType):
+        return float(raw)
+    if isinstance(dtype, T.BooleanType):
+        return raw.lower() in ("t", "true", "1")
+    if isinstance(dtype, T.DateType):
+        return _dt.date.fromisoformat(raw)
+    if isinstance(dtype, T.TimestampType):
+        return _dt.datetime.fromisoformat(raw)
+    return raw
 
 
 def _split_statements(text: str) -> list[str]:
@@ -213,6 +272,7 @@ def import_sql_dump(
     """
     db_name = default_db
     defs: dict[str, _TableDef] = {}
+    sql_text, copy_blocks = _extract_copy_blocks(sql_text)
     for stmt in _split_statements(sql_text):
         if _DISCARD_RE.match(stmt):
             continue
@@ -245,6 +305,20 @@ def import_sql_dump(
                 tdef.rows.append(
                     [row.get(f[0]) for f in tdef.fields]
                 )
+
+    for tname, cols, data_lines in copy_blocks:
+        tdef = defs.get(tname)
+        if tdef is None:
+            continue
+        col_names = cols or [f[0] for f in tdef.fields]
+        types = dict(tdef.fields)
+        for line in data_lines:
+            values = line.split("\t")
+            row = {
+                col: _parse_copy_value(v, types[col])
+                for col, v in zip(col_names, values)
+            }
+            tdef.rows.append([row.get(f[0]) for f in tdef.fields])
 
     tables: dict[str, DataFrame] = {}
     metas: list[TableMeta] = []

@@ -62,3 +62,65 @@ def test_dump_drives_full_migration(spark):
     emb = sorted(e["emp_name"] for e in docs[1]["employee"])
     assert emb == ["ada", "alan"]
     assert "dept_id" not in docs[1]["employee"][0].asDict()
+
+
+PG_COPY_DUMP = """\\c pgdb
+SET statement_timeout = 0;
+CREATE TABLE dept (
+  id INT,
+  name VARCHAR(50),
+  budget NUMERIC(10,2),
+  est DATE,
+  PRIMARY KEY (id)
+);
+CREATE TABLE employee (
+  emp_id INT PRIMARY KEY,
+  dept_id INT,
+  emp_name VARCHAR(80),
+  hired TIMESTAMP,
+  active BOOLEAN,
+  FOREIGN KEY (dept_id) REFERENCES dept (id)
+);
+COPY dept (id, name, budget, est) FROM stdin;
+1\teng\t100.50\t2024-01-02
+2\tops\t20.25\t2024-03-04
+3\thr\t\\N\t\\N
+\\.
+COPY employee FROM stdin;
+10\t1\tada\t2024-01-02 10:00:00\tt
+11\t1\talan lo\\\\vell\t2024-02-03 11:30:00\tf
+12\t2\trosa\t\\N\tt
+\\.
+"""
+
+
+def test_pg_copy_blocks(spark):
+    """pg_dump COPY ... FROM stdin data blocks: tab framing, \\N nulls,
+    backslash escapes, with and without an explicit column list."""
+    db, tables, catalog = import_sql_dump(spark, PG_COPY_DUMP,
+                                          default_db="pgdb")
+    dept = {r["id"]: r for r in tables["dept"].collect()}
+    assert dept[1]["budget"] == 100.50 and str(dept[2]["est"]) == "2024-03-04"
+    assert dept[3]["budget"] is None and dept[3]["est"] is None
+    emp = {r["emp_id"]: r for r in tables["employee"].collect()}
+    assert emp[11]["emp_name"] == "alan lo\\vell"   # unescaped backslash
+    assert emp[10]["active"] is True and emp[11]["active"] is False
+    assert str(emp[10]["hired"]).startswith("2024-01-02 10:00:00")
+    assert emp[12]["hired"] is None
+    assert catalog.get_table("dept").num_rows == 3
+    assert [(fk.column, fk.referenced_table)
+            for fk in catalog.get_table("employee").foreign_keys] == [
+        ("dept_id", "dept")
+    ]
+
+
+def test_pg_copy_drives_full_migration(spark):
+    from relational_to_doc_oriented_nosql_migrator_spark.engine import (
+        migrate_from_dump,
+    )
+
+    out = migrate_from_dump(spark, PG_COPY_DUMP)
+    docs = {r["id"]: r.asDict(recursive=True) for r in out["dept"].collect()}
+    assert {e["emp_name"] for e in docs[1]["employee"]} == {
+        "ada", "alan lo\\vell"
+    }
