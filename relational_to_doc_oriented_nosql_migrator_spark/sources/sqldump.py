@@ -147,8 +147,17 @@ def _split_statements(text: str) -> list[str]:
         lines.append(line)
     text = "\n".join(lines)
     stmts, buf, quote = [], [], None
-    for ch in text:
+    i, n = 0, len(text)
+    while i < n:
+        ch = text[i]
         if quote:
+            # mysqldump escapes quotes/backslashes with a backslash inside
+            # string literals; the escaped char must not close the quote.
+            if ch == "\\" and i + 1 < n:
+                buf.append(ch)
+                buf.append(text[i + 1])
+                i += 2
+                continue
             buf.append(ch)
             if ch == quote:
                 quote = None
@@ -162,6 +171,7 @@ def _split_statements(text: str) -> list[str]:
             buf = []
         else:
             buf.append(ch)
+        i += 1
     tail = "".join(buf).strip()
     if tail:
         stmts.append(tail)
@@ -169,10 +179,18 @@ def _split_statements(text: str) -> list[str]:
 
 
 def _split_top_level(s: str, sep: str = ",") -> list[str]:
-    """Split on sep outside parens/quotes."""
+    """Split on sep outside parens/quotes (backslash-escape aware, like
+    `_split_statements`)."""
     parts, buf, depth, quote = [], [], 0, None
-    for ch in s:
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
         if quote:
+            if ch == "\\" and i + 1 < n:
+                buf.append(ch)
+                buf.append(s[i + 1])
+                i += 2
+                continue
             buf.append(ch)
             if ch == quote:
                 quote = None
@@ -190,6 +208,7 @@ def _split_top_level(s: str, sep: str = ",") -> list[str]:
             buf = []
         else:
             buf.append(ch)
+        i += 1
     if buf:
         parts.append("".join(buf).strip())
     return [p for p in parts if p]
@@ -247,7 +266,8 @@ def _parse_literal(raw: str, dtype: T.DataType):
     if v.upper() == "NULL":
         return None
     if v.startswith("'") and v.endswith("'"):
-        v = v[1:-1].replace("''", "'").replace("\\'", "'")
+        v = (v[1:-1].replace("''", "'").replace("\\'", "'")
+             .replace("\\\\", "\\"))
     if isinstance(dtype, T.LongType):
         return int(v)
     if isinstance(dtype, T.DoubleType):

@@ -124,3 +124,18 @@ def test_pg_copy_drives_full_migration(spark):
     assert {e["emp_name"] for e in docs[1]["employee"]} == {
         "ada", "alan lo\\vell"
     }
+
+
+def test_escaped_quotes_with_separators_inside_strings(spark):
+    """mysqldump backslash escapes: \\' inside a literal must not close the
+    quote, so ';' and ',' inside the string never split the statement or
+    the VALUES tuple."""
+    dump = r"""CREATE TABLE t (a INT, b VARCHAR(100), c VARCHAR(100));
+INSERT INTO t VALUES (1, 'it\'s; tricky', 'x'), (2, 'a\'b, c\'d', 'y\\');
+INSERT INTO t VALUES (3, 'plain', 'z');
+"""
+    _, tables, _ = import_sql_dump(spark, dump)
+    rows = {r["a"]: r for r in tables["t"].collect()}
+    assert rows[1]["b"] == "it's; tricky" and rows[1]["c"] == "x"
+    assert rows[2]["b"] == "a'b, c'd" and rows[2]["c"] == "y\\"
+    assert rows[3]["b"] == "plain"
