@@ -42,3 +42,15 @@ def test_cli_dump_to_json_dir(spark, tmp_path):
     assert "dept.json" in files
     docs = json.loads((out_dir / "dept.json").read_text())
     assert len(docs) == 3 and any(d.get("employee") for d in docs)
+
+
+def test_cli_parquet_tables_to_json_dir(spark, tmp_path):
+    from relational_to_doc_oriented_nosql_migrator_spark import cli
+    from tests.conftest import SF0001
+
+    out_dir = tmp_path / "out"
+    rc = cli.main(["--tables", SF0001, "--out", str(out_dir)])
+    assert rc == 0
+    written = set(os.listdir(out_dir))
+    # The TPC-H plan's roots: region nest + standalone collections.
+    assert {"region", "part", "lineitem"} <= written
