@@ -488,8 +488,6 @@ _SQL_PAIR_JACCARD = (
     " (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6)"
 )
 
-_SQL_MINHASH_PAIRS = None  # assigned below once the minhash oracle exists
-
 ORACLES = {
     "ext_dedup_exact": """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
