@@ -306,10 +306,20 @@ _SIMHS_EXPR = (
     "transform(sh, s -> CAST(conv(substring(md5(s), 1, 12), 16, 10)"
     " AS BIGINT))"
 )
+# Single pass over the shingle hashes building all 48 bit counters at once
+# (one zip_with per shingle), instead of 48 filter() array allocations per
+# doc; the counter array is let-bound so it materializes exactly once.
+# Values are bit-identical to the per-bit formulation — oracle unchanged.
+_SIMHASH_COUNTS = (
+    "aggregate(hs, transform(sequence(0, 47), z -> 0L),"
+    " (acc, h) -> zip_with(acc, sequence(0, 47),"
+    " (c, i) -> c + (shiftright(h, i) & 1)))"
+)
 _SIMHASH_EXPR = (
-    "aggregate(sequence(0, 47), CAST(0 AS BIGINT), (acc, i) -> acc +"
-    " IF(size(filter(hs, h -> (shiftright(h, i) & 1) = 1)) * 2 > size(hs),"
-    " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"
+    f"element_at(transform(array({_SIMHASH_COUNTS}), cnt ->"
+    " aggregate(sequence(0, 47), CAST(0 AS BIGINT), (a, i) ->"
+    " a + IF(element_at(cnt, i + 1) * 2 > size(hs),"
+    " shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))), 1)"
 )
 
 
