@@ -1,5 +1,7 @@
 """The external driver records correctness rows for only the first 50
-registry entries (insertion order) — pin the round-2 ordering contract."""
+registry entries (insertion order) — pin the round-3 ordering contract:
+lead with the 41 ids whose last driver proof was round 1, plus the
+dedup/multimodal ids whose code changes again this round."""
 
 import __spark_entry__ as entrymod
 
