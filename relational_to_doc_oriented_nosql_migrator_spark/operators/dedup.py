@@ -409,14 +409,31 @@ def q_ext_dedup_embedding(spark, sf_dir):
     )
 
 
-def q_ext_dedup_components(spark, sf_dir):
-    """Near-dup cluster representatives: connected components over the
-    LSH-verified pair graph via iterative min-label propagation (the
-    GraphFrames-CC pattern, bounded by component diameter). Output is one
-    row per doc that belongs to any near-dup pair: (doc_id, rep_doc_id =
-    component minimum) — what a dedup pipeline keeps/drops at scale.
+# Label propagation converges in <= diameter iterations; near-dup pair
+# graphs are shallow (dense clusters), so a deep chain means runaway input,
+# not a bigger budget. Lineage is truncated every CC_CHECKPOINT_EVERY
+# rounds: persist() caches the DATA but the logical plan still chains every
+# prior iteration, and past ~15 joined-and-unioned iterations the optimizer
+# itself becomes the bottleneck. localCheckpoint cuts the plan at the
+# cached RDD.
+CC_MAX_ITERS = 50
+CC_CHECKPOINT_EVERY = 5
+
+
+def connected_components(
+    pairs,
+    max_iters: int = CC_MAX_ITERS,
+    checkpoint_every: int = CC_CHECKPOINT_EVERY,
+):
+    """Connected components over an undirected (doc_a, doc_b) pair frame
+    via iterative min-label propagation (the GraphFrames-CC pattern,
+    bounded by component diameter). Returns (doc_id, rep_doc_id =
+    component minimum), one row per node that appears in any pair.
+
+    Scale shape: every iteration is one shuffle-join on node id over the
+    PAIR graph (pair-graph-sized, not corpus-sized). Raises RuntimeError
+    if max_iters rounds don't converge.
     """
-    pairs = q_ext_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     edges = (
         pairs.unionByName(
             pairs.select(
@@ -433,24 +450,27 @@ def q_ext_dedup_components(spark, sf_dir):
         .persist()
     )
     labels.count()  # materialize before iterating
-    while True:
+    converged = False
+    for it in range(1, max_iters + 1):
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.node)
             .groupBy("doc_a")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
-            labels.join(
-                neighbor_min, labels.node == neighbor_min.doc_a, "left"
-            )
-            .select(
-                "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
-                ).alias("lbl"),
-            )
-            .persist()
+        new_labels = labels.join(
+            neighbor_min, labels.node == neighbor_min.doc_a, "left"
+        ).select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))
+            ).alias("lbl"),
         )
+        if it % checkpoint_every == 0:
+            # Truncate lineage: materializes eagerly and replaces the
+            # logical plan with a scan of the checkpointed RDD.
+            new_labels = new_labels.localCheckpoint(eager=True)
+        else:
+            new_labels = new_labels.persist()
         changed = (
             new_labels.join(labels.withColumnRenamed("lbl", "old"), "node")
             .filter(F.col("lbl") != F.col("old"))
@@ -459,10 +479,29 @@ def q_ext_dedup_components(spark, sf_dir):
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     edges.unpersist()
-    return labels.select("node", F.col("lbl").alias("rep_doc_id")).select(
-        F.col("node").alias("doc_id"), "rep_doc_id"
+    if not converged:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters}"
+            " iterations — the pair graph has a component with diameter"
+            f" > {max_iters}. Near-dup graphs are shallow; a chain this"
+            " deep usually means the pair threshold is too loose. Raise"
+            " max_iters only if the input is genuinely that elongated."
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("rep_doc_id")
+    )
+
+
+def q_ext_dedup_components(spark, sf_dir):
+    """Near-dup cluster representatives: connected components over the
+    LSH-verified pair graph. Output is one row per doc that belongs to any
+    near-dup pair: (doc_id, rep_doc_id = component minimum) — what a dedup
+    pipeline keeps/drops at scale."""
+    return connected_components(
+        q_ext_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     )
 
 
