@@ -19,6 +19,8 @@ Everything is built-in JVM expressions (no Python UDFs).
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import functions as F
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
@@ -203,6 +205,23 @@ _BANDS_EXPR = (
 )
 
 
+# Ceiling on LSH band-bucket size for pair expansion. A bucket of n docs
+# expands to n(n-1)/2 pairs; at 256 that is ~33k pairs per bucket — fine.
+# A mega-cluster (thousands of near-identical docs, e.g. boilerplate) would
+# land ALL its docs in the same bucket in EVERY band and expand
+# quadratically, so oversized buckets are skipped-and-counted instead.
+# Skip beats salt-split: a salted split silently LOSES the cross-sub-bucket
+# pairs while appearing complete, whereas a skip is observable
+# (warning + SKIPPED_BUCKET_STATS) and has a documented remedy — run
+# exact dedup upstream to collapse identical docs first.
+MINHASH_BUCKET_CAP = 256
+
+# Observability for the last minhash_pairs_from call (tests + operators
+# read this after materialization; the audit is eager so it is populated
+# as soon as the builder returns).
+SKIPPED_BUCKET_STATS = {"skipped_buckets": 0, "largest_bucket": 0, "cap": 0}
+
+
 def minhash_bands_from(spark, sh):
     """(doc_id, band_key) from a (doc_id, sh) shingle frame — one row per
     band; the LSH blocking relation. Input partitioning is inherited (all
@@ -218,7 +237,7 @@ def minhash_bands_df(spark, sf_dir):
     return minhash_bands_from(spark, _shingle_df(spark, sf_dir))
 
 
-def minhash_pairs_from(spark, sh):
+def minhash_pairs_from(spark, sh, bucket_cap: int | None = None):
     """MinHash-LSH verified near-dup pairs from a (doc_id, sh) shingle
     frame.
 
@@ -231,9 +250,16 @@ def minhash_pairs_from(spark, sh):
     Partitioning: every `sh` producer repartitions at the narrow scan
     BEFORE the shingle/hash projections (see `_shingle_df`), so the hash
     computation and the cache it materializes both run at full parallelism
-    regardless of the input file layout."""
+    regardless of the input file layout.
+
+    In-bucket pair expansion is quadratic in bucket size; buckets over
+    `bucket_cap` (default MINHASH_BUCKET_CAP) are SKIPPED, counted, and
+    surfaced via a warning + SKIPPED_BUCKET_STATS — never silently
+    expanded or silently dropped. See MINHASH_BUCKET_CAP for why skipped
+    beats salt-split here."""
     from pyspark.storagelevel import StorageLevel
 
+    cap = MINHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
     hashed = sh.select(
         "doc_id", F.expr(_HS48_EXPR).alias("hs48")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -249,16 +275,42 @@ def minhash_pairs_from(spark, sh):
     # one aggregation pass computes the signatures exactly once (a
     # bands-self-join would re-run the whole signature pipeline per side).
     # Bucket contents are near-dup families, so in-bucket expansion is the
-    # confined quadratic; run exact dedup upstream to collapse identical
-    # docs if a corpus has mega-clusters.
+    # confined quadratic — bounded by construction via the bucket cap.
+    buckets = (
+        bands.groupBy("band_key")
+        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Eager oversized-bucket audit. This action also materializes the
+    # bucket cache the candidate expansion reuses, so the signature
+    # pipeline still runs exactly once.
+    over = (
+        buckets.filter(F.size("ids") > cap)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.max(F.size("ids")), F.lit(0)).alias("largest"),
+        )
+        .first()
+    )
+    SKIPPED_BUCKET_STATS.update(
+        skipped_buckets=over["n"], largest_bucket=over["largest"], cap=cap
+    )
+    if over["n"]:
+        warnings.warn(
+            f"minhash LSH skipped {over['n']} band bucket(s) over the"
+            f" {cap}-doc cap (largest: {over['largest']} docs). Pairs"
+            " confined to those buckets are NOT emitted. Mega-clusters"
+            " are near-identical families: run exact dedup upstream to"
+            " collapse them, then re-run.",
+            stacklevel=2,
+        )
     pairs_expr = (
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
         " size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
     )
     cand = (
-        bands.groupBy("band_key")
-        .agg(F.array_sort(F.collect_list("doc_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+        buckets.filter(F.size("ids") <= cap)
         .select(F.explode(F.expr(pairs_expr)).alias("p"))
         .select("p.doc_a", "p.doc_b")
         .distinct()
@@ -558,9 +610,13 @@ shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk),
 hashed AS (SELECT doc_id, {_SQL_HS} AS hs FROM shingles),
 sigs AS (SELECT doc_id, {_SQL_SIGS} AS sigs FROM hashed),
 bands AS (SELECT doc_id, unnest({_SQL_BANDS}) AS band_key FROM sigs),
+-- mirror of MINHASH_BUCKET_CAP: oversized buckets emit no pairs
+ok AS (SELECT band_key FROM bands GROUP BY band_key
+       HAVING COUNT(*) <= {MINHASH_BUCKET_CAP}),
 cand AS (
   SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
   FROM bands x JOIN bands y ON x.band_key = y.band_key
+  JOIN ok ON x.band_key = ok.band_key
   WHERE x.doc_id < y.doc_id
 )
 SELECT c.doc_a, c.doc_b, {_SQL_PAIR_JACCARD} AS jaccard
