@@ -25,7 +25,182 @@ from relational_to_doc_oriented_nosql_migrator_spark.plans.catalog import (
     TableMeta,
 )
 
-# The reference's introspection queries, verbatim shapes
+# The reference's six introspection endpoints, SQL text verbatim (modulo
+# whitespace) — `{db}`/`{table}` stand for the reference's template
+# interpolations. tests/test_introspect_sql_parity.py extracts the
+# originals from the reference JS and asserts normalized-text equality,
+# so drift from the reference's wire-level SQL is caught, not assumed.
+# MySQL: server/MySQLDBManager.js:97 (getTableData), 129 (getTableRows),
+# 152 (getTableColumns), 177 (getPrimaryKeys), 203 (getForeignKeys),
+# 229 (getReferenceInfo).
+MYSQL_REFERENCE_SQL = {
+    "table_data": """
+      SELECT t.TABLE_NAME, COUNT(k.REFERENCED_TABLE_NAME) AS num_foreign_keys,
+        CASE
+          WHEN EXISTS (SELECT * FROM INFORMATION_SCHEMA.KEY_COLUMN_USAGE WHERE TABLE_SCHEMA = t.TABLE_SCHEMA AND REFERENCED_TABLE_NAME = t.TABLE_NAME)
+          THEN 'Referenced by other tables'
+          ELSE 'Not referenced by other tables'
+        END AS reference_status
+      FROM INFORMATION_SCHEMA.TABLES t
+      LEFT JOIN INFORMATION_SCHEMA.KEY_COLUMN_USAGE k
+        ON k.TABLE_SCHEMA = t.TABLE_SCHEMA AND k.TABLE_NAME = t.TABLE_NAME AND k.REFERENCED_TABLE_NAME IS NOT NULL
+      WHERE t.TABLE_SCHEMA = '{db}' AND t.TABLE_TYPE = 'BASE TABLE'
+      GROUP BY t.TABLE_NAME;
+    """,
+    "table_rows": """
+      SELECT COUNT(*) AS num_rows
+      FROM {table};
+    """,
+    "table_columns": """
+      SELECT TABLE_NAME, GROUP_CONCAT(COLUMN_NAME ORDER BY ORDINAL_POSITION SEPARATOR ', ') AS table_columns
+      FROM INFORMATION_SCHEMA.COLUMNS
+      WHERE TABLE_SCHEMA = '{db}'
+      GROUP BY TABLE_NAME;
+    """,
+    "primary_keys": """
+      SELECT COLUMN_NAME
+      FROM INFORMATION_SCHEMA.KEY_COLUMN_USAGE
+      WHERE TABLE_SCHEMA = '{db}'
+      AND TABLE_NAME = '{table}'
+      AND CONSTRAINT_NAME = 'PRIMARY';
+    """,
+    "foreign_keys": """
+      SELECT COLUMN_NAME, REFERENCED_TABLE_NAME, REFERENCED_COLUMN_NAME
+      FROM INFORMATION_SCHEMA.KEY_COLUMN_USAGE
+      WHERE TABLE_SCHEMA = '{db}'
+      AND TABLE_NAME = '{table}'
+      AND REFERENCED_TABLE_NAME IS NOT NULL;
+    """,
+    "reference_info": """
+      SELECT REFERENCED_TABLE_NAME, GROUP_CONCAT(DISTINCT TABLE_NAME ORDER BY TABLE_NAME ASC SEPARATOR ', ') AS referencing_tables
+      FROM INFORMATION_SCHEMA.KEY_COLUMN_USAGE
+      WHERE TABLE_SCHEMA = '{db}' AND REFERENCED_TABLE_NAME IS NOT NULL
+      GROUP BY REFERENCED_TABLE_NAME;
+    """,
+}
+
+# Postgres: server/PostgresDBManager.js:127 (getTableData), 172
+# (getTableRows), 186 (getTableColumns), 213 (getPrimaryKeys),
+# 231 (getForeignKeys), 250 (getReferenceInfo).
+POSTGRES_REFERENCE_SQL = {
+    "table_data": """
+      WITH table_info AS (
+        SELECT
+            c.oid AS table_oid,
+            c.relname AS table_name,
+            COUNT(DISTINCT tc.constraint_name) AS num_foreign_keys
+        FROM
+            pg_class c
+            JOIN pg_namespace n ON n.oid = c.relnamespace
+            LEFT JOIN information_schema.table_constraints tc
+            ON tc.table_name = c.relname
+            AND tc.constraint_type = 'FOREIGN KEY'
+            AND tc.table_schema = n.nspname
+        WHERE
+            c.relkind = 'r'
+            AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+        GROUP BY
+            c.oid, c.relname
+      )
+      SELECT
+          ti.table_name,
+          ti.num_foreign_keys,
+          CASE
+              WHEN EXISTS (
+                  SELECT 1
+                  FROM pg_constraint ref_con
+                  WHERE ref_con.confrelid = ti.table_oid
+              ) THEN 'Referenced by other tables'
+              ELSE 'Not referenced by other tables'
+          END AS reference_status
+      FROM
+          table_info ti
+      ORDER BY
+          ti.table_name;
+    """,
+    "table_rows": """
+      SELECT COUNT(*) AS num_rows
+      FROM {table};
+    """,
+    "table_columns": """
+      SELECT
+          c.relname AS table_name,
+          array_to_string(array_agg(a.attname ORDER BY a.attnum), ', ') AS table_columns
+      FROM
+          pg_class c
+      JOIN
+          pg_attribute a ON a.attrelid = c.oid
+      JOIN
+          pg_namespace n ON n.oid = c.relnamespace
+      WHERE
+          c.relkind = 'r'
+          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+          AND a.attnum > 0
+      GROUP BY
+          c.relname;
+    """,
+    "primary_keys": """
+      SELECT kcu.column_name
+      FROM information_schema.table_constraints tco
+      JOIN information_schema.key_column_usage kcu ON kcu.constraint_name = tco.constraint_name
+      WHERE tco.constraint_type = 'PRIMARY KEY'
+      AND kcu.table_schema = 'public'
+      AND kcu.table_name = '{table}';
+    """,
+    "foreign_keys": """
+      SELECT kcu.column_name, ccu.table_name AS referenced_table_name, ccu.column_name AS referenced_column_name
+      FROM information_schema.key_column_usage kcu
+      JOIN information_schema.table_constraints tc ON kcu.constraint_name = tc.constraint_name
+      JOIN information_schema.constraint_column_usage ccu ON kcu.constraint_name = ccu.constraint_name
+      WHERE tc.constraint_type = 'FOREIGN KEY'
+      AND kcu.table_schema = 'public'
+      AND kcu.table_name = '{table}';
+    """,
+    "reference_info": """
+      SELECT
+          ref_table.relname AS referenced_table,
+          array_to_string(array_agg(con_table.relname ORDER BY con_table.relname), ', ') AS referencing_tables
+      FROM
+          pg_constraint c
+      JOIN
+          pg_class ref_table ON ref_table.oid = c.confrelid
+      JOIN
+          pg_class con_table ON con_table.oid = c.conrelid
+      JOIN
+          pg_namespace n ON n.oid = ref_table.relnamespace
+      WHERE
+          c.contype = 'f'
+          AND n.nspname NOT IN ('pg_catalog', 'information_schema')
+      GROUP BY
+          ref_table.relname;
+    """,
+}
+
+REFERENCE_SQL = {
+    "mysql": MYSQL_REFERENCE_SQL,
+    "postgres": POSTGRES_REFERENCE_SQL,
+}
+
+
+def normalize_sql(sql: str) -> str:
+    """Whitespace-collapse + strip the trailing statement terminator, so
+    text comparisons pin semantics-bearing bytes only."""
+    return " ".join(sql.split()).rstrip(";").strip()
+
+
+def reference_meta_sql(dialect: str, endpoint: str, db: str = "{db}",
+                       table: str = "{table}") -> str:
+    """The exact SQL string the reference ships for `endpoint`
+    ('table_data' | 'table_rows' | 'table_columns' | 'primary_keys' |
+    'foreign_keys' | 'reference_info'), normalized for the JDBC
+    `dbtable` subquery slot (no trailing ';')."""
+    return normalize_sql(
+        REFERENCE_SQL[dialect][endpoint].format(db=db, table=table)
+    )
+
+
+# Reshaped set-returning variants of the same three catalog relations the
+# engine's planner consumes, verbatim shapes
 # (server/MySQLDBManager.js:99-111,152-159,176-226). {db} is the schema.
 MYSQL_META_QUERIES = {
     "tables": (
