@@ -56,17 +56,90 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes):  # pragma: no cover - exercised by tests only
-    """Real-decoder seam: swap in PIL when available."""
+# Pluggable real-decoder seam. A codec is any callable
+# `bytes -> {"width": int, "height": int, "mode": str}`. Resolution order:
+# explicit argument > codec injected via set_image_codec() > pillow (if
+# importable) > None. The deterministic fake kernels below stay the
+# default for every REGISTERED query (their DuckDB oracles depend on
+# them); the codec seam is for callers wiring a real library.
+_IMAGE_CODEC = None
+
+
+def set_image_codec(codec) -> None:
+    """Inject a process-wide image codec (None to clear). The codec is
+    resolved on the DRIVER and captured into task closures, so workers
+    never read this global."""
+    global _IMAGE_CODEC
+    _IMAGE_CODEC = codec
+
+
+def _pillow_codec():
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
+        import io
+
+        from PIL import Image
+    except ImportError:
+        return None
+
+    def codec(blob: bytes):
+        with Image.open(io.BytesIO(blob)) as im:
+            return {"width": im.width, "height": im.height, "mode": im.mode}
+
+    return codec
+
+
+def resolve_image_codec(codec=None):
+    """The codec decode operators will run, or None when neither an
+    injected codec nor pillow is available."""
+    if codec is not None:
+        return codec
+    if _IMAGE_CODEC is not None:
+        return _IMAGE_CODEC
+    return _pillow_codec()
+
+
+def decode_image(blob: bytes, codec=None):
+    """Decode one blob via the resolved codec; NotImplementedError only
+    when no codec can be resolved (the documented stub surface)."""
+    c = resolve_image_codec(codec)
+    if c is None:
         raise NotImplementedError(
-            "image decode requires pillow, which is not installed in this"
-            " environment; the deterministic fake kernels below exercise"
-            " the full Spark plumbing instead"
-        ) from exc
-    raise NotImplementedError("real decode path not wired yet")
+            "image decode needs a codec: inject one with set_image_codec()"
+            " or install pillow; the deterministic fake kernels exercise"
+            " the full Spark plumbing without one"
+        )
+    return c(blob)
+
+
+def mm_decode(spark, media: DataFrame, codec=None) -> DataFrame:
+    """(doc_id, width, height, mode) by running the resolved codec over
+    Arrow batches — the real-decode twin of q_ext_mm_decode_features.
+    The codec resolves on the driver and rides the mapInPandas closure
+    (cloudpickle), so an injected codec works on executors untouched."""
+    import pandas as pd
+
+    c = resolve_image_codec(codec)
+    if c is None:
+        raise NotImplementedError(
+            "mm_decode needs a codec: inject one with set_image_codec()"
+            " or install pillow"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = [c(bytes(b)) for b in pdf["blob"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [d["width"] for d in decoded],
+                    "height": [d["height"] for d in decoded],
+                    "mode": [d["mode"] for d in decoded],
+                }
+            )
+
+    return _spread(spark, media).mapInPandas(
+        run, "doc_id bigint, width int, height int, mode string"
+    )
 
 
 def _spread(spark, df: DataFrame) -> DataFrame:

@@ -65,9 +65,64 @@ def test_metadata_schema_is_typed(spark):
     )
 
 
-def test_decode_image_stub_raises():
-    with pytest.raises(NotImplementedError, match="pillow"):
+def _pillow_available():
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(_pillow_available(), reason="pillow installed")
+def test_decode_image_without_any_codec_raises():
+    assert mm.resolve_image_codec() is None
+    with pytest.raises(NotImplementedError, match="set_image_codec"):
         mm.decode_image(b"\x89PNG...")
+
+
+def test_decode_image_uses_injected_codec():
+    def codec(blob):
+        return {"width": len(blob), "height": 2, "mode": "FAKE"}
+
+    try:
+        mm.set_image_codec(codec)
+        assert mm.decode_image(b"abcd") == {
+            "width": 4, "height": 2, "mode": "FAKE"
+        }
+    finally:
+        mm.set_image_codec(None)
+    # explicit argument wins without touching the global
+    assert mm.decode_image(b"abcdef", codec=codec)["width"] == 6
+
+
+def test_mm_decode_runs_injected_codec_on_executors(spark):
+    """The injected codec must ride the mapInPandas closure — resolved on
+    the driver, executed inside worker tasks."""
+
+    def codec(blob):
+        return {"width": len(blob) % 97, "height": 7, "mode": "FAKE"}
+
+    try:
+        mm.set_image_codec(codec)
+        media = mm.media_df(spark, SF0001)
+        out = mm.mm_decode(spark, media)
+        rows = {r.doc_id: r for r in out.collect()}
+        blobs = {r.doc_id: r.blob for r in media.collect()}
+        assert rows.keys() == blobs.keys()
+        assert all(
+            r.width == len(blobs[d]) % 97 and r.height == 7
+            and r.mode == "FAKE"
+            for d, r in rows.items()
+        )
+    finally:
+        mm.set_image_codec(None)
+
+
+@pytest.mark.skipif(_pillow_available(), reason="pillow installed")
+def test_mm_decode_without_codec_raises(spark):
+    with pytest.raises(NotImplementedError, match="set_image_codec"):
+        mm.mm_decode(spark, mm.media_df(spark, SF0001))
 
 
 def test_frame_sample_covers_all_docs(spark):
