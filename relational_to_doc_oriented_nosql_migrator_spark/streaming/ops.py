@@ -30,6 +30,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_sum,
@@ -64,13 +65,23 @@ def read_events_stream(
     sdf = reader.parquet(path)
     # Footer inspection needs a concrete file, not the glob.
     first_file = sorted(glob.glob(path))[0] if glob.glob(path) else path
-    for col in _nanos_timestamp_columns(first_file):
+    nanos_cols = set(_nanos_timestamp_columns(first_file))
+    for field in disk_schema.fields:
         # Plain TIMESTAMP (not NTZ): watermarks only accept it. Session tz
         # is pinned UTC (ensure_runtime_confs), so the cast back to NTZ in
         # each op's output projection is the identity on wall-clock values.
-        sdf = sdf.withColumn(
-            col, F.expr(f"timestamp_micros({col} div 1000)").cast("timestamp")
-        )
+        # Two on-disk encodings normalize to it: TIMESTAMP(NANOS) (read as
+        # long under nanosAsLong) and native micros (read as NTZ).
+        if field.name in nanos_cols:
+            sdf = sdf.withColumn(
+                field.name,
+                F.expr(f"timestamp_micros({field.name} div 1000)")
+                .cast("timestamp"),
+            )
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            sdf = sdf.withColumn(
+                field.name, F.col(field.name).cast("timestamp")
+            )
     return sdf
 
 
