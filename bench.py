@@ -4,16 +4,24 @@
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": <sf>}
+   "queries": {name: sec, ...}, "sf": <sf>,
+   "n_runs": N, "spread": {name: [min, max], ...}}
 
 Each query is forced end-to-end with the noop sink (a bare count() would
 let Catalyst prune computed columns and under-report the work).
+
+Variance hygiene: the whole suite runs $SPARK_GRAFT_BENCH_RUNS times
+(default 3, suite-interleaved so a query's repeats don't ride its own
+just-warmed caches back-to-back); `queries` carries per-query MEDIANS and
+`spread` the min/max, so sub-second run-to-run noise is visible instead
+of consuming round-over-round attention.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -106,18 +114,31 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
-    timings: dict[str, float] = {}
-    for name, fn in headline.items():
-        t0 = time.time()
-        fn()
-        timings[name] = round(time.time() - t0, 3)
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    samples: dict[str, list[float]] = {name: [] for name in headline}
+    for _ in range(n_runs):
+        for name, fn in headline.items():
+            t0 = time.time()
+            fn()
+            samples[name].append(round(time.time() - t0, 3))
+        # Drop persisted frames so repeat runs measure the query, not the
+        # previous run's caches (and cached RDDs don't accumulate x n).
+        spark.catalog.clearCache()
 
+    timings = {
+        name: round(statistics.median(ts), 3)
+        for name, ts in samples.items()
+    }
     out = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": _sf_of(SF_DIR),
+        "n_runs": n_runs,
+        "spread": {
+            name: [min(ts), max(ts)] for name, ts in samples.items()
+        },
     }
 
     # Self-reporting regression check against the checked-in round-1
