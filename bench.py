@@ -57,48 +57,53 @@ def main() -> None:
     def force(df) -> None:
         df.write.format("noop").mode("overwrite").save()
 
-    def bench_migrate() -> None:
-        collections = migrate(spark, SF_DIR)
-        for df in collections.values():
-            force(df)
+    def make_suite(sf_dir: str) -> dict:
+        def bench_migrate() -> None:
+            collections = migrate(spark, sf_dir)
+            for df in collections.values():
+                force(df)
 
-    headline = {
-        "migrate_full": bench_migrate,
-        "q1_pricing": lambda: force(
-            relational.q_agg_pricing_summary(spark, SF_DIR)
-        ),
-        "nest_one_to_many": lambda: force(
-            relational.nest_one_to_many_df(spark, SF_DIR)
-        ),
-        "m2m_denormalize": lambda: force(
-            relational.q_join_denormalize_m2m(spark, SF_DIR)
-        ),
-        "dedup_minhash_lsh": lambda: force(
-            dedup.q_ext_dedup_minhash(spark, SF_DIR)
-        ),
-        "similarity_topk": lambda: force(
-            similarity.q_ext_similarity_topk(spark, SF_DIR)
-        ),
-        "session_windows": lambda: force(
-            windows.q_ext_session_agg(spark, SF_DIR)
-        ),
-        "text_quality": lambda: force(text.q_ext_text_quality(spark, SF_DIR)),
-        "decontaminate": lambda: force(
-            pipeline.q_ext_decontaminate(spark, SF_DIR)
-        ),
-        "curation_pipeline": lambda: force(
-            pipeline.q_ext_curation_pipeline(spark, SF_DIR)
-        ),
-        "similarity_ivf": lambda: force(
-            similarity.q_ext_similarity_ivf(spark, SF_DIR)
-        ),
-        "mm_frame_sample": lambda: force(
-            multimodal.q_ext_mm_frame_sample(spark, SF_DIR)
-        ),
-        "stream_tumbling": lambda: force(
-            streaming.QUERIES["ext_stream_tumbling_agg"](spark, SF_DIR)
-        ),
-    }
+        return {
+            "migrate_full": bench_migrate,
+            "q1_pricing": lambda: force(
+                relational.q_agg_pricing_summary(spark, sf_dir)
+            ),
+            "nest_one_to_many": lambda: force(
+                relational.nest_one_to_many_df(spark, sf_dir)
+            ),
+            "m2m_denormalize": lambda: force(
+                relational.q_join_denormalize_m2m(spark, sf_dir)
+            ),
+            "dedup_minhash_lsh": lambda: force(
+                dedup.q_ext_dedup_minhash(spark, sf_dir)
+            ),
+            "similarity_topk": lambda: force(
+                similarity.q_ext_similarity_topk(spark, sf_dir)
+            ),
+            "session_windows": lambda: force(
+                windows.q_ext_session_agg(spark, sf_dir)
+            ),
+            "text_quality": lambda: force(
+                text.q_ext_text_quality(spark, sf_dir)
+            ),
+            "decontaminate": lambda: force(
+                pipeline.q_ext_decontaminate(spark, sf_dir)
+            ),
+            "curation_pipeline": lambda: force(
+                pipeline.q_ext_curation_pipeline(spark, sf_dir)
+            ),
+            "similarity_ivf": lambda: force(
+                similarity.q_ext_similarity_ivf(spark, sf_dir)
+            ),
+            "mm_frame_sample": lambda: force(
+                multimodal.q_ext_mm_frame_sample(spark, sf_dir)
+            ),
+            "stream_tumbling": lambda: force(
+                streaming.QUERIES["ext_stream_tumbling_agg"](spark, sf_dir)
+            ),
+        }
+
+    headline = make_suite(SF_DIR)
 
     # Warm the JVM/session and the Python worker pool so query timings
     # measure queries, not interpreter startup.
@@ -140,6 +145,51 @@ def main() -> None:
             name: [min(ts), max(ts)] for name, ts in samples.items()
         },
     }
+
+    # Scale-curve datapoint: the five most expensive headliners once each
+    # at a 10x dataset (generated by tools/gen_scale_data.py; skipped when
+    # absent so the suite stays self-contained). `ratio_vs_base` is
+    # t(scale)/t(base); on 10x data an ideal compute-bound plan reads
+    # ~10 (or below, where fixed per-query Spark overhead amortizes) —
+    # materially above 10 means the plan scales super-linearly.
+    scale_dir = os.environ.get(
+        "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale/sf1.0"
+    )
+    if (not os.path.isdir(scale_dir)
+            and os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"):
+        try:
+            import importlib.util
+
+            spec = importlib.util.spec_from_file_location(
+                "gen_scale_data",
+                os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "tools", "gen_scale_data.py"),
+            )
+            mod = importlib.util.module_from_spec(spec)
+            spec.loader.exec_module(mod)
+            mod.generate(out_dir=scale_dir, spark=spark, verbose=False)
+        except Exception as exc:  # scale point is additive, never fatal
+            print(f"scale data generation failed: {exc}", file=sys.stderr)
+    if os.path.isdir(scale_dir):
+        scale_suite = make_suite(scale_dir)
+        scale_names = ["migrate_full", "q1_pricing", "dedup_minhash_lsh",
+                       "curation_pipeline", "stream_tumbling"]
+        spark.catalog.clearCache()
+        scale_timings: dict[str, float] = {}
+        for name in scale_names:
+            t0 = time.time()
+            scale_suite[name]()
+            scale_timings[name] = round(time.time() - t0, 3)
+        spark.catalog.clearCache()
+        out["scale"] = {
+            "sf": _sf_of(scale_dir),
+            "sf_dir": scale_dir,
+            "queries": scale_timings,
+            "ratio_vs_base": {
+                q: round(scale_timings[q] / timings[q], 2)
+                for q in scale_timings if timings.get(q)
+            },
+        }
 
     # Self-reporting regression check against the checked-in round-1
     # baseline (same headline set, same sf): per-query delta in seconds,

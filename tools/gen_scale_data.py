@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Deterministic scale-up of the driver testdata for scale-curve benching.
+
+Produces `factor` logical copies of a base SF directory (default sf0.1
+x10 ~= sf1.0) with disjoint key spaces, so every query's working set
+scales linearly and plans can be measured — not just argued — at 10x:
+
+- fact tables (orders/lineitem/customer/supplier/part): keys shifted by
+  copy * (max_key + 1); FK edges follow the same shift so referential
+  structure is preserved per copy. Dimension tables (region/nation) stay
+  fixed — scaling facts against fixed dims is the realistic shape.
+- documents: doc_id shifted; for copy > 0 every whitespace token gets a
+  `_<copy>` suffix. Copies are therefore ~0-Jaccard to each other (the
+  shingle spaces are disjoint), so near-dup pair structure replicates
+  per copy (linear) instead of every doc gaining `factor-1` identical
+  twins (quadratic pair blow-up — a different workload, not a scale-up).
+- events: event_id/user_id shifted; ts shifted by copy * (span + 1h) so
+  window/session counts scale linearly rather than deepening state.
+- embeddings: vec_id shifted; copy > 0 vectors get a tiny deterministic
+  per-dimension offset so cosine structure is replicated, not duplicated.
+
+Usage: python tools/gen_scale_data.py [--base DIR] [--factor N] [--out DIR]
+Output layout matches the testdata (one <table>.parquet per table; these
+are parquet DIRECTORIES, which every loader here handles).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DEFAULT_BASE = "/root/testdata/sf0.1"
+DEFAULT_OUT = "/tmp/spark_graft_scale/sf1.0"
+
+COPY_AS_IS = ("region", "nation")
+KEYED = {
+    "customer": {"c_custkey": "customer"},
+    "supplier": {"s_suppkey": "supplier"},
+    "part": {"p_partkey": "part"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "lineitem": {
+        "l_orderkey": "orders",
+        "l_partkey": "part",
+        "l_suppkey": "supplier",
+    },
+}
+# stride source column per logical key space
+STRIDE_COLS = {
+    "customer": ("customer", "c_custkey"),
+    "supplier": ("supplier", "s_suppkey"),
+    "part": ("part", "p_partkey"),
+    "orders": ("orders", "o_orderkey"),
+    "documents": ("documents", "doc_id"),
+    "events": ("events", "event_id"),
+    "users": ("events", "user_id"),
+    "embeddings": ("embeddings", "vec_id"),
+}
+
+
+def generate(
+    base_dir: str = DEFAULT_BASE,
+    factor: int = 10,
+    out_dir: str = DEFAULT_OUT,
+    spark=None,
+    verbose: bool = True,
+) -> str:
+    """Write the scaled tables; returns out_dir. Reusable from bench.py
+    with an existing session."""
+    from pyspark.sql import functions as F
+
+    from relational_to_doc_oriented_nosql_migrator_spark.session import get_spark
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    if spark is None:
+        spark = get_spark(app_name="gen-scale-data")
+        spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(out_dir, exist_ok=True)
+
+    def base(table):
+        return load_table(spark, base_dir, table)
+
+    strides = {
+        space: base(tbl).agg(F.max(col)).first()[0] + 1
+        for space, (tbl, col) in STRIDE_COLS.items()
+    }
+    copies = spark.range(factor).withColumnRenamed("id", "copy")
+
+    def write(df, table):
+        df.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet")
+        )
+        if verbose:
+            print(f"{table}: {df.count()} rows")
+
+    for table in COPY_AS_IS:
+        write(base(table), table)
+
+    for table, keymap in KEYED.items():
+        df = base(table).crossJoin(copies)
+        for col, space in keymap.items():
+            df = df.withColumn(
+                col, F.col(col) + F.col("copy") * F.lit(strides[space])
+            )
+        write(df.drop("copy"), table)
+
+    docs = base("documents").crossJoin(copies)
+    perturbed = (
+        "concat_ws(' ', transform(split(text, ' '),"
+        " t -> concat(t, '_', CAST(copy AS STRING))))"
+    )
+    docs = docs.select(
+        (F.col("doc_id") + F.col("copy") * F.lit(strides["documents"]))
+        .alias("doc_id"),
+        F.when(F.col("copy") == 0, F.col("text"))
+        .otherwise(F.expr(perturbed))
+        .alias("text"),
+        "lang",
+        "source",
+        "copy",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    write(docs.drop("copy"), "documents")
+
+    ev = base("events")
+    span = ev.agg(
+        (F.unix_timestamp(F.max("ts").cast("timestamp"))
+         - F.unix_timestamp(F.min("ts").cast("timestamp"))) + 3600
+    ).first()[0]
+    ev = ev.crossJoin(copies).select(
+        (F.col("event_id") + F.col("copy") * F.lit(strides["events"]))
+        .alias("event_id"),
+        (F.col("ts") + (F.col("copy") * F.lit(span))
+         .cast("string").cast("interval second")).alias("ts"),
+        (F.col("user_id") + F.col("copy") * F.lit(strides["users"]))
+        .alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    write(ev, "events")
+
+    emb = base("embeddings").crossJoin(copies).select(
+        (F.col("vec_id") + F.col("copy") * F.lit(strides["embeddings"]))
+        .alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x + copy * 0.001 *"
+            " ((i % 7) - 3) AS FLOAT))"
+        ).alias("embedding"),
+        "label",
+    )
+    write(emb, "embeddings")
+
+
+    if verbose:
+        print(f"scale data written to {out_dir}")
+    return out_dir
+
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=DEFAULT_BASE)
+    ap.add_argument("--factor", type=int, default=10)
+    ap.add_argument("--out", default=DEFAULT_OUT)
+    args = ap.parse_args()
+    generate(args.base, args.factor, args.out)
+
+
+if __name__ == "__main__":
+    main()
