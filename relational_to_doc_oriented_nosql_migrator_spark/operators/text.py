@@ -9,6 +9,7 @@ and scale linearly with one narrow pass over the text column.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_avg,
@@ -189,6 +190,81 @@ def q_ext_split_assign(spark, sf_dir):
                        split.alias("split"))
 
 
+def q_ext_text_unigram_logprob(spark, sf_dir):
+    """Unigram language-model quality score: per-doc mean log-probability
+    under the corpus's own unigram distribution (the cheap KenLM-style
+    perplexity proxy used to rank training docs; low = boilerplate/garble).
+
+    Scale shape: one explode + two shuffles that matter — token frequency
+    aggregation (map-side combined) and the token->logprob equi-join (the
+    vocab side is post-aggregation small; AQE broadcasts it when it fits).
+    The corpus total rides a broadcast 1-row cross join, never the driver.
+    Per-token logprob is rounded BEFORE the per-doc decimal mean so both
+    engines aggregate identical values in any order.
+    """
+    ex = docs_tokenized(spark, sf_dir).select(
+        "doc_id", F.explode("tk").alias("tok")
+    )
+    freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = freq.agg(F.sum("cnt").alias("total"))
+    logp = freq.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(
+            F.log(F.col("cnt").cast("double") / F.col("total")), 6
+        ).alias("lp"),
+    )
+    return (
+        ex.join(logp, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            dec_avg("lp").alias("avg_logprob"),
+        )
+    )
+
+
+TFIDF_TOP_K = 3
+
+
+def q_ext_text_tfidf_top(spark, sf_dir):
+    """Top-K characteristic terms per doc by tf-idf (the classic
+    keyword-extraction / topic-tagging pass of a curation pipeline).
+
+    Scale shape: tf is one (doc_id, term) aggregation; df reuses tf (one
+    row per doc-term, so COUNT(*) per term IS document frequency —
+    no second corpus pass); idf joins back post-aggregation (AQE
+    broadcasts the vocab side when small); the final top-K is a
+    row_number window partitioned by doc_id — state per partition is one
+    heap, never the corpus. Scores are rounded before ranking, with the
+    term as tiebreaker, so ordering is identical across engines.
+    """
+    ex = docs_tokenized(spark, sf_dir).select(
+        "doc_id", F.explode("tk").alias("term")
+    )
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    ndocs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    idf = df_.crossJoin(F.broadcast(ndocs)).select(
+        "term",
+        F.round(
+            F.log(F.col("n_docs").cast("double") / F.col("df")), 6
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        "doc_id",
+        "term",
+        F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TFIDF_TOP_K)
+        .select("doc_id", "rnk", "term", "tfidf")
+    )
+
+
 def q_ext_token_bigrams(spark, sf_dir):
     """Corpus-wide token-pair frequencies (the merge-candidate counting
     step of BPE training): adjacent-token bigrams exploded and counted."""
@@ -214,6 +290,8 @@ QUERIES = {
     "ext_text_quality": q_ext_text_quality,
     "ext_text_langid": q_ext_text_langid,
     "ext_text_fingerprint": q_ext_text_fingerprint,
+    "ext_text_unigram_logprob": q_ext_text_unigram_logprob,
+    "ext_text_tfidf_top": q_ext_text_tfidf_top,
 }
 
 
@@ -300,5 +378,31 @@ SELECT doc_id,
                  for i in generate_series(1, greatest(len(tk) - 4, 1))])
          AS fingerprint
 FROM toks
+""",
+    "ext_text_unigram_logprob": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+ex AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+logp AS (SELECT tok, round(ln(cnt::DOUBLE / total), 6) AS lp
+         FROM freq, tot)
+SELECT doc_id, COUNT(*) AS n_tokens, {sql_dec_avg('lp')} AS avg_logprob
+FROM ex JOIN logp USING (tok) GROUP BY doc_id
+""",
+    "ext_text_tfidf_top": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+ex AS (SELECT doc_id, unnest(tk) AS term FROM tk),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM ex GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+idf AS (SELECT term, round(ln(n_docs::DOUBLE / df), 6) AS idf
+        FROM df, nd),
+scored AS (SELECT doc_id, t.term, round(tf * idf, 6) AS tfidf
+           FROM tf t JOIN idf USING (term)),
+ranked AS (SELECT doc_id, term, tfidf,
+                  row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY tfidf DESC, term) AS rnk
+           FROM scored)
+SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3
 """,
 }
