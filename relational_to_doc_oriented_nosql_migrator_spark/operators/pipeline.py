@@ -223,6 +223,64 @@ def q_ext_domain_mix(spark, sf_dir):
     )
 
 
+# Temperature for mixture flattening: target share p_i^ALPHA / sum p^ALPHA.
+# ALPHA < 1 up-weights small domains (the standard multilingual /
+# multi-domain pretraining move); ALPHA = 1 is the natural mix.
+TEMPERATURE_ALPHA = 0.7
+
+
+def q_ext_domain_mix_temperature(spark, sf_dir):
+    """Temperature-scaled domain mixture: per-source natural token share,
+    the temperature-flattened target share p^a / sum(p^a), and the
+    sampling boost (target/natural) a sampler applies per source.
+
+    Scale shape: identical to ext_domain_mix — one corpus aggregation to
+    a |sources|-row frame; all windows/powers run on that tiny frame.
+    Powers and shares are rounded before reuse and the normalizer is a
+    decimal sum, so both engines compute identical mixtures.
+    """
+    docs = t(spark, sf_dir, "documents")
+    per_source = (
+        docs.select("source", F.size(tokens_col(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").alias("sum_tokens"),
+        )
+    )
+    total = F.sum("sum_tokens").over(Window.partitionBy())
+    share = F.round(F.col("sum_tokens").cast("double") / total, 6)
+    powed = per_source.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        share.alias("share"),
+    ).withColumn(
+        "p_alpha",
+        F.round(F.pow(F.col("share"), F.lit(TEMPERATURE_ALPHA)), 6),
+    )
+    ztot = (
+        F.sum(F.col("p_alpha").cast("decimal(18,6)"))
+        .over(Window.partitionBy())
+        .cast("double")
+    )
+    tgt = powed.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        "share",
+        F.round(F.col("p_alpha") / ztot, 6).alias("target_share"),
+    )
+    return tgt.select(
+        "source",
+        "n_docs",
+        "sum_tokens",
+        "share",
+        "target_share",
+        F.round(F.col("target_share") / F.col("share"), 6).alias("boost"),
+    )
+
+
 def sample_stratified_from(docs_tk):
     """Stratified sampling over a pre-tokenized (doc_id, source, tk)
     frame."""
@@ -466,6 +524,7 @@ QUERIES = {
     "ext_decontaminate": q_ext_decontaminate,
     "ext_repetition_filter": q_ext_repetition_filter,
     "ext_domain_mix": q_ext_domain_mix,
+    "ext_domain_mix_temperature": q_ext_domain_mix_temperature,
     "ext_sample_stratified": q_ext_sample_stratified,
     "ext_pack_sequences": q_ext_pack_sequences,
 }
@@ -552,6 +611,29 @@ SELECT doc_id,
        round(n_distinct::DOUBLE / n_tokens, 6) >= 0.2 AND
          round(max_n::DOUBLE / total_bigrams, 6) <= 0.18 AS keep
 FROM per_doc
+""",
+    "ext_domain_mix_temperature": f"""
+WITH per AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len({SQL_TOKENS})) AS BIGINT) AS sum_tokens
+  FROM documents GROUP BY source
+),
+s AS (
+  SELECT source, n_docs, sum_tokens,
+         round(sum_tokens::DOUBLE / SUM(sum_tokens) OVER (), 6) AS share
+  FROM per
+),
+p AS (SELECT *, round(pow(share, {TEMPERATURE_ALPHA}), 6) AS p_alpha FROM s),
+z AS (SELECT CAST(SUM(CAST(p_alpha AS DECIMAL(18,6))) AS DOUBLE) AS ztot
+      FROM p),
+t2 AS (
+  SELECT source, n_docs, sum_tokens, share,
+         round(p_alpha / ztot, 6) AS target_share
+  FROM p, z
+)
+SELECT source, n_docs, sum_tokens, share, target_share,
+       round(target_share / share, 6) AS boost
+FROM t2
 """,
     "ext_domain_mix": f"""
 WITH per_source AS (

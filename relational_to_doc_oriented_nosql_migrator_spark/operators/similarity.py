@@ -199,10 +199,43 @@ def q_ext_similarity_ivf(spark, sf_dir):
     )
 
 
+def q_ext_knn_classify(spark, sf_dir):
+    """k-NN label prediction over the embedding space: majority vote of
+    the TOP_K exact-cosine neighbors' labels (ties broken by smallest
+    label) — the classic downstream consumer of a similarity index.
+
+    Scale shape: built on the top-k frame (queries broadcast, single
+    corpus scan); the vote aggregation and argmax window operate on
+    |queries| * TOP_K rows — index-output-sized, never corpus-sized. Swap
+    the topk input for the LSH/IVF frame for the ANN-backed variant.
+    """
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    topk = q_ext_similarity_topk(spark, sf_dir)
+    votes = (
+        topk.join(labels.withColumnRenamed("vec_id", "cand_id"), "cand_id")
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("pred_label"), "votes")
+    )
+    truth = labels.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("true_label"),
+    )
+    return pred.join(F.broadcast(truth), "query_id")
+
+
 QUERIES = {
     "ext_similarity_topk": q_ext_similarity_topk,
     "ext_similarity_lsh": q_ext_similarity_lsh,
     "ext_similarity_ivf": q_ext_similarity_ivf,
+    "ext_knn_classify": q_ext_knn_classify,
 }
 
 _SQL_COS = (
@@ -279,3 +312,22 @@ SELECT query_id, cand_id, cosine, rank FROM (
 ) WHERE rank <= 3
 """,
 }
+
+ORACLES["ext_knn_classify"] = f"""
+WITH topk AS ({ORACLES['ext_similarity_topk']}),
+votes AS (
+  SELECT t.query_id, e.label, COUNT(*) AS votes
+  FROM topk t JOIN embeddings e ON e.vec_id = t.cand_id
+  GROUP BY t.query_id, e.label
+),
+pred AS (
+  SELECT query_id, label AS pred_label, votes FROM (
+    SELECT query_id, label, votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY votes DESC, label ASC) AS r
+    FROM votes
+  ) WHERE r = 1
+)
+SELECT p.query_id, p.pred_label, p.votes, e.label AS true_label
+FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
+"""

@@ -7,6 +7,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.streaming.ops import (
     run_stream_to_batch,
     stream_to_json_files,
     stream_dedup_keys,
+    stream_enrich_agg,
     stream_session_agg,
     stream_sliding_agg,
     stream_tumbling_agg,
@@ -20,6 +21,7 @@ __all__ = [
     "run_stream_to_batch",
     "stream_to_json_files",
     "stream_dedup_keys",
+    "stream_enrich_agg",
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_tumbling_agg",

@@ -171,6 +171,41 @@ def stream_session_agg(events: DataFrame, watermark: str = "30 minutes"):
     )
 
 
+def stream_enrich_agg(
+    events: DataFrame, dim: DataFrame, watermark: str = "30 minutes"
+):
+    """Stream-static enrichment: join the event stream against a batch
+    dimension (customer) and aggregate per 10-minute tumbling window and
+    market segment — the standard "enrich then window" shape of a
+    production ingest pipeline.
+
+    Scale shape: a stream-static equi-join needs no stream-side state
+    beyond the aggregation's own; the dimension side is a batch relation
+    Spark re-plans per micro-batch (broadcast when it fits, the usual
+    case for dimensions). Watermark applied before the stateful agg
+    bounds window state as usual.
+    """
+    enriched = events.withWatermark("ts", watermark).join(
+        dim, events.user_id == dim.c_custkey
+    )
+    return (
+        enriched.groupBy(
+            F.window("ts", "10 minutes").alias("w"),
+            F.col("c_mktsegment").alias("mktsegment"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def stream_dedup_keys(events: DataFrame, watermark: str = "30 minutes"):
     """Stateful streaming dedup: first arrival per (user_id, event_type)
     within the watermark horizon; key-only projection keeps the output
@@ -244,6 +279,20 @@ def q_ext_stream_session_agg(spark, sf_dir):
     )
 
 
+def q_ext_stream_enrich_agg(spark, sf_dir):
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    return run_stream_to_batch(
+        stream_enrich_agg(read_events_stream(spark, sf_dir), dim),
+        "complete",
+    )
+
+
 def q_ext_stream_dedup(spark, sf_dir):
     return run_stream_to_batch(
         stream_dedup_keys(read_events_stream(spark, sf_dir)), "append"
@@ -280,6 +329,7 @@ QUERIES = {
     "ext_stream_tumbling_agg": q_ext_stream_tumbling_agg,
     "ext_stream_sliding_agg": q_ext_stream_sliding_agg,
     "ext_stream_session_agg": q_ext_stream_session_agg,
+    "ext_stream_enrich_agg": q_ext_stream_enrich_agg,
     "ext_stream_dedup": q_ext_stream_dedup,
     "ext_stream_stateful": q_ext_stream_stateful,
 }
@@ -324,6 +374,13 @@ SELECT user_id, MIN(ts) AS session_start,
        MAX(ts) + INTERVAL '30 minutes' AS session_end,
        COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
 FROM islands GROUP BY user_id, session_id
+""",
+    "ext_stream_enrich_agg": f"""
+SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS window_start,
+       c.c_mktsegment AS mktsegment,
+       COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
 """,
     "ext_stream_dedup": """
 SELECT DISTINCT user_id, event_type FROM events
