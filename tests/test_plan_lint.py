@@ -21,12 +21,21 @@ BRUTE_FORCE_BASELINES = {
     "ext_dedup_ngram_jaccard",   # sibling: ext_dedup_minhash
     "ext_dedup_embedding",       # sibling: ext_similarity_lsh / _ivf
     "ext_similarity_topk",       # sibling: ext_similarity_lsh / _ivf
+    "ext_knn_classify",          # consumes the exact topk baseline; swap
+                                 # in the LSH/IVF frame for the ANN variant
 }
 
-# Broadcast cross against a CONSTANT-size side (N_CENTROIDS=16 rows): a
-# map-side nested loop linear in the corpus — the correct plan for coarse
-# quantizer assignment, not a scale hazard.
-TINY_BROADCAST_CROSS = {"ext_similarity_ivf"}
+# Broadcast cross against a CONSTANT-size side (N_CENTROIDS=16 rows for
+# IVF; a 1-row global aggregate for the corpus-total / doc-count joins):
+# a map-side nested loop linear in the corpus — the correct plan for
+# joining a scalar against a big frame (the window-over-everything
+# alternative would funnel the frame through one partition), not a scale
+# hazard.
+TINY_BROADCAST_CROSS = {
+    "ext_similarity_ivf",
+    "ext_text_unigram_logprob",  # 1-row corpus-total cross join
+    "ext_text_tfidf_top",        # 1-row doc-count cross join
+}
 
 # Ops that execute eagerly (streaming/iterative/sink) — their final
 # DataFrame is a materialized result, not the interesting plan; their
