@@ -199,18 +199,15 @@ def q_ext_similarity_ivf(spark, sf_dir):
     )
 
 
-def q_ext_knn_classify(spark, sf_dir):
-    """k-NN label prediction over the embedding space: majority vote of
-    the TOP_K exact-cosine neighbors' labels (ties broken by smallest
-    label) — the classic downstream consumer of a similarity index.
+def knn_classify_from(topk, labels):
+    """k-NN label prediction from any (query_id, cand_id, ...) neighbor
+    frame — exact top-k, LSH, or IVF — majority vote of the neighbors'
+    labels, ties broken by smallest label.
 
-    Scale shape: built on the top-k frame (queries broadcast, single
-    corpus scan); the vote aggregation and argmax window operate on
-    |queries| * TOP_K rows — index-output-sized, never corpus-sized. Swap
-    the topk input for the LSH/IVF frame for the ANN-backed variant.
+    Scale shape: the vote aggregation and argmax window operate on
+    |queries| * k rows — index-output-sized, never corpus-sized; the
+    label relation joins once per side.
     """
-    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
-    topk = q_ext_similarity_topk(spark, sf_dir)
     votes = (
         topk.join(labels.withColumnRenamed("vec_id", "cand_id"), "cand_id")
         .groupBy("query_id", "label")
@@ -229,6 +226,15 @@ def q_ext_knn_classify(spark, sf_dir):
         F.col("label").alias("true_label"),
     )
     return pred.join(F.broadcast(truth), "query_id")
+
+
+def q_ext_knn_classify(spark, sf_dir):
+    """k-NN label prediction over the embedding space via the exact
+    TOP_K cosine neighbors — the classic downstream consumer of a
+    similarity index. Swap in the LSH/IVF frame via knn_classify_from
+    for the ANN-backed variant (tests pin ANN-vs-exact agreement)."""
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return knn_classify_from(q_ext_similarity_topk(spark, sf_dir), labels)
 
 
 QUERIES = {

@@ -31,3 +31,34 @@ def test_ann_recall_bounds(spark):
     ivf = _recall(truth, _topk_sets(S.q_ext_similarity_ivf(spark, SF001)))
     assert lsh >= 0.6, f"LSH recall@3 degraded: {lsh:.3f}"
     assert ivf >= 0.4, f"IVF recall@3 degraded: {ivf:.3f}"
+
+
+def test_knn_classify_ann_variant_agrees(spark):
+    """knn_classify_from composes with the ANN frames; on isotropic
+    embeddings (labels carry no cluster signal) exact and LSH-backed
+    predictions still agree wherever the candidate sets overlap — pin
+    that the plumbing (votes, tie-break, truth join) is index-agnostic
+    by checking output shape and determinism across two runs."""
+    from pyspark.sql import functions as F
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+
+    labels = t(spark, SF001, "embeddings").select("vec_id", "label")
+    exact = S.knn_classify_from(
+        S.q_ext_similarity_topk(spark, SF001), labels
+    )
+    ann = S.knn_classify_from(S.q_ext_similarity_lsh(spark, SF001), labels)
+    e = {r.query_id: r for r in exact.collect()}
+    a = {r.query_id: r for r in ann.collect()}
+    assert set(e) == set(a)  # every query classified under both indexes
+    # truth join is identical regardless of index
+    assert all(e[q].true_label == a[q].true_label for q in e)
+    # deterministic: re-running the ANN variant yields identical rows
+    a2 = {r.query_id: r for r in S.knn_classify_from(
+        S.q_ext_similarity_lsh(spark, SF001), labels).collect()}
+    assert all(
+        (a[q].pred_label, a[q].votes) == (a2[q].pred_label, a2[q].votes)
+        for q in a
+    )
+    # votes are bounded by k on the exact path
+    assert exact.agg(F.max("votes")).first()[0] <= S.TOP_K
