@@ -557,8 +557,34 @@ def q_ext_dedup_components(spark, sf_dir):
     )
 
 
+# A shingle shared by this many distinct docs is boilerplate (headers,
+# licenses, templates) — the CCNet-style pre-pass that removes repeated
+# spans before near-dup detection.
+BOILERPLATE_MIN_DOCS = 3
+
+
+def q_ext_dedup_common_ngrams(spark, sf_dir):
+    """Boilerplate n-gram detection: word-5-gram shingles appearing in >=
+    BOILERPLATE_MIN_DOCS distinct docs, with their document frequency.
+
+    Scale shape: per-doc shingle sets are already distinct, so one
+    explode + one map-side-combined groupBy(shingle) gives document
+    frequency directly — a single uniform-key shuffle, no joins. The
+    output is vocabulary-sized (shared shingles only), which downstream
+    scrubbing joins back against the corpus as the small side.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    return (
+        sh.select("doc_id", F.explode("sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") >= BOILERPLATE_MIN_DOCS)
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": q_ext_dedup_exact,
+    "ext_dedup_common_ngrams": q_ext_dedup_common_ngrams,
     "ext_dedup_components": q_ext_dedup_components,
     "ext_dedup_ngram_jaccard": q_ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": q_ext_dedup_minhash,
@@ -590,6 +616,13 @@ _SQL_PAIR_JACCARD = (
 )
 
 ORACLES = {
+    "ext_dedup_common_ngrams": f"""
+WITH tk AS ({SQL_TK}),
+shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk)
+SELECT shingle, COUNT(*) AS n_docs
+FROM (SELECT doc_id, unnest(sh) AS shingle FROM shingles)
+GROUP BY shingle HAVING COUNT(*) >= {BOILERPLATE_MIN_DOCS}
+""",
     "ext_dedup_exact": """
 SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
          AS content_key,

@@ -8,6 +8,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.streaming.ops import (
     stream_to_json_files,
     stream_dedup_keys,
     stream_enrich_agg,
+    stream_interval_join,
     stream_session_agg,
     stream_sliding_agg,
     stream_tumbling_agg,
@@ -22,6 +23,7 @@ __all__ = [
     "stream_to_json_files",
     "stream_dedup_keys",
     "stream_enrich_agg",
+    "stream_interval_join",
     "stream_session_agg",
     "stream_sliding_agg",
     "stream_tumbling_agg",

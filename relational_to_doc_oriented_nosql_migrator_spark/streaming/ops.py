@@ -206,6 +206,51 @@ def stream_enrich_agg(
     )
 
 
+def stream_interval_join(events: DataFrame, watermark: str = "30 minutes"):
+    """Stream-stream interval join: for each purchase, the same user's
+    clicks in the preceding 30 minutes (click-attribution, the canonical
+    two-stream correlation).
+
+    Scale shape: a watermarked interval join keeps per-key state only for
+    the interval span on each side — Spark evicts click state older than
+    (watermark + interval) and purchase state older than the watermark,
+    so state is bounded by event rate x window, not stream length. The
+    join condition carries BOTH the user-id equality (hash-partitionable)
+    and the time range, so the shuffle key is user_id, never a cross
+    product.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("purchase_ts")
+            <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+        ),
+    )
+    return joined.select(
+        "purchase_id", "click_id", F.col("p_user").alias("user_id")
+    )
+
+
 def stream_dedup_keys(events: DataFrame, watermark: str = "30 minutes"):
     """Stateful streaming dedup: first arrival per (user_id, event_type)
     within the watermark horizon; key-only projection keeps the output
@@ -299,6 +344,12 @@ def q_ext_stream_dedup(spark, sf_dir):
     )
 
 
+def q_ext_stream_interval_join(spark, sf_dir):
+    return run_stream_to_batch(
+        stream_interval_join(read_events_stream(spark, sf_dir)), "append"
+    )
+
+
 def q_ext_stream_stateful(spark, sf_dir):
     return run_stream_to_batch(
         stream_user_stats(read_events_stream(spark, sf_dir)), "update"
@@ -330,6 +381,7 @@ QUERIES = {
     "ext_stream_sliding_agg": q_ext_stream_sliding_agg,
     "ext_stream_session_agg": q_ext_stream_session_agg,
     "ext_stream_enrich_agg": q_ext_stream_enrich_agg,
+    "ext_stream_interval_join": q_ext_stream_interval_join,
     "ext_stream_dedup": q_ext_stream_dedup,
     "ext_stream_stateful": q_ext_stream_stateful,
 }
@@ -381,6 +433,13 @@ SELECT time_bucket(INTERVAL '10 minutes', e.ts) AS window_start,
        COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value
 FROM events e JOIN customer c ON e.user_id = c.c_custkey
 GROUP BY 1, 2
+""",
+    "ext_stream_interval_join": """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id
+FROM events p JOIN events c
+  ON p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.user_id = p.user_id
+ AND c.ts <= p.ts AND p.ts <= c.ts + INTERVAL '30 minutes'
 """,
     "ext_stream_dedup": """
 SELECT DISTINCT user_id, event_type FROM events

@@ -43,6 +43,7 @@ TINY_BROADCAST_CROSS = {
 EAGER = {
     "ext_stream_tumbling_agg", "ext_stream_sliding_agg",
     "ext_stream_session_agg", "ext_stream_dedup", "ext_stream_stateful",
+    "ext_stream_enrich_agg", "ext_stream_interval_join",
     "ext_dedup_components", "sink_json_collections", "src_sql_dump_import",
     "src_log_text",
 }
