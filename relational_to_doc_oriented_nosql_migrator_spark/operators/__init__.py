@@ -28,9 +28,10 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # workload/window block (CORRECTNESS_r01); round 2 led with the 47 then-
 # unproven ids (CORRECTNESS_r02, all green). Round 3 rotates the window
 # back to the 41 ids whose only green rows predate the round-2 commits,
-# plus the dedup/multimodal ids whose code changes again this round, so
-# CORRECTNESS_r02 ∪ r03 is a complete same-code-era proof. Local tests
-# always cover everything.
+# the two dedup ids whose code materially changed this round, and the
+# seven round-3-new operators (first driver row each), so CORRECTNESS_r02
+# ∪ r03 covers all 98 with same-code-era rows. Local tests always cover
+# everything.
 DRIVER_WINDOW_FIRST = (
     # 41 ids last driver-proven in round 1 (pre-round-2-commit code)
     "proj_attribute_select", "proj_drop_fk_column", "proj_rename_ref",
@@ -48,12 +49,14 @@ DRIVER_WINDOW_FIRST = (
     "ext_window_running", "ext_setops", "ext_json_extract",
     "ext_percentiles",
     "ext_text_tokens", "ext_split_assign", "ext_token_bigrams",
-    # r02-proven ids whose code changes again in round 3
-    # (dedup: components checkpointing + minhash bucket cap;
-    #  multimodal: pluggable codec adapter)
-    "ext_dedup_exact", "ext_dedup_ngram_jaccard", "ext_dedup_minhash",
-    "ext_dedup_simhash", "ext_dedup_simhash_pairs", "ext_dedup_components",
-    "ext_mm_decode_features", "ext_mm_resize", "ext_mm_frame_sample",
+    # r02-proven ids whose code materially changed in round 3
+    # (minhash: bucket cap, oracle included; components: lineage
+    #  checkpointing + iteration cap)
+    "ext_dedup_minhash", "ext_dedup_components",
+    # new in round 3 — first driver row
+    "ext_text_unigram_logprob", "ext_text_tfidf_top", "ext_knn_classify",
+    "ext_stream_enrich_agg", "ext_stream_interval_join",
+    "ext_domain_mix_temperature", "ext_dedup_common_ngrams",
 )
 
 

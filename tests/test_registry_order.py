@@ -1,7 +1,8 @@
 """The external driver records correctness rows for only the first 50
 registry entries (insertion order) — pin the round-3 ordering contract:
-lead with the 41 ids whose last driver proof was round 1, plus the
-dedup/multimodal ids whose code changes again this round."""
+the 41 ids whose last driver proof was round 1, the two dedup ids whose
+code materially changed this round, and the seven round-3-new operators
+(first driver row each)."""
 
 import __spark_entry__ as entrymod
 
