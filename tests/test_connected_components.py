@@ -43,3 +43,41 @@ def test_two_components_and_isolated_pair(spark):
 def test_max_iters_guard_raises(spark):
     with pytest.raises(RuntimeError, match="did not converge in 3"):
         connected_components(_chain_pairs(spark, 14), max_iters=3)
+
+
+def test_random_graphs_match_union_find(spark):
+    """Label propagation must agree with a union-find reference on
+    arbitrary graphs (star/chain/cycle mixes, self-loops, duplicates)."""
+    import random
+
+    rng = random.Random(42)
+    for trial in range(3):
+        n = rng.randint(5, 18)
+        pairs = [
+            (f"n{rng.randrange(n):02d}", f"n{rng.randrange(n):02d}")
+            for _ in range(rng.randint(3, 2 * n))
+        ]
+        parent: dict[str, str] = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        expected = {x: find(x) for x in parent}
+
+        got = {
+            r.doc_id: r.rep_doc_id
+            for r in connected_components(
+                spark.createDataFrame(
+                    pairs, "doc_a string, doc_b string"
+                )
+            ).collect()
+        }
+        assert got == expected, f"trial {trial} diverged"
