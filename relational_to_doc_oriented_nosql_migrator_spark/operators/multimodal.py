@@ -255,8 +255,28 @@ def q_ext_mm_frame_sample(spark, sf_dir):
     )
 
 
+def _fake_dims_codec(blob: bytes):
+    """Deterministic stand-in codec for the adapter path: dimensions from
+    the byte length (DuckDB-reproducible, like the other fake kernels)."""
+    return {
+        "width": len(blob) % 97,
+        "height": (len(blob) // 97) % 53,
+        "mode": "FAKE",
+    }
+
+
+def q_ext_mm_decode_dims(spark, sf_dir):
+    """The pluggable-codec decode path (mm_decode) under an injected
+    deterministic codec — proves the adapter plumbing (driver-side codec
+    resolution, closure capture, Arrow batching, output schema) with a
+    value-level oracle, not just a unit test. A real codec (pillow)
+    swaps in via set_image_codec without touching this plan."""
+    return mm_decode(spark, media_df(spark, sf_dir), codec=_fake_dims_codec)
+
+
 QUERIES = {
     "ext_mm_attach_meta": q_ext_mm_attach_meta,
+    "ext_mm_decode_dims": q_ext_mm_decode_dims,
     "ext_mm_decode_features": q_ext_mm_decode_features,
     "ext_mm_resize": q_ext_mm_resize,
     "ext_mm_frame_sample": q_ext_mm_frame_sample,
@@ -281,6 +301,12 @@ FROM documents
 """,
     "ext_mm_decode_features": f"""
 SELECT doc_id, {_FEATS_SQL} FROM documents
+""",
+    "ext_mm_decode_dims": """
+SELECT doc_id, (length(text) % 97)::INT AS width,
+       ((length(text) // 97) % 53)::INT AS height,
+       'FAKE' AS mode
+FROM documents
 """,
     "ext_mm_resize": """
 SELECT doc_id, 64::INT AS width, 64::INT AS height,
