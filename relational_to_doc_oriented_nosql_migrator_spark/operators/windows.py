@@ -123,6 +123,37 @@ def q_ext_cube(spark, sf_dir):
     )
 
 
+def q_ext_events_funnel(spark, sf_dir):
+    """Click->purchase conversion funnel per user: first click, first
+    purchase at-or-after that click, and the converted flag — the
+    standard two-step funnel over an event stream.
+
+    Scale shape: one aggregation per funnel step keyed by user_id (map-
+    side combined), one user_id-keyed join between them — no windows over
+    the raw stream, no per-event state. Adding steps adds aggregations,
+    not shuffles of wider frames.
+    """
+    ev = t(spark, sf_dir, "events")
+    first_click = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "click", F.col("ts"))
+        ).alias("first_click_ts")
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first_click, "user_id")
+        .filter(F.col("ts") >= F.col("first_click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase_ts"))
+    )
+    return first_click.join(first_purchase, "user_id", "left").select(
+        "user_id",
+        "first_click_ts",
+        "first_purchase_ts",
+        F.col("first_purchase_ts").isNotNull().alias("converted"),
+    )
+
+
 def q_ext_window_running(spark, sf_dir):
     """Cumulative frames: per-user running event count and value sum
     ordered by time (rowsBetween unboundedPreceding..currentRow)."""
@@ -227,6 +258,7 @@ QUERIES = {
     "ext_session_agg": q_ext_session_agg,
     "ext_grouping_sets": q_ext_grouping_sets,
     "ext_cube": q_ext_cube,
+    "ext_events_funnel": q_ext_events_funnel,
     "ext_window_running": q_ext_window_running,
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
@@ -296,6 +328,22 @@ FROM islands GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        {sql_dec_sum('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "ext_events_funnel": """
+WITH fc AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click_ts
+  FROM events GROUP BY user_id
+),
+fp AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase_ts
+  FROM events e JOIN fc ON e.user_id = fc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click_ts
+  GROUP BY e.user_id
+)
+SELECT fc.user_id, fc.first_click_ts, fp.first_purchase_ts,
+       fp.first_purchase_ts IS NOT NULL AS converted
+FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id
 """,
     "ext_cube": f"""
 SELECT event_type, user_bucket, COUNT(*) AS n,
