@@ -152,13 +152,19 @@ def main() -> None:
     # t(scale)/t(base); on 10x data an ideal compute-bound plan reads
     # ~10 (or below, where fixed per-query Spark overhead amortizes) —
     # materially above 10 means the plan scales super-linearly.
+    # The scale point is additive, never fatal: generation is atomic
+    # (write to a temp dir, rename into place) so a crashed run can't
+    # leave a half-written dir that poisons later runs, and the scale
+    # queries themselves are wrapped so a scale failure can never cost
+    # the headline JSON.
     scale_dir = os.environ.get(
         "SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale/sf1.0"
     )
-    if (not os.path.isdir(scale_dir)
-            and os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"):
+    scale_enabled = os.environ.get("SPARK_GRAFT_SCALE", "1") != "0"
+    if scale_enabled and not os.path.isdir(scale_dir):
         try:
             import importlib.util
+            import shutil
 
             spec = importlib.util.spec_from_file_location(
                 "gen_scale_data",
@@ -167,29 +173,36 @@ def main() -> None:
             )
             mod = importlib.util.module_from_spec(spec)
             spec.loader.exec_module(mod)
-            mod.generate(out_dir=scale_dir, spark=spark, verbose=False)
-        except Exception as exc:  # scale point is additive, never fatal
+            tmp_dir = scale_dir.rstrip("/") + ".tmp"
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            mod.generate(out_dir=tmp_dir, spark=spark, verbose=False)
+            os.rename(tmp_dir, scale_dir)
+        except Exception as exc:
             print(f"scale data generation failed: {exc}", file=sys.stderr)
-    if os.path.isdir(scale_dir):
-        scale_suite = make_suite(scale_dir)
-        scale_names = ["migrate_full", "q1_pricing", "dedup_minhash_lsh",
-                       "curation_pipeline", "stream_tumbling"]
-        spark.catalog.clearCache()
-        scale_timings: dict[str, float] = {}
-        for name in scale_names:
-            t0 = time.time()
-            scale_suite[name]()
-            scale_timings[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
-        out["scale"] = {
-            "sf": _sf_of(scale_dir),
-            "sf_dir": scale_dir,
-            "queries": scale_timings,
-            "ratio_vs_base": {
-                q: round(scale_timings[q] / timings[q], 2)
-                for q in scale_timings if timings.get(q)
-            },
-        }
+    if scale_enabled and os.path.isdir(scale_dir):
+        try:
+            scale_suite = make_suite(scale_dir)
+            scale_names = ["migrate_full", "q1_pricing",
+                           "dedup_minhash_lsh", "curation_pipeline",
+                           "stream_tumbling"]
+            spark.catalog.clearCache()
+            scale_timings: dict[str, float] = {}
+            for name in scale_names:
+                t0 = time.time()
+                scale_suite[name]()
+                scale_timings[name] = round(time.time() - t0, 3)
+            spark.catalog.clearCache()
+            out["scale"] = {
+                "sf": _sf_of(scale_dir),
+                "sf_dir": scale_dir,
+                "queries": scale_timings,
+                "ratio_vs_base": {
+                    q: round(scale_timings[q] / timings[q], 2)
+                    for q in scale_timings if timings.get(q)
+                },
+            }
+        except Exception as exc:
+            print(f"scale bench failed: {exc}", file=sys.stderr)
 
     # Self-reporting regression check against the checked-in round-1
     # baseline (same headline set, same sf): per-query delta in seconds,

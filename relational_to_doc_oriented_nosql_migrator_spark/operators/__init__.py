@@ -28,10 +28,11 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # workload/window block (CORRECTNESS_r01); round 2 led with the 47 then-
 # unproven ids (CORRECTNESS_r02, all green). Round 3 rotates the window
 # back to the 41 ids whose only green rows predate the round-2 commits,
-# the two dedup ids whose code materially changed this round, and the
-# seven round-3-new operators (first driver row each), so CORRECTNESS_r02
-# ∪ r03 covers all 98 with same-code-era rows. Local tests always cover
-# everything.
+# the two dedup ids whose code materially changed this round, and 7 of
+# the 9 round-3-new operators (first driver row each) — the window is
+# full at 50, so the two newest additions (ext_mm_decode_dims,
+# ext_events_funnel) carry local-parity proof only until the round-4
+# rotation leads with them. Local tests always cover everything.
 DRIVER_WINDOW_FIRST = (
     # 41 ids last driver-proven in round 1 (pre-round-2-commit code)
     "proj_attribute_select", "proj_drop_fk_column", "proj_rename_ref",

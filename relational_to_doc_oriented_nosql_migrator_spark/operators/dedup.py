@@ -256,7 +256,15 @@ def minhash_pairs_from(spark, sh, bucket_cap: int | None = None):
     `bucket_cap` (default MINHASH_BUCKET_CAP) are SKIPPED, counted, and
     surfaced via a warning + SKIPPED_BUCKET_STATS — never silently
     expanded or silently dropped. See MINHASH_BUCKET_CAP for why skipped
-    beats salt-split here."""
+    beats salt-split here.
+
+    Deliberate trade-off: the audit is an EAGER action at build time (a
+    lazy audit can't surface the skip count to the caller). Its work is
+    the signature pipeline the consumer pays anyway, and it materializes
+    the persisted hash/bucket frames that consumer then reuses; callers
+    that only want the plan (never the data) pay one materialization.
+    The session caches are released by `spark.catalog.clearCache()`
+    (bench does this between passes)."""
     from pyspark.storagelevel import StorageLevel
 
     cap = MINHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
@@ -519,7 +527,11 @@ def connected_components(
         )
         if it % checkpoint_every == 0:
             # Truncate lineage: materializes eagerly and replaces the
-            # logical plan with a scan of the checkpointed RDD.
+            # logical plan with a scan of the checkpointed RDD. The
+            # checkpoint blocks aren't freed by unpersist() (they die
+            # with RDD GC), but at most max_iters/checkpoint_every
+            # label frames — pair-graph-node-sized, not corpus-sized —
+            # can accumulate.
             new_labels = new_labels.localCheckpoint(eager=True)
         else:
             new_labels = new_labels.persist()

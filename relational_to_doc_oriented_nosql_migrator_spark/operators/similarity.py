@@ -225,7 +225,11 @@ def knn_classify_from(topk, labels):
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("true_label"),
     )
-    return pred.join(F.broadcast(truth), "query_id")
+    # No broadcast hint: truth is corpus-sized (one row per vector);
+    # pred is the small side (one row per query). AQE picks the right
+    # strategy at runtime — a forced broadcast of truth would ship the
+    # whole label relation to every executor at scale.
+    return pred.join(truth, "query_id")
 
 
 def q_ext_knn_classify(spark, sf_dir):

@@ -1,8 +1,9 @@
 """The external driver records correctness rows for only the first 50
 registry entries (insertion order) — pin the round-3 ordering contract:
 the 41 ids whose last driver proof was round 1, the two dedup ids whose
-code materially changed this round, and the seven round-3-new operators
-(first driver row each)."""
+code materially changed this round, and 7 of the 9 round-3-new operators
+(the window is full at 50; ext_mm_decode_dims and ext_events_funnel wait
+for the round-4 rotation)."""
 
 import __spark_entry__ as entrymod
 

@@ -55,7 +55,6 @@ STRIDE_COLS = {
     "orders": ("orders", "o_orderkey"),
     "documents": ("documents", "doc_id"),
     "events": ("events", "event_id"),
-    "users": ("events", "user_id"),
     "embeddings": ("embeddings", "vec_id"),
 }
 
@@ -91,11 +90,12 @@ def generate(
     copies = spark.range(factor).withColumnRenamed("id", "copy")
 
     def write(df, table):
-        df.write.mode("overwrite").parquet(
-            os.path.join(out_dir, f"{table}.parquet")
-        )
+        path = os.path.join(out_dir, f"{table}.parquet")
+        df.write.mode("overwrite").parquet(path)
         if verbose:
-            print(f"{table}: {df.count()} rows")
+            # count the WRITTEN parquet (footer metadata) — re-counting
+            # df would re-execute the whole scale-up pipeline.
+            print(f"{table}: {spark.read.parquet(path).count()} rows")
 
     for table in COPY_AS_IS:
         write(base(table), table)
@@ -135,7 +135,11 @@ def generate(
         .alias("event_id"),
         (F.col("ts") + (F.col("copy") * F.lit(span))
          .cast("string").cast("interval second")).alias("ts"),
-        (F.col("user_id") + F.col("copy") * F.lit(strides["users"]))
+        # user_id follows the CUSTOMER stride: events reference
+        # customers (user_id == c_custkey), so copy-k events must land on
+        # copy-k's customers for the enrich/funnel joins to replicate
+        # per-copy structure.
+        (F.col("user_id") + F.col("copy") * F.lit(strides["customer"]))
         .alias("user_id"),
         "event_type",
         "value",
