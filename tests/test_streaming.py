@@ -150,3 +150,68 @@ def test_stream_file_sink_exactly_once(spark, tmp_path):
     assert spark.read.json(out).count() == 20
     run()  # same checkpoint, no new input -> no duplicates
     assert spark.read.json(out).count() == 20
+
+
+def test_interval_join_matches_across_micro_batches(spark, tmp_path):
+    """Stream-stream interval join state: a click in batch 1 must still
+    join a purchase arriving in batch 2 (click state buffered across the
+    micro-batch boundary), while a purchase outside the 30-minute window
+    must not match. Files are written with micros timestamps, also
+    covering the native-micros (TIMESTAMP_NTZ) normalization path."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from relational_to_doc_oriented_nosql_migrator_spark.streaming import (
+        stream_interval_join,
+    )
+
+    def write_micros(path, rows, mtime):
+        df = pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type",
+                           "value", "props"]
+        )
+        df["ts"] = pd.to_datetime(df["ts"])
+        schema = pa.schema(
+            [
+                ("event_id", pa.int64()),
+                ("ts", pa.timestamp("us")),  # native micros -> NTZ read
+                ("user_id", pa.int64()),
+                ("event_type", pa.string()),
+                ("value", pa.float64()),
+                ("props", pa.string()),
+            ]
+        )
+        pq.write_table(pa.Table.from_pandas(df, schema=schema), path)
+        os.utime(path, (mtime, mtime))
+
+    d = str(tmp_path)
+    now = time.time()
+    # Batch 1: clicks only.
+    write_micros(
+        os.path.join(d, "b1.parquet"),
+        [
+            (1, "2024-08-07 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-08-07 10:00:00", 2, "click", 1.0, "{}"),
+        ],
+        now - 20,
+    )
+    # Batch 2: one purchase inside the 30-min window (user 1), one far
+    # outside it (user 2).
+    write_micros(
+        os.path.join(d, "b2.parquet"),
+        [
+            (11, "2024-08-07 10:10:00", 1, "purchase", 5.0, "{}"),
+            (12, "2024-08-07 13:00:00", 2, "purchase", 5.0, "{}"),
+        ],
+        now - 10,
+    )
+
+    events = read_events_stream(
+        spark, d, max_files_per_trigger=1, path=os.path.join(d, "*.parquet")
+    )
+    rows = run_stream_to_batch(
+        stream_interval_join(events), "append"
+    ).collect()
+    got = {(r["purchase_id"], r["click_id"], r["user_id"]) for r in rows}
+    assert got == {(11, 1, 1)}
