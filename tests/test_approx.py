@@ -32,3 +32,29 @@ def test_approx_distinct_within_error_bound(spark):
 def test_approx_distinct_registered_query_flags_all_within_bound(spark):
     rows = q_ext_approx_distinct(spark, SF001).collect()
     assert rows and all(r["within_bound"] for r in rows)
+
+
+def test_percentile_approx_within_error_bound(spark):
+    """percentile_approx (the 100 TB sketch path promised by the
+    ext_percentiles docstring) must track the exact interpolating
+    percentile within the sketch's accuracy budget."""
+    li = t(spark, SF001, "lineitem")
+    exact = {
+        r["l_returnflag"]: r["p50"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("p50"))
+        .collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["a50"]
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "percentile_approx(l_extendedprice, 0.5, 1000)"
+            ).alias("a50")
+        )
+        .collect()
+    }
+    assert set(exact) == set(approx)
+    for flag, p in exact.items():
+        assert abs(approx[flag] - p) <= 0.02 * abs(p), (flag, approx[flag], p)
