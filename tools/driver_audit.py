@@ -7,7 +7,7 @@ spark = (SparkSession.builder.master('local[16]')
 spark.sparkContext.setLogLevel("ERROR")
 import __spark_entry__ as e
 
-sf = '/root/testdata/sf0.01'
+sf = sys.argv[1] if len(sys.argv) > 1 else '/root/testdata/sf0.01'
 con = duckdb.connect()
 for t in ("region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"):
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
