@@ -265,6 +265,57 @@ def q_ext_text_tfidf_top(spark, sf_dir):
     )
 
 
+def q_ext_text_bigram_logprob(spark, sf_dir):
+    """Bigram conditional-LM quality score: per-doc mean
+    ln P(w2|w1) = ln(c(w1 w2) / c(w1 ·)), where the context count is the
+    number of bigrams starting with w1 — the next-sharper perplexity
+    proxy after ext_text_unigram_logprob (penalizes improbable token
+    TRANSITIONS, which unigram frequency can't see).
+
+    Scale shape: one bigram explode feeding both count aggregations
+    (map-side combined); the bigram->logprob join's model side is
+    post-aggregation vocabulary-sized (AQE broadcasts when it fits).
+    Per-bigram logprob rounds before the per-doc decimal mean, so both
+    engines aggregate identical values in any order.
+    """
+    docs = docs_tokenized(spark, sf_dir)
+    bigrams_expr = (
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+    )
+    bg = docs.select(
+        "doc_id", F.explode(F.expr(bigrams_expr)).alias("bigram")
+    )
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    ctx = (
+        c12.withColumn(
+            "w1", F.element_at(F.split(F.col("bigram"), " "), 1)
+        )
+        .groupBy("w1")
+        .agg(F.sum("c12").alias("c1"))
+    )
+    model = (
+        c12.withColumn(
+            "w1", F.element_at(F.split(F.col("bigram"), " "), 1)
+        )
+        .join(ctx, "w1")
+        .select(
+            "bigram",
+            F.round(
+                F.log(F.col("c12").cast("double") / F.col("c1")), 6
+            ).alias("lp"),
+        )
+    )
+    return (
+        bg.join(model, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            dec_avg("lp").alias("avg_logprob"),
+        )
+    )
+
+
 def q_ext_token_bigrams(spark, sf_dir):
     """Corpus-wide token-pair frequencies (the merge-candidate counting
     step of BPE training): adjacent-token bigrams exploded and counted."""
@@ -291,6 +342,7 @@ QUERIES = {
     "ext_text_langid": q_ext_text_langid,
     "ext_text_fingerprint": q_ext_text_fingerprint,
     "ext_text_unigram_logprob": q_ext_text_unigram_logprob,
+    "ext_text_bigram_logprob": q_ext_text_bigram_logprob,
     "ext_text_tfidf_top": q_ext_text_tfidf_top,
 }
 
@@ -388,6 +440,25 @@ logp AS (SELECT tok, round(ln(cnt::DOUBLE / total), 6) AS lp
          FROM freq, tot)
 SELECT doc_id, COUNT(*) AS n_tokens, {sql_dec_avg('lp')} AS avg_logprob
 FROM ex JOIN logp USING (tok) GROUP BY doc_id
+""",
+    "ext_text_bigram_logprob": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+bg AS (
+  SELECT doc_id,
+         unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in generate_series(1, greatest(len(tk) - 1, 0))])
+           AS bigram
+  FROM tk
+),
+c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+ctx AS (SELECT string_split(bigram, ' ')[1] AS w1, SUM(c12) AS c1
+        FROM c12 GROUP BY 1),
+model AS (
+  SELECT bigram, round(ln(c12::DOUBLE / c1), 6) AS lp
+  FROM c12 JOIN ctx ON string_split(c12.bigram, ' ')[1] = ctx.w1
+)
+SELECT doc_id, COUNT(*) AS n_bigrams, {sql_dec_avg('lp')} AS avg_logprob
+FROM bg JOIN model USING (bigram) GROUP BY doc_id
 """,
     "ext_text_tfidf_top": f"""
 WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),

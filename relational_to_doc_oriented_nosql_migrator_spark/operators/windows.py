@@ -154,6 +154,44 @@ def q_ext_events_funnel(spark, sf_dir):
     )
 
 
+def q_ext_events_retention(spark, sf_dir):
+    """Day-1 retention cohorts: users grouped by their first active day;
+    retained = also active the next calendar day — the standard cohort
+    table behind any engagement dashboard.
+
+    Scale shape: distinct (user, day) activity is one aggregation; first
+    day per user another; the D+1 membership check is a user-keyed
+    left-semi-shaped join against the (user, day) relation. Everything
+    shuffles on user_id or (user_id, day); cohort output is |days|-sized.
+    """
+    ev = t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    first_day = activity.groupBy("user_id").agg(
+        F.min("day").alias("cohort_day")
+    )
+    next_day = activity.select(
+        "user_id", F.date_sub(F.col("day"), 1).alias("cohort_day")
+    ).distinct()
+    retained = first_day.join(
+        next_day, ["user_id", "cohort_day"], "left_semi"
+    ).groupBy("cohort_day").agg(F.count(F.lit(1)).alias("n_retained_d1"))
+    cohorts = first_day.groupBy("cohort_day").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    return cohorts.join(retained, "cohort_day", "left").select(
+        "cohort_day",
+        "n_users",
+        F.coalesce("n_retained_d1", F.lit(0)).alias("n_retained_d1"),
+        F.round(
+            F.coalesce("n_retained_d1", F.lit(0)).cast("double")
+            / F.col("n_users"),
+            6,
+        ).alias("retention_d1"),
+    )
+
+
 def q_ext_window_running(spark, sf_dir):
     """Cumulative frames: per-user running event count and value sum
     ordered by time (rowsBetween unboundedPreceding..currentRow)."""
@@ -259,6 +297,7 @@ QUERIES = {
     "ext_grouping_sets": q_ext_grouping_sets,
     "ext_cube": q_ext_cube,
     "ext_events_funnel": q_ext_events_funnel,
+    "ext_events_retention": q_ext_events_retention,
     "ext_window_running": q_ext_window_running,
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
@@ -328,6 +367,31 @@ FROM islands GROUP BY user_id, session_id
 SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
        {sql_dec_sum('l_quantity')} AS sum_qty
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+    "ext_events_retention": """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+first_day AS (
+  SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+),
+retained AS (
+  SELECT f.cohort_day, COUNT(*) AS n_retained_d1
+  FROM first_day f
+  WHERE EXISTS (
+    SELECT 1 FROM activity a
+    WHERE a.user_id = f.user_id AND a.day = f.cohort_day + 1
+  )
+  GROUP BY f.cohort_day
+),
+cohorts AS (
+  SELECT cohort_day, COUNT(*) AS n_users FROM first_day GROUP BY cohort_day
+)
+SELECT c.cohort_day, c.n_users,
+       COALESCE(r.n_retained_d1, 0) AS n_retained_d1,
+       round(COALESCE(r.n_retained_d1, 0)::DOUBLE / c.n_users, 6)
+         AS retention_d1
+FROM cohorts c LEFT JOIN retained r ON c.cohort_day = r.cohort_day
 """,
     "ext_events_funnel": """
 WITH fc AS (

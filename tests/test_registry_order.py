@@ -23,11 +23,11 @@ def test_priority_block_leads_registry():
 
 def test_registry_complete_and_oracle_backed():
     qs, ors = all_queries(), all_oracles()
-    # 91 as of round 2 + round-3 adds: unigram_logprob, tfidf_top,
-    # knn_classify, stream_enrich_agg, domain_mix_temperature,
-    # dedup_common_ngrams, stream_interval_join, mm_decode_dims,
-    # events_funnel
-    assert len(qs) == 100
+    # 91 as of round 2 + round-3 adds: unigram_logprob, bigram_logprob,
+    # tfidf_top, knn_classify, stream_enrich_agg, stream_interval_join,
+    # domain_mix_temperature, dedup_common_ngrams, mm_decode_dims,
+    # events_funnel, events_retention
+    assert len(qs) == 102
     assert set(ors) == set(qs)  # every query oracle-checked as of round 2
     # entry module passes through the same ordering
     assert list(entrymod.queries()) == list(qs)
