@@ -241,11 +241,57 @@ def q_ext_knn_classify(spark, sf_dir):
     return knn_classify_from(q_ext_similarity_topk(spark, sf_dir), labels)
 
 
+def q_ext_embed_centroids(spark, sf_dir):
+    """Per-label embedding centroids (class prototypes for classifier
+    init / cluster seeding), projected to scalar outputs: member count,
+    centroid L2 norm, and the mean of the first dimension.
+
+    Scale shape: posexplode turns the vector column into (label, dim,
+    value) rows — 64x the row count but narrow — then ONE aggregation
+    keyed by (label, dim) computes every centroid component map-side-
+    combined; the norm reduction runs on the |labels| x dims aggregate.
+    Component means round before the norm so both engines square and sum
+    identical values; the norm sum runs in decimal (order-independent).
+    """
+    emb = t(spark, sf_dir, "embeddings").select(
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    comp = (
+        emb.select("label", F.posexplode("v").alias("dim", "x"))
+        .groupBy("label", "dim")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                (F.sum(F.col("x").cast("decimal(18,9)")) / F.count("x"))
+                .cast("decimal(28,9)")
+                .cast("double"),
+                6,
+            ).alias("c"),
+        )
+    )
+    return comp.groupBy("label").agg(
+        F.max("n").alias("n_vecs"),
+        F.round(
+            F.sqrt(
+                F.sum(
+                    (F.col("c") * F.col("c")).cast("decimal(28,12)")
+                ).cast("double")
+            ),
+            6,
+        ).alias("centroid_norm"),
+        F.round(
+            F.max(F.when(F.col("dim") == 0, F.col("c"))), 6
+        ).alias("c0"),
+    )
+
+
 QUERIES = {
     "ext_similarity_topk": q_ext_similarity_topk,
     "ext_similarity_lsh": q_ext_similarity_lsh,
     "ext_similarity_ivf": q_ext_similarity_ivf,
     "ext_knn_classify": q_ext_knn_classify,
+    "ext_embed_centroids": q_ext_embed_centroids,
 }
 
 _SQL_COS = (
@@ -322,6 +368,27 @@ SELECT query_id, cand_id, cosine, rank FROM (
 ) WHERE rank <= 3
 """,
 }
+
+# posexplode's dim is 0-based; the DuckDB indexed lambda is 1-based.
+ORACLES["ext_embed_centroids"] = """
+WITH ex AS (
+  SELECT label,
+         unnest(list_transform(embedding,
+                (x, i) -> {'dim': i - 1, 'x': CAST(x AS DOUBLE)})) AS u
+  FROM embeddings
+),
+comp AS (
+  SELECT label, u.dim AS dim, COUNT(*) AS n,
+         round(CAST(CAST(SUM(CAST(u.x AS DECIMAL(18,9))) / COUNT(u.x)
+                         AS DECIMAL(28,9)) AS DOUBLE), 6) AS c
+  FROM ex GROUP BY label, u.dim
+)
+SELECT label, MAX(n) AS n_vecs,
+       round(sqrt(CAST(SUM(CAST(c * c AS DECIMAL(28,12))) AS DOUBLE)), 6)
+         AS centroid_norm,
+       round(MAX(CASE WHEN dim = 0 THEN c END), 6) AS c0
+FROM comp GROUP BY label
+"""
 
 ORACLES["ext_knn_classify"] = f"""
 WITH topk AS ({ORACLES['ext_similarity_topk']}),

@@ -26,8 +26,8 @@ def test_registry_complete_and_oracle_backed():
     # 91 as of round 2 + round-3 adds: unigram_logprob, bigram_logprob,
     # tfidf_top, knn_classify, stream_enrich_agg, stream_interval_join,
     # domain_mix_temperature, dedup_common_ngrams, mm_decode_dims,
-    # events_funnel, events_retention
-    assert len(qs) == 102
+    # events_funnel, events_retention, embed_centroids
+    assert len(qs) == 103
     assert set(ors) == set(qs)  # every query oracle-checked as of round 2
     # entry module passes through the same ordering
     assert list(entrymod.queries()) == list(qs)
