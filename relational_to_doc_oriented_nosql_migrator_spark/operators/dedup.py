@@ -212,14 +212,10 @@ _BANDS_EXPR = (
 # quadratically, so oversized buckets are skipped-and-counted instead.
 # Skip beats salt-split: a salted split silently LOSES the cross-sub-bucket
 # pairs while appearing complete, whereas a skip is observable
-# (warning + SKIPPED_BUCKET_STATS) and has a documented remedy — run
-# exact dedup upstream to collapse identical docs first.
+# (warning + the result's `minhash_audit` dict) and has a documented
+# remedy — run exact dedup upstream to collapse identical docs first.
 MINHASH_BUCKET_CAP = 256
 
-# Observability for the last minhash_pairs_from call (tests + operators
-# read this after materialization; the audit is eager so it is populated
-# as soon as the builder returns).
-SKIPPED_BUCKET_STATS = {"skipped_buckets": 0, "largest_bucket": 0, "cap": 0}
 
 
 def minhash_bands_from(spark, sh):
@@ -237,7 +233,8 @@ def minhash_bands_df(spark, sf_dir):
     return minhash_bands_from(spark, _shingle_df(spark, sf_dir))
 
 
-def minhash_pairs_from(spark, sh, bucket_cap: int | None = None):
+def minhash_pairs_from(spark, sh, bucket_cap: int | None = None,
+                       audit: bool = True):
     """MinHash-LSH verified near-dup pairs from a (doc_id, sh) shingle
     frame.
 
@@ -254,17 +251,21 @@ def minhash_pairs_from(spark, sh, bucket_cap: int | None = None):
 
     In-bucket pair expansion is quadratic in bucket size; buckets over
     `bucket_cap` (default MINHASH_BUCKET_CAP) are SKIPPED, counted, and
-    surfaced via a warning + SKIPPED_BUCKET_STATS — never silently
-    expanded or silently dropped. See MINHASH_BUCKET_CAP for why skipped
-    beats salt-split here.
+    surfaced via a warning + a `minhash_audit` dict attached to the
+    returned DataFrame ({"skipped_buckets", "largest_bucket", "cap"}) —
+    never silently expanded or silently dropped. See MINHASH_BUCKET_CAP
+    for why skipped beats salt-split here. The audit is per-call state on
+    the result (no module global), so concurrent builders don't race.
 
-    Deliberate trade-off: the audit is an EAGER action at build time (a
-    lazy audit can't surface the skip count to the caller). Its work is
-    the signature pipeline the consumer pays anyway, and it materializes
-    the persisted hash/bucket frames that consumer then reuses; callers
-    that only want the plan (never the data) pay one materialization.
-    The session caches are released by `spark.catalog.clearCache()`
-    (bench does this between passes)."""
+    Deliberate trade-off: with `audit=True` (default) the audit is an
+    EAGER action at build time (a lazy audit can't surface the skip
+    count to the caller). Its work is the signature pipeline the
+    consumer pays anyway, and it materializes the persisted hash/bucket
+    frames that consumer then reuses. Plan-only callers (lint, plan
+    inspection) pass `audit=False` to stay fully lazy — then
+    `minhash_audit` is None and no warning can fire. The session caches
+    are released by `spark.catalog.clearCache()` (bench does this
+    between passes)."""
     from pyspark.storagelevel import StorageLevel
 
     cap = MINHASH_BUCKET_CAP if bucket_cap is None else bucket_cap
@@ -290,29 +291,33 @@ def minhash_pairs_from(spark, sh, bucket_cap: int | None = None):
         .filter(F.size("ids") > 1)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # Eager oversized-bucket audit. This action also materializes the
-    # bucket cache the candidate expansion reuses, so the signature
-    # pipeline still runs exactly once.
-    over = (
-        buckets.filter(F.size("ids") > cap)
-        .agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.max(F.size("ids")), F.lit(0)).alias("largest"),
+    # Eager oversized-bucket audit (opt-out via audit=False). This action
+    # also materializes the bucket cache the candidate expansion reuses,
+    # so the signature pipeline still runs exactly once.
+    stats = None
+    if audit:
+        over = (
+            buckets.filter(F.size("ids") > cap)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(F.max(F.size("ids")), F.lit(0)).alias("largest"),
+            )
+            .first()
         )
-        .first()
-    )
-    SKIPPED_BUCKET_STATS.update(
-        skipped_buckets=over["n"], largest_bucket=over["largest"], cap=cap
-    )
-    if over["n"]:
-        warnings.warn(
-            f"minhash LSH skipped {over['n']} band bucket(s) over the"
-            f" {cap}-doc cap (largest: {over['largest']} docs). Pairs"
-            " confined to those buckets are NOT emitted. Mega-clusters"
-            " are near-identical families: run exact dedup upstream to"
-            " collapse them, then re-run.",
-            stacklevel=2,
-        )
+        stats = {
+            "skipped_buckets": over["n"],
+            "largest_bucket": over["largest"],
+            "cap": cap,
+        }
+        if over["n"]:
+            warnings.warn(
+                f"minhash LSH skipped {over['n']} band bucket(s) over the"
+                f" {cap}-doc cap (largest: {over['largest']} docs). Pairs"
+                " confined to those buckets are NOT emitted. Mega-clusters"
+                " are near-identical families: run exact dedup upstream to"
+                " collapse them, then re-run.",
+                stacklevel=2,
+            )
     pairs_expr = (
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
         " size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"
@@ -345,7 +350,9 @@ def minhash_pairs_from(spark, sh, bucket_cap: int | None = None):
             ).alias("sh_b"),
         )
     )
-    return _pair_jaccard(per_pair)
+    out = _pair_jaccard(per_pair)
+    out.minhash_audit = stats
+    return out
 
 
 def q_ext_dedup_minhash(spark, sf_dir):

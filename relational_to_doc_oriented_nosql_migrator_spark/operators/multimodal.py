@@ -302,9 +302,12 @@ FROM documents
     "ext_mm_decode_features": f"""
 SELECT doc_id, {_FEATS_SQL} FROM documents
 """,
+    # octet_length(encode(..)) = utf-8 BYTES, matching the Python codec's
+    # len(blob) even for non-ASCII text (the other fake-kernel oracles
+    # lean on the ASCII invariant, pinned by tests/test_testdata_ascii.py).
     "ext_mm_decode_dims": """
-SELECT doc_id, (length(text) % 97)::INT AS width,
-       ((length(text) // 97) % 53)::INT AS height,
+SELECT doc_id, (octet_length(encode(text)) % 97)::INT AS width,
+       ((octet_length(encode(text)) // 97) % 53)::INT AS height,
        'FAKE' AS mode
 FROM documents
 """,

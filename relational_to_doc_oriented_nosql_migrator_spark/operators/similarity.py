@@ -84,9 +84,12 @@ def q_ext_similarity_topk(spark, sf_dir):
 # 1-(1-(1-θ/π)^K)^L while random pairs stay near L/2^K of the corpus —
 # the classic recall/candidate dial (K up = fewer candidates, L up = more
 # recall). One table of many bits (the naive choice) collapses recall on
-# weakly-clustered embeddings.
+# weakly-clustered embeddings. K*L consumes K*L of the 64 dims (table t
+# hashes dims t*K+1..t*K+K). 4x12 measures recall@3 0.90 on the isotropic
+# testdata (4x8: 0.73) at a ~1.3x candidate-set cost — see
+# tests/test_ann_recall.py.
 LSH_K = 4
-LSH_TABLES = 8
+LSH_TABLES = 12
 
 _TABLES_EXPR = (
     f"transform(sequence(0, {LSH_TABLES - 1}), t -> t * {2 ** LSH_K} +"
@@ -114,8 +117,12 @@ def q_ext_similarity_lsh(spark, sf_dir):
         .select("query_id", "cand_id")
         .distinct()
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"),
-                    F.col("v").alias("qv"))
+    # Only strided ids are queries: filter BEFORE the broadcast so the
+    # hint ships |corpus|/QUERY_STRIDE vectors, not the whole corpus
+    # (an unfiltered qv broadcast is an executor OOM at 100 TB).
+    qv = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     cv = emb.select(F.col("vec_id").alias("cand_id"),
                     F.col("v").alias("cv"))
     scored = (
@@ -133,9 +140,18 @@ def q_ext_similarity_lsh(spark, sf_dir):
 
 
 N_CENTROIDS = 64    # IVF coarse quantizer size (sampled, not iterated)
-N_PROBE = 8         # clusters probed per query (12.5% of lists scanned;
-                    # measured recall@3 0.53 on the isotropic testdata vs
-                    # 0.50 for 16/4 at twice the probe fraction)
+N_PROBE = 16        # clusters probed per query
+N_ASSIGN = 2        # lists each corpus vector is indexed into (multi-
+                    # assignment: 2x index size, and a candidate is found
+                    # if EITHER of its lists is probed). probe=16/assign=2
+                    # measures recall@3 0.90 on the isotropic testdata
+                    # (8/1: 0.53) — multi-assign buys far more recall per
+                    # candidate than probing alone (8/2: 0.70 vs 16/1:
+                    # 0.63 at the same scan fraction). Per-query scan
+                    # fraction ~= assign*probe/centroids of the corpus —
+                    # linear in corpus size, never all-pairs; at real
+                    # scale N_CENTROIDS grows ~sqrt(N) so the fraction
+                    # shrinks while this ratio logic holds.
 IVF_TOP_K = 3
 
 
@@ -170,13 +186,15 @@ def q_ext_similarity_ivf(spark, sf_dir):
     cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    inverted = _assign(emb, cents, "cand_id", "arank", 1)
+    inverted = _assign(emb, cents, "cand_id", "arank", N_ASSIGN)
     probes = _assign(
         emb.filter(F.col("vec_id") % QUERY_STRIDE == 0), cents,
         "query_id", "prank", N_PROBE,
     )
-    qv = emb.select(F.col("vec_id").alias("query_id"),
-                    F.col("v").alias("qv"))
+    # Stride filter BEFORE the broadcast — see q_ext_similarity_lsh.
+    qv = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
     cv = emb.select(F.col("vec_id").alias("cand_id"),
                     F.col("v").alias("cv"))
     cand = (
@@ -325,7 +343,7 @@ assign AS (
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {_SQL_COS} DESC, c.cent_id ASC) AS r
     FROM v q JOIN cents c ON TRUE
-  ) WHERE r = 1
+  ) WHERE r <= {N_ASSIGN}
 ),
 probes AS (
   SELECT query_id, cent_id FROM (

@@ -42,7 +42,8 @@ def test_factor2_scale_up(spark, tmp_path):
     base_docs = spark.read.parquet(
         os.path.join(SF0001, "documents.parquet")
     ).count()
-    copy1 = docs.filter(F.col("doc_id") >= base_docs + 1)
+    # doc_id starts at 0, so copy-1 ids are exactly [base_docs, 2*base_docs)
+    copy1 = docs.filter(F.col("doc_id") >= base_docs)
     assert copy1.filter(~F.col("text").rlike("_1( |$)")).count() == 0
 
     # FK integrity per copy: every scaled lineitem orderkey exists

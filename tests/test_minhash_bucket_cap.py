@@ -1,6 +1,7 @@
 """MinHash LSH bucket-size cap: oversized band buckets are skipped,
 counted, and surfaced — never silently expanded (quadratic) or silently
-dropped."""
+dropped. The audit travels on the returned DataFrame (`minhash_audit`),
+not module state, so concurrent builders can't race."""
 
 import pytest
 
@@ -22,9 +23,9 @@ def test_mega_cluster_skipped_small_bucket_survives(spark):
             spark, _sh(spark, mega + pair), bucket_cap=4
         )
     assert {(r.doc_a, r.doc_b) for r in out.collect()} == {("p1", "p2")}
-    assert dedup.SKIPPED_BUCKET_STATS["skipped_buckets"] >= 1
-    assert dedup.SKIPPED_BUCKET_STATS["largest_bucket"] == 6
-    assert dedup.SKIPPED_BUCKET_STATS["cap"] == 4
+    assert out.minhash_audit["skipped_buckets"] >= 1
+    assert out.minhash_audit["largest_bucket"] == 6
+    assert out.minhash_audit["cap"] == 4
 
 
 def test_no_oversized_buckets_no_warning(spark):
@@ -36,5 +37,14 @@ def test_no_oversized_buckets_no_warning(spark):
         w.simplefilter("error")
         out = dedup.minhash_pairs_from(spark, _sh(spark, pair))
     assert {(r.doc_a, r.doc_b) for r in out.collect()} == {("p1", "p2")}
-    assert dedup.SKIPPED_BUCKET_STATS["skipped_buckets"] == 0
-    assert dedup.SKIPPED_BUCKET_STATS["cap"] == dedup.MINHASH_BUCKET_CAP
+    assert out.minhash_audit["skipped_buckets"] == 0
+    assert out.minhash_audit["cap"] == dedup.MINHASH_BUCKET_CAP
+
+
+def test_audit_false_is_plan_only_and_unaudited(spark):
+    pair = [("p1", ["t1 x", "t2 y", "t3 z"]),
+            ("p2", ["t1 x", "t2 y", "t3 z"])]
+    out = dedup.minhash_pairs_from(spark, _sh(spark, pair), audit=False)
+    assert out.minhash_audit is None
+    # still computes the same pairs when eventually materialized
+    assert {(r.doc_a, r.doc_b) for r in out.collect()} == {("p1", "p2")}

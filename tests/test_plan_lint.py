@@ -64,3 +64,54 @@ def test_no_quadratic_join_in_plan(qid, spark):
     plan = buf.getvalue()
     offending = [b for b in BAD if b in plan]
     assert not offending, f"{qid} plans {offending}"
+
+
+def _walk(node):
+    yield node
+    seq = node.children()
+    for i in range(seq.length()):
+        yield from _walk(seq.apply(i))
+
+
+@pytest.mark.parametrize(
+    "qid",
+    ["ext_similarity_topk", "ext_similarity_lsh", "ext_similarity_ivf",
+     "ext_knn_classify"],
+)
+def test_no_unfiltered_embeddings_broadcast(qid, spark):
+    """Every broadcast build side whose subtree scans `embeddings` must
+    also filter it (query stride / centroid prefix): broadcasting the raw
+    corpus would OOM every executor at 100 TB. Linted on sparkPlan() —
+    the concrete pre-AQE physical tree — by walking each broadcast
+    join's build-side child."""
+    df = QUERIES[qid](spark, SF0001)
+    root = df._jdf.queryExecution().sparkPlan()
+    found_broadcast_over_embeddings = False
+    for node in _walk(root):
+        if node.nodeName() not in (
+            "BroadcastHashJoin", "BroadcastNestedLoopJoin"
+        ):
+            continue
+        side = str(node.buildSide())
+        build = node.children().apply(0 if side == "BuildLeft" else 1)
+        sub = list(_walk(build))
+        scans_embeddings = any(
+            n.nodeName().startswith("Scan")
+            and "embeddings" in n.verboseString(100)
+            for n in sub
+        )
+        if not scans_embeddings:
+            continue
+        found_broadcast_over_embeddings = True
+        filtered = any(
+            n.nodeName() == "Filter" and "vec_id" in n.verboseString(100)
+            for n in sub
+        )
+        assert filtered, (
+            f"{qid}: broadcast build side holds an UNFILTERED embeddings "
+            f"scan:\n{build.toString()}"
+        )
+    # Sanity: the lint actually exercised the pattern it guards.
+    assert found_broadcast_over_embeddings, (
+        f"{qid}: expected at least one broadcast over embeddings"
+    )

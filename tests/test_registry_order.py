@@ -1,9 +1,13 @@
 """The external driver records correctness rows for only the first 50
-registry entries (insertion order) — pin the round-3 ordering contract:
-the 41 ids whose last driver proof was round 1, the two dedup ids whose
-code materially changed this round, and 7 of the 9 round-3-new operators
-(the window is full at 50; ext_mm_decode_dims and ext_events_funnel wait
-for the round-4 rotation)."""
+registry entries (insertion order) — pin the round-4 ordering contract:
+the 5 ids that have never had a driver row (ext_mm_decode_dims,
+ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
+ext_embed_centroids), the ids whose code materially changed in round 4
+(ext_similarity_lsh/_ivf broadcast+recall, ext_dedup_minhash stats
+refactor), any round-4-new operators, then r02-era backfill. Deferred to
+round 5 with green r02 rows and full local coverage: the three
+brute-force baselines (ngram_jaccard, embedding, simhash_pairs) and
+plan_two_way_embed."""
 
 import __spark_entry__ as entrymod
 
