@@ -335,3 +335,90 @@ def jdbc_catalog(
     return catalog_from_meta_frames(
         jdbc_meta_frames(spark, url, db, properties), row_counts
     )
+
+
+def _iter_rs(rs, cols):
+    """Drain a java.sql.ResultSet into a list of dicts (metadata-scale)."""
+    out = []
+    while rs.next():
+        out.append({c: rs.getObject(c) for c in cols})
+    rs.close()
+    return out
+
+
+def metadata_catalog(
+    spark: SparkSession,
+    url: str,
+    schema: str | None = None,
+    count_rows: bool = True,
+) -> Catalog:
+    """Live-DB introspection via java.sql.DatabaseMetaData -> Catalog.
+
+    The INFORMATION_SCHEMA path above mirrors the reference's wire-level
+    SQL (MySQL/Postgres); this one uses the JDBC standard metadata API,
+    which every driver implements — including embedded databases with no
+    INFORMATION_SCHEMA at all (Derby, which ships in Spark's own jars and
+    gives the live-JDBC path an executed in-sandbox proof:
+    tests/test_jdbc_derby_live.py). Same driver-side, metadata-scale
+    position as the reference's introspection (reference
+    server/MySQLDBManager.js:97-236); row counts are COUNT(*) pushdowns
+    per table (reference getTableRows, server/MySQLDBManager.js:129).
+    """
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        md = conn.getMetaData()
+        types = spark.sparkContext._gateway.new_array(
+            jvm.java.lang.String, 1
+        )
+        types[0] = "TABLE"
+        names = [
+            r["TABLE_NAME"]
+            for r in _iter_rs(
+                md.getTables(None, schema, "%", types), ["TABLE_NAME"]
+            )
+        ]
+        tables = []
+        for name in names:
+            cols = sorted(
+                _iter_rs(
+                    md.getColumns(None, schema, name, "%"),
+                    ["COLUMN_NAME", "ORDINAL_POSITION"],
+                ),
+                key=lambda r: r["ORDINAL_POSITION"],
+            )
+            pks = sorted(
+                _iter_rs(
+                    md.getPrimaryKeys(None, schema, name),
+                    ["COLUMN_NAME", "KEY_SEQ"],
+                ),
+                key=lambda r: r["KEY_SEQ"],
+            )
+            fks = [
+                ForeignKey(r["FKCOLUMN_NAME"], r["PKTABLE_NAME"],
+                           r["PKCOLUMN_NAME"])
+                for r in _iter_rs(
+                    md.getImportedKeys(None, schema, name),
+                    ["FKCOLUMN_NAME", "PKTABLE_NAME", "PKCOLUMN_NAME"],
+                )
+            ]
+            n = 0
+            if count_rows:
+                st = conn.createStatement()
+                rs = st.executeQuery(f'SELECT COUNT(*) AS n FROM "{name}"')
+                rs.next()
+                n = rs.getLong(1)
+                rs.close()
+                st.close()
+            tables.append(
+                TableMeta(
+                    name=name,
+                    num_rows=n,
+                    columns=[r["COLUMN_NAME"] for r in cols],
+                    primary_keys=[r["COLUMN_NAME"] for r in pks],
+                    foreign_keys=fks,
+                )
+            )
+        return Catalog(tables)
+    finally:
+        conn.close()

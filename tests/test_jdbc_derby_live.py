@@ -1,0 +1,96 @@
+"""Executed live-JDBC proof: embedded Derby (shipped in Spark's own jars
+for the Hive metastore) stands in for the reference's live MySQL/Postgres
+connection (reference server/MySQLDBManager.js:254-282). End-to-end:
+DDL+rows into a real database -> DatabaseMetaData introspection ->
+Catalog -> planner -> partitioned JDBC reads -> nested collections.
+
+Embedded Derby runs inside the Spark JVM, so local-mode executor tasks
+can each open their own connection — the partitioned read genuinely
+issues one bounded range query per partition against a live database.
+"""
+
+import glob
+import os
+
+import pyspark
+import pytest
+
+from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate_from_jdbc
+from relational_to_doc_oriented_nosql_migrator_spark.sources.introspect import (
+    metadata_catalog,
+)
+from relational_to_doc_oriented_nosql_migrator_spark.sources.jdbc import (
+    read_partitioned,
+)
+
+_HAS_DERBY = bool(
+    glob.glob(os.path.join(os.path.dirname(pyspark.__file__),
+                           "jars", "derby-*.jar"))
+)
+
+pytestmark = pytest.mark.skipif(
+    not _HAS_DERBY, reason="no Derby jar in the Spark classpath"
+)
+
+
+@pytest.fixture(scope="module")
+def derby_url(spark, tmp_path_factory):
+    url = f"jdbc:derby:{tmp_path_factory.mktemp('derby')}/db;create=true"
+    conn = spark._jvm.java.sql.DriverManager.getConnection(url)
+    st = conn.createStatement()
+    st.execute(
+        "CREATE TABLE region (r_id INT PRIMARY KEY,"
+        " r_name VARCHAR(32) NOT NULL)"
+    )
+    st.execute(
+        "CREATE TABLE nation (n_id INT PRIMARY KEY,"
+        " r_id INT NOT NULL REFERENCES region (r_id),"
+        " n_name VARCHAR(32) NOT NULL)"
+    )
+    for i, name in enumerate(["americas", "emea"]):
+        st.execute(f"INSERT INTO region VALUES ({i}, '{name}')")
+    for i in range(10):
+        st.execute(
+            f"INSERT INTO nation VALUES ({i}, {i % 2}, 'nation_{i}')"
+        )
+    st.close()
+    conn.close()
+    return url
+
+
+def test_metadata_catalog_from_live_db(spark, derby_url):
+    cat = metadata_catalog(spark, derby_url, schema="APP")
+    names = set(cat.tables)
+    assert names == {"REGION", "NATION"}
+    nation = cat.get_table("NATION")
+    assert nation.num_rows == 10
+    assert nation.primary_keys == ["N_ID"]
+    assert [(fk.column, fk.referenced_table, fk.referenced_column)
+            for fk in nation.foreign_keys] == [("R_ID", "REGION", "R_ID")]
+    region = cat.get_table("REGION")
+    assert region.columns == ["R_ID", "R_NAME"]
+    assert region.num_rows == 2
+
+
+def test_partitioned_read_moves_real_rows(spark, derby_url):
+    df = read_partitioned(
+        spark, derby_url, "nation", column="n_id",
+        lower=0, upper=10, num_partitions=4,
+    )
+    assert df.rdd.getNumPartitions() == 4
+    rows = {r["N_ID"] for r in df.collect()}
+    assert rows == set(range(10))
+
+
+def test_migrate_from_jdbc_end_to_end(spark, derby_url):
+    collections = migrate_from_jdbc(spark, derby_url, schema="APP",
+                                    num_partitions=2)
+    # NATION references REGION 1:N -> the planner nests nations under
+    # their region root (same cascade the parquet/dump paths take).
+    assert "REGION" in collections
+    docs = {r["R_NAME"]: r for r in collections["REGION"].collect()}
+    assert set(docs) == {"americas", "emea"}
+    nested = docs["americas"].asDict()
+    [child_field] = [k for k in nested if isinstance(nested[k], list)]
+    names = {c["N_NAME"] for c in nested[child_field]}
+    assert names == {f"nation_{i}" for i in range(0, 10, 2)}
