@@ -34,12 +34,14 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # each), then the ids whose code changed this round (similarity broadcast
 # fix + recall tuning; dedup stats refactor), then round-4-new operators,
 # then backfills with r02-era ids oldest-row-first. Deferred to round 5
-# (still green under the local all-ids suite every run): the three
-# guarded-small brute-force baselines ext_dedup_ngram_jaccard,
-# ext_dedup_embedding, ext_dedup_simhash_pairs (their driver-proven
-# scale-path siblings stay in-window) and plan_two_way_embed (value-
-# checked against frozen goldens locally; five sibling plan ids stay
-# in-window).
+# (still green under the local all-ids suite every run), with their
+# siblings staying in-window: the three guarded-small brute-force
+# baselines ext_dedup_ngram_jaccard / ext_dedup_embedding /
+# ext_dedup_simhash_pairs, plan_two_way_embed + plan_one_way_embed
+# (value-checked against frozen goldens locally; four sibling plan ids
+# in-window), ext_mm_resize (three mm siblings in-window),
+# ext_stream_sliding_agg (four streaming siblings in-window), and
+# ext_text_langid (three text-analysis siblings in-window).
 DRIVER_WINDOW_FIRST = (
     # never driver-proven before round 4 — first hard-signal rows
     "ext_mm_decode_dims", "ext_events_funnel", "ext_events_retention",
@@ -48,21 +50,24 @@ DRIVER_WINDOW_FIRST = (
     # before the re-rank broadcast + recall tuning; dedup: bucket-stats
     # refactor) -> re-prove on current code
     "ext_similarity_lsh", "ext_similarity_ivf", "ext_dedup_minhash",
+    # new in round 4 — first driver row each
+    "ext_events_attribution", "ext_dedup_canonical", "ext_embed_quantize",
+    "ext_embed_pq",
     # r02-era backfill (latest green row is round 2)
     "src_full_scan", "src_sql_dump_import", "src_indexed_lookup",
     "sink_json_collections", "join_nest_one_to_many", "join_nest_salted",
     "agg_collect_children", "fn_split_trim", "ext_approx_distinct",
-    "ext_text_stats", "ext_text_quality", "ext_text_langid",
+    "ext_text_stats", "ext_text_quality",
     "ext_text_fingerprint", "ext_dedup_exact", "ext_dedup_simhash",
     "ext_similarity_topk",
     "stream_to_json_files", "ext_stream_tumbling_agg",
-    "ext_stream_sliding_agg", "ext_stream_session_agg", "ext_stream_dedup",
+    "ext_stream_session_agg", "ext_stream_dedup",
     "ext_stream_stateful",
-    "ext_mm_attach_meta", "ext_mm_decode_features", "ext_mm_resize",
+    "ext_mm_attach_meta", "ext_mm_decode_features",
     "ext_mm_frame_sample",
     "ext_asof_join", "ext_range_join",
     "plan_topo_order", "plan_self_ref_detect", "plan_embed_or_reference",
-    "plan_one_way_embed", "plan_referencing",
+    "plan_referencing",
     "sink_http_response", "sink_parquet_partitioned",
     "ext_curation_pipeline", "ext_text_pii_scrub", "ext_decontaminate",
     "ext_repetition_filter", "ext_domain_mix", "ext_sample_stratified",

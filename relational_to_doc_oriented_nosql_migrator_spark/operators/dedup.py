@@ -22,6 +22,7 @@ from __future__ import annotations
 import warnings
 
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
 from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
@@ -576,6 +577,41 @@ def q_ext_dedup_components(spark, sf_dir):
     )
 
 
+def q_ext_dedup_canonical(spark, sf_dir):
+    """Canonical-doc selection: within each near-dup cluster keep the
+    longest variant (max n_chars, ties to the smallest doc_id) — the
+    decision a dedup pipeline actually ships, turning pair/cluster
+    detection into a keep/drop list.
+
+    Scale shape: the cluster relation is pair-member-sized (docs in at
+    least one near-dup pair), far smaller than the corpus; the length
+    lookup is a narrow two-column join against documents; the argmax is
+    one window over cluster-sized groups. Nothing corpus-quadratic.
+    """
+    comp = connected_components(
+        q_ext_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    )
+    lens = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    scored = comp.join(lens, "doc_id")
+    w = Window.partitionBy("rep_doc_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .withColumn(
+            "cluster_size",
+            F.count(F.lit(1)).over(Window.partitionBy("rep_doc_id")),
+        )
+        .filter(F.col("r") == 1)
+        .select(
+            "rep_doc_id",
+            F.col("doc_id").alias("keep_doc_id"),
+            F.col("n_chars").alias("keep_n_chars"),
+            "cluster_size",
+        )
+    )
+
+
 # A shingle shared by this many distinct docs is boilerplate (headers,
 # licenses, templates) — the CCNet-style pre-pass that removes repeated
 # spans before near-dup detection.
@@ -605,6 +641,7 @@ QUERIES = {
     "ext_dedup_exact": q_ext_dedup_exact,
     "ext_dedup_common_ngrams": q_ext_dedup_common_ngrams,
     "ext_dedup_components": q_ext_dedup_components,
+    "ext_dedup_canonical": q_ext_dedup_canonical,
     "ext_dedup_ngram_jaccard": q_ext_dedup_ngram_jaccard,
     "ext_dedup_minhash": q_ext_dedup_minhash,
     "ext_dedup_simhash": q_ext_dedup_simhash,
@@ -720,6 +757,21 @@ reach(a, b) AS (
   SELECT r.a, e.doc_b FROM reach r JOIN edges e ON r.b = e.doc_a
 )
 SELECT a AS doc_id, LEAST(a, MIN(b)) AS rep_doc_id FROM reach GROUP BY a
+"""
+
+# Keep-best per cluster: longest doc wins, ties to the smallest doc_id.
+ORACLES["ext_dedup_canonical"] = f"""
+WITH comp AS ({ORACLES['ext_dedup_components']}),
+scored AS (
+  SELECT c.rep_doc_id, c.doc_id, d.n_chars,
+         row_number() OVER (PARTITION BY c.rep_doc_id
+                            ORDER BY d.n_chars DESC, c.doc_id ASC) AS r,
+         COUNT(*) OVER (PARTITION BY c.rep_doc_id) AS cluster_size
+  FROM comp c JOIN documents d ON d.doc_id = c.doc_id
+)
+SELECT rep_doc_id, doc_id AS keep_doc_id, n_chars AS keep_n_chars,
+       cluster_size
+FROM scored WHERE r = 1
 """
 
 # SimHash near-dup pairs: same chunk-banding + exact hamming verify.

@@ -304,12 +304,104 @@ def q_ext_embed_centroids(spark, sf_dir):
     )
 
 
+def q_ext_embed_quantize(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus: per-dimension
+    min/max over the corpus define a linear code in [0, 255]; output is
+    per-vector code statistics (sum/min/max) — the compression pass an
+    ANN index runs before storing vectors.
+
+    Scale shape: pass 1 is a 64-row map-side-combined aggregate (per-dim
+    min/max); pass 2 re-scans the corpus once, joining the broadcast
+    64-row stats relation by dimension — no shuffle of the corpus, no
+    driver collection. Outputs are integers end-to-end, so cross-engine
+    parity is exact (the reconstruction-error bound is pinned against
+    numpy in tests/test_embed_quantize.py instead of the SQL oracle).
+    """
+    ex = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(
+            F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")
+        ).alias("dim", "x"),
+    )
+    stats = ex.groupBy("dim").agg(
+        F.min("x").alias("lo"), F.max("x").alias("hi")
+    )
+    codes = ex.join(F.broadcast(stats), "dim").select(
+        "vec_id",
+        F.when(F.col("hi") == F.col("lo"), F.lit(0))
+        .otherwise(
+            F.round(
+                (F.col("x") - F.col("lo")) * 255 / (F.col("hi") - F.col("lo")),
+                0,
+            ).cast("int")
+        )
+        .alias("code"),
+    )
+    return codes.groupBy("vec_id").agg(
+        F.count(F.lit(1)).alias("n_dims"),
+        F.sum("code").cast("long").alias("code_sum"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+    )
+
+
+PQ_M = 8            # subspaces (64 dims -> 8 slices of 8)
+PQ_SUB = 8          # dims per subspace
+PQ_K = 16           # codewords per subspace (sampled, like the IVF
+                    # coarse quantizer — vec_id < PQ_K)
+
+
+def q_ext_embed_pq(spark, sf_dir):
+    """Product quantization: each vector's 64 dims split into PQ_M
+    8-dim subspaces, each slice snapped to its nearest of PQ_K sampled
+    codewords (L2) — the code layout an IVF-PQ index stores instead of
+    raw floats (8 bytes/vector here vs 256).
+
+    Scale shape: the codebook is PQ_M x PQ_K = 128 rows, broadcast; the
+    corpus is scanned once, exploded by subspace (M-fold narrow rows),
+    and assigned via broadcast join + windowed argmin per (vec_id,
+    subspace). No corpus shuffle, no quadratic stage; distances are
+    computed in identical fold order on both engines so the integer
+    argmin (ties to the smallest code) is engine-exact.
+    """
+    emb = _emb(spark, sf_dir, spread=True)
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), s ->"
+            f" struct(s AS subspace, slice(v, s * {PQ_SUB} + 1, {PQ_SUB})"
+            " AS sv))"
+        )).alias("e"),
+    ).select("vec_id", "e.subspace", "e.sv")
+    codebook = sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("subspace").alias("cb_subspace"),
+        F.col("vec_id").alias("code"),
+        F.col("sv").alias("cw"),
+    )
+    l2 = (
+        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    scored = sub.join(
+        F.broadcast(codebook),
+        F.col("subspace") == F.col("cb_subspace"),
+    ).select("vec_id", "subspace", "code", F.expr(l2).alias("dist"))
+    # min_by over a (dist, code) struct = argmin with deterministic
+    # smallest-code tie-break, as a map-side-combinable hash aggregate —
+    # no window sort of the M-times-exploded corpus.
+    return scored.groupBy("vec_id", "subspace").agg(
+        F.min_by("code", F.struct("dist", "code")).alias("code")
+    )
+
+
 QUERIES = {
     "ext_similarity_topk": q_ext_similarity_topk,
     "ext_similarity_lsh": q_ext_similarity_lsh,
     "ext_similarity_ivf": q_ext_similarity_ivf,
     "ext_knn_classify": q_ext_knn_classify,
     "ext_embed_centroids": q_ext_embed_centroids,
+    "ext_embed_quantize": q_ext_embed_quantize,
+    "ext_embed_pq": q_ext_embed_pq,
 }
 
 _SQL_COS = (
@@ -406,6 +498,60 @@ SELECT label, MAX(n) AS n_vecs,
          AS centroid_norm,
        round(MAX(CASE WHEN dim = 0 THEN c END), 6) AS c0
 FROM comp GROUP BY label
+"""
+
+# Integer code statistics: both engines compute the identical double
+# expression (x - lo) * 255 / (hi - lo) then round half-away-from-zero
+# (values are non-negative, so Spark HALF_UP agrees), keeping the oracle
+# byte-exact with no float rounding concerns in the output schema.
+ORACLES["ext_embed_quantize"] = """
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+ex AS (
+  SELECT vec_id,
+         unnest(list_transform(v, (x, i) -> {'dim': i - 1, 'x': x})) AS u
+  FROM v
+),
+stats AS (
+  SELECT u.dim AS dim, MIN(u.x) AS lo, MAX(u.x) AS hi FROM ex GROUP BY 1
+),
+codes AS (
+  SELECT e.vec_id,
+         CASE WHEN s.hi = s.lo THEN 0
+              ELSE CAST(round((e.u.x - s.lo) * 255 / (s.hi - s.lo)) AS INT)
+         END AS code
+  FROM ex e JOIN stats s ON e.u.dim = s.dim
+)
+SELECT vec_id, COUNT(*) AS n_dims, SUM(code)::BIGINT AS code_sum,
+       MIN(code) AS code_min, MAX(code) AS code_max
+FROM codes GROUP BY vec_id
+"""
+
+# Same slice/codeword L2 in identical fold order; integer output.
+ORACLES["ext_embed_pq"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sub AS (
+  SELECT vec_id,
+         unnest([{{'subspace': s, 'sv': v[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}]}}
+                 for s in generate_series(0, {PQ_M - 1})]) AS e
+  FROM v
+),
+flat AS (SELECT vec_id, e.subspace AS subspace, e.sv AS sv FROM sub),
+codebook AS (
+  SELECT subspace AS cb_subspace, vec_id AS code, sv AS cw
+  FROM flat WHERE vec_id < {PQ_K}
+),
+scored AS (
+  SELECT f.vec_id, f.subspace, c.code,
+         list_sum([(f.sv[i] - c.cw[i]) * (f.sv[i] - c.cw[i])
+                   for i in generate_series(1, {PQ_SUB})]) AS dist
+  FROM flat f JOIN codebook c ON f.subspace = c.cb_subspace
+)
+SELECT vec_id, subspace, code FROM (
+  SELECT vec_id, subspace, code,
+         row_number() OVER (PARTITION BY vec_id, subspace
+                            ORDER BY dist ASC, code ASC) AS r
+  FROM scored
+) WHERE r = 1
 """
 
 ORACLES["ext_knn_classify"] = f"""

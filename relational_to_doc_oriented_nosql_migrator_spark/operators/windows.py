@@ -192,6 +192,46 @@ def q_ext_events_retention(spark, sf_dir):
     )
 
 
+def q_ext_events_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the most recent
+    preceding click/view by the same user — the standard marketing-
+    attribution join behind conversion reporting.
+
+    Scale shape: ONE window pass per user ordered by (ts, event_id) with
+    an ignore-nulls last() over preceding rows — no self-join of the
+    event stream against itself, no per-event state. The three
+    last()-projections share the null pattern (all fire on exactly the
+    touch rows), so the attributed fields are mutually consistent.
+    """
+    ev = t(spark, sf_dir, "events")
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+
+    def last_touch(col):
+        return F.last(F.when(is_touch, col), ignorenulls=True).over(w)
+
+    attributed = ev.select(
+        "user_id",
+        F.col("event_id").alias("conv_event_id"),
+        F.col("ts").alias("conv_ts"),
+        "event_type",
+        last_touch(F.col("event_id")).alias("touch_event_id"),
+        last_touch(F.col("event_type")).alias("touch_type"),
+        last_touch(F.col("ts")).alias("touch_ts"),
+    )
+    return attributed.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("touch_event_id").isNotNull()
+    ).select(
+        "user_id", "conv_event_id", "conv_ts",
+        "touch_event_id", "touch_type", "touch_ts",
+    )
+
+
 def q_ext_window_running(spark, sf_dir):
     """Cumulative frames: per-user running event count and value sum
     ordered by time (rowsBetween unboundedPreceding..currentRow)."""
@@ -298,6 +338,7 @@ QUERIES = {
     "ext_cube": q_ext_cube,
     "ext_events_funnel": q_ext_events_funnel,
     "ext_events_retention": q_ext_events_retention,
+    "ext_events_attribution": q_ext_events_attribution,
     "ext_window_running": q_ext_window_running,
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
@@ -408,6 +449,26 @@ fp AS (
 SELECT fc.user_id, fc.first_click_ts, fp.first_purchase_ts,
        fp.first_purchase_ts IS NOT NULL AS converted
 FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id
+""",
+    "ext_events_attribution": """
+WITH attributed AS (
+  SELECT user_id, event_id AS conv_event_id, ts AS conv_ts, event_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_id END IGNORE NULLS) OVER w
+           AS touch_event_id,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN event_type END IGNORE NULLS) OVER w
+           AS touch_type,
+         last_value(CASE WHEN event_type IN ('click', 'view')
+                         THEN ts END IGNORE NULLS) OVER w AS touch_ts
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, conv_event_id, conv_ts,
+       touch_event_id, touch_type, touch_ts
+FROM attributed
+WHERE event_type = 'purchase' AND touch_event_id IS NOT NULL
 """,
     "ext_cube": f"""
 SELECT event_type, user_bucket, COUNT(*) AS n,

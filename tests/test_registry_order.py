@@ -4,10 +4,12 @@ the 5 ids that have never had a driver row (ext_mm_decode_dims,
 ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
 ext_embed_centroids), the ids whose code materially changed in round 4
 (ext_similarity_lsh/_ivf broadcast+recall, ext_dedup_minhash stats
-refactor), any round-4-new operators, then r02-era backfill. Deferred to
-round 5 with green r02 rows and full local coverage: the three
-brute-force baselines (ngram_jaccard, embedding, simhash_pairs) and
-plan_two_way_embed."""
+refactor), the four round-4-new operators (events_attribution,
+dedup_canonical, embed_quantize, embed_pq), then r02-era backfill.
+Deferred to round 5 with green r02 rows and full local coverage: the
+three brute-force baselines (ngram_jaccard, embedding, simhash_pairs),
+plan_one_way_embed, plan_two_way_embed, ext_mm_resize,
+ext_stream_sliding_agg, and ext_text_langid."""
 
 import __spark_entry__ as entrymod
 
@@ -27,11 +29,9 @@ def test_priority_block_leads_registry():
 
 def test_registry_complete_and_oracle_backed():
     qs, ors = all_queries(), all_oracles()
-    # 91 as of round 2 + round-3 adds: unigram_logprob, bigram_logprob,
-    # tfidf_top, knn_classify, stream_enrich_agg, stream_interval_join,
-    # domain_mix_temperature, dedup_common_ngrams, mm_decode_dims,
-    # events_funnel, events_retention, embed_centroids
-    assert len(qs) == 103
+    # 91 as of round 2 + 12 round-3 adds + round-4 adds:
+    # events_attribution, dedup_canonical, embed_quantize, embed_pq
+    assert len(qs) == 107
     assert set(ors) == set(qs)  # every query oracle-checked as of round 2
     # entry module passes through the same ordering
     assert list(entrymod.queries()) == list(qs)
