@@ -32,27 +32,34 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
 # ext_embed_centroids). Round 4 leads with those 5 (first hard-signal row
 # each), then the ids whose code changed this round (similarity broadcast
-# fix + recall tuning; dedup stats refactor), then round-4-new operators,
+# fix + recall tuning; dedup stats refactor; ext_embed_pq's internals
+# refactored for IVF-PQ reuse), then the ELEVEN round-4-new operators,
 # then backfills with r02-era ids oldest-row-first. Deferred to round 5
 # (still green under the local all-ids suite every run), with their
-# siblings staying in-window: the three guarded-small brute-force
-# baselines ext_dedup_ngram_jaccard / ext_dedup_embedding /
-# ext_dedup_simhash_pairs, plan_two_way_embed + plan_one_way_embed
-# (value-checked against frozen goldens locally; four sibling plan ids
-# in-window), ext_mm_resize (three mm siblings in-window),
-# ext_stream_sliding_agg (four streaming siblings in-window), and
-# ext_text_langid (three text-analysis siblings in-window).
+# siblings staying in-window: the seven r02-proven curation-pipeline ids
+# (ext_curation_pipeline, ext_text_pii_scrub, ext_decontaminate,
+# ext_repetition_filter, ext_domain_mix, ext_sample_stratified,
+# ext_pack_sequences — displaced by the round-4-new first-proofs), the
+# three guarded-small brute-force baselines ext_dedup_ngram_jaccard /
+# ext_dedup_embedding / ext_dedup_simhash_pairs, plan_two_way_embed +
+# plan_one_way_embed (value-checked against frozen goldens locally; four
+# sibling plan ids in-window), ext_mm_resize (three mm siblings
+# in-window), ext_stream_sliding_agg (four streaming siblings in-window),
+# and ext_text_langid (three text-analysis siblings in-window).
 DRIVER_WINDOW_FIRST = (
     # never driver-proven before round 4 — first hard-signal rows
     "ext_mm_decode_dims", "ext_events_funnel", "ext_events_retention",
     "ext_text_bigram_logprob", "ext_embed_centroids",
     # code materially changed in round 4 (similarity: stride filter
     # before the re-rank broadcast + recall tuning; dedup: bucket-stats
-    # refactor) -> re-prove on current code
+    # refactor; embed_pq: internals shared with ivfpq) -> re-prove
     "ext_similarity_lsh", "ext_similarity_ivf", "ext_dedup_minhash",
     # new in round 4 — first driver row each
     "ext_events_attribution", "ext_dedup_canonical", "ext_embed_quantize",
     "ext_embed_pq",
+    "ext_similarity_ivfpq", "ext_dedup_embedding_lsh",
+    "ext_events_sessionize", "ext_events_anomaly",
+    "ext_text_perplexity_bucket", "src_csv_import", "src_jsonl_import",
     # r02-era backfill (latest green row is round 2)
     "src_full_scan", "src_sql_dump_import", "src_indexed_lookup",
     "sink_json_collections", "join_nest_one_to_many", "join_nest_salted",
@@ -69,9 +76,6 @@ DRIVER_WINDOW_FIRST = (
     "plan_topo_order", "plan_self_ref_detect", "plan_embed_or_reference",
     "plan_referencing",
     "sink_http_response", "sink_parquet_partitioned",
-    "ext_curation_pipeline", "ext_text_pii_scrub", "ext_decontaminate",
-    "ext_repetition_filter", "ext_domain_mix", "ext_sample_stratified",
-    "ext_pack_sequences",
 )
 
 

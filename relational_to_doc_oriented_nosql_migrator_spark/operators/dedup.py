@@ -446,14 +446,14 @@ def q_ext_dedup_simhash_pairs(spark, sf_dir):
 
 def q_ext_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup pairs >= threshold (brute force baseline;
-    the LSH-bucketed scale path is ext_similarity_lsh in similarity.py).
+    the LSH-bucketed scale path is q_ext_dedup_embedding_lsh below).
     Guarded: refuses inputs over ALL_PAIRS_CEILING rows."""
     emb = _guard_all_pairs(
         t(spark, sf_dir, "embeddings").select(
             "vec_id",
             F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
         ),
-        "ext_dedup_embedding", "ext_similarity_lsh",
+        "ext_dedup_embedding", "ext_dedup_embedding_lsh",
     )
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
@@ -473,6 +473,66 @@ def q_ext_dedup_embedding(spark, sf_dir):
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= COSINE_THRESHOLD)
+    )
+
+
+def q_ext_dedup_embedding_lsh(spark, sf_dir):
+    """Embedding-cosine near-dup pairs — the LSH-bucketed SCALE path for
+    q_ext_dedup_embedding (which is the guarded all-pairs baseline).
+
+    Candidates are pairs colliding in at least one of the similarity
+    module's LSH_TABLES sign-projection buckets (same deterministic keys
+    as ext_similarity_lsh), then exact-cosine verified at the same
+    COSINE_THRESHOLD. At cos >= 0.99 the per-table collision probability
+    is (1 - theta/pi)^K ~ 0.83, so the 12-table union misses a true pair
+    with probability ~0.17^12 — recall is effectively 1 while random
+    pairs collide at ~L/2^K of the corpus.
+
+    Scale shape: the cross product never materializes — only same-bucket
+    collisions do (bucket-key equi-join, shuffle keyed by bucket).
+    Bucket population ~ N/2^K per table, so K grows ~log2(N) with corpus
+    size to hold per-bucket cost flat (the same dial the MinHash path
+    caps with MINHASH_BUCKET_CAP).
+    """
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as _sim,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    keys = emb.select(
+        "vec_id", F.explode(F.expr(_sim._TABLES_EXPR)).alias("bkey")
+    )
+    ka = keys.select(F.col("vec_id").alias("vec_a"), "bkey")
+    kb = keys.select(F.col("vec_id").alias("vec_b"), "bkey")
+    cand = (
+        ka.join(kb, "bkey")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    dot = F.expr(
+        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+        " (acc, x) -> acc + x)"
+    )
+    norm_a = F.expr(
+        "sqrt(aggregate(zip_with(va, va, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    norm_b = F.expr(
+        "sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y),"
+        " CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b",
+                F.round(dot / (norm_a * norm_b), 6).alias("cosine"))
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
     )
 
@@ -647,6 +707,7 @@ QUERIES = {
     "ext_dedup_simhash": q_ext_dedup_simhash,
     "ext_dedup_simhash_pairs": q_ext_dedup_simhash_pairs,
     "ext_dedup_embedding": q_ext_dedup_embedding,
+    "ext_dedup_embedding_lsh": q_ext_dedup_embedding_lsh,
 }
 
 _SQL_HS = (
@@ -741,6 +802,30 @@ WHERE round(list_dot_product(a.e, b.e) /
              sqrt(list_dot_product(b.e, b.e))), 6) >= {COSINE_THRESHOLD}
 """,
 }
+
+# Same deterministic multi-table sign-LSH keys as the similarity module;
+# candidates = shared-bucket pairs, then the exact-cosine verify above.
+from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (  # noqa: E402
+    _SQL_TABLE_KEYS as _SIM_SQL_TABLE_KEYS,
+)
+
+ORACLES["ext_dedup_embedding_lsh"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+                  embedding::DOUBLE[] AS v FROM embeddings),
+keys AS (SELECT vec_id, unnest({_SIM_SQL_TABLE_KEYS}) AS bkey FROM v),
+cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
+)
+SELECT vec_a, vec_b, cosine FROM (
+  SELECT cd.vec_a, cd.vec_b,
+         round(list_dot_product(a.e, b.e) /
+               (sqrt(list_dot_product(a.e, a.e)) *
+                sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+  FROM cand cd JOIN v a ON a.vec_id = cd.vec_a
+               JOIN v b ON b.vec_id = cd.vec_b
+) WHERE cosine >= {COSINE_THRESHOLD}
+"""
 
 # Connected components via transitive closure (recursive CTE) over the same
 # minhash pair graph; rep = min reachable doc (incl. self).

@@ -8,6 +8,8 @@ computation — not the catalog plumbing — is what's exercised and checked.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -174,6 +176,48 @@ def q_src_indexed_lookup(spark, sf_dir):
     """Point-predicate scan; the predicate reaches the parquet scan as a
     PushedFilter (reference server/MySQLDBManager.js:284-312)."""
     return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
+
+
+def q_src_csv_import(spark, sf_dir):
+    """CSV interchange source, verified round trip: export `customer`
+    (free-text comment column exercises quoting) to headered CSV, read
+    it back with the explicit source schema — the flat-file import path
+    a relational-to-document migration starts from when no live DB or
+    dump exists.
+
+    Scale shape: both directions are distributed (one part-file per
+    partition, no driver collect); the read carries an explicit schema,
+    so no inference pass over the data. Embedded newlines would force
+    multiLine CSV (single-threaded per file — a scale hazard); dataset
+    columns have none, and corpora with them belong in the JSONL path
+    below.
+    """
+    import tempfile
+
+    cust = t(spark, sf_dir, "customer")
+    out = os.path.join(tempfile.mkdtemp(prefix="sg_csv_src_"), "customer")
+    cust.write.option("header", True).mode("overwrite").csv(out)
+    return spark.read.schema(cust.schema).option("header", True).csv(out)
+
+
+def q_src_jsonl_import(spark, sf_dir):
+    """JSON-Lines interchange source, verified round trip: export
+    `documents` to JSONL and read it back with the explicit schema —
+    the de-facto LLM-corpus interchange format (one JSON object per
+    line; embedded newlines/quotes live safely inside JSON escapes, so
+    the file stays line-splittable and every partition parses in
+    parallel, unlike multiLine CSV).
+
+    Scale shape: distributed write and read, explicit schema (no
+    inference scan). JSON omits null fields on write, so the explicit
+    read schema is what keeps absent keys typed as nulls.
+    """
+    import tempfile
+
+    docs = t(spark, sf_dir, "documents")
+    out = os.path.join(tempfile.mkdtemp(prefix="sg_jsonl_src_"), "documents")
+    docs.write.mode("overwrite").json(out)
+    return spark.read.schema(docs.schema).json(out)
 
 
 # ---------------------------------------------------------------------------
@@ -576,6 +620,8 @@ QUERIES = {
     "src_full_scan": q_src_full_scan,
     "src_sql_dump_import": q_src_sql_dump_import,
     "src_indexed_lookup": q_src_indexed_lookup,
+    "src_csv_import": q_src_csv_import,
+    "src_jsonl_import": q_src_jsonl_import,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
     "proj_rename_ref": q_proj_rename_ref,
@@ -623,6 +669,10 @@ def _oracles() -> dict[str, str]:
             " FROM customer LEFT JOIN orders ON c_custkey = o_custkey"
             " GROUP BY c_custkey, c_name",
         "src_indexed_lookup": "SELECT * FROM orders WHERE o_custkey = 7",
+        # Round-trip sources: a lossless interchange write+read must hand
+        # back exactly the base relation.
+        "src_csv_import": "SELECT * FROM customer",
+        "src_jsonl_import": "SELECT * FROM documents",
         "proj_attribute_select":
             "SELECT c_custkey, c_name, c_mktsegment FROM customer",
         "proj_drop_fk_column":

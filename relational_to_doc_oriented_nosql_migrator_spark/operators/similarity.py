@@ -351,6 +351,49 @@ PQ_K = 16           # codewords per subspace (sampled, like the IVF
                     # coarse quantizer — vec_id < PQ_K)
 
 
+_PQ_L2 = (
+    "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
+    " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+)
+
+
+def _pq_slices(emb):
+    """(vec_id, subspace, sv): each vector exploded into its PQ_M
+    contiguous PQ_SUB-dim slices — narrow M-fold row expansion, no
+    shuffle."""
+    return emb.select(
+        "vec_id",
+        F.explode(F.expr(
+            f"transform(sequence(0, {PQ_M - 1}), s ->"
+            f" struct(s AS subspace, slice(v, s * {PQ_SUB} + 1, {PQ_SUB})"
+            " AS sv))"
+        )).alias("e"),
+    ).select("vec_id", "e.subspace", "e.sv")
+
+
+def _pq_codebook(sub):
+    """PQ_M x PQ_K sampled codewords (vec_id < PQ_K), broadcastable."""
+    return sub.filter(F.col("vec_id") < PQ_K).select(
+        F.col("subspace").alias("cb_subspace"),
+        F.col("vec_id").alias("code"),
+        F.col("sv").alias("cw"),
+    )
+
+
+def _pq_codes(sub, codebook):
+    """Nearest-codeword assignment: (vec_id, subspace, code)."""
+    scored = sub.join(
+        F.broadcast(codebook),
+        F.col("subspace") == F.col("cb_subspace"),
+    ).select("vec_id", "subspace", "code", F.expr(_PQ_L2).alias("dist"))
+    # min_by over a (dist, code) struct = argmin with deterministic
+    # smallest-code tie-break, as a map-side-combinable hash aggregate —
+    # no window sort of the M-times-exploded corpus.
+    return scored.groupBy("vec_id", "subspace").agg(
+        F.min_by("code", F.struct("dist", "code")).alias("code")
+    )
+
+
 def q_ext_embed_pq(spark, sf_dir):
     """Product quantization: each vector's 64 dims split into PQ_M
     8-dim subspaces, each slice snapped to its nearest of PQ_K sampled
@@ -365,32 +408,76 @@ def q_ext_embed_pq(spark, sf_dir):
     argmin (ties to the smallest code) is engine-exact.
     """
     emb = _emb(spark, sf_dir, spread=True)
-    sub = emb.select(
-        "vec_id",
-        F.explode(F.expr(
-            f"transform(sequence(0, {PQ_M - 1}), s ->"
-            f" struct(s AS subspace, slice(v, s * {PQ_SUB} + 1, {PQ_SUB})"
-            " AS sv))"
-        )).alias("e"),
-    ).select("vec_id", "e.subspace", "e.sv")
-    codebook = sub.filter(F.col("vec_id") < PQ_K).select(
-        F.col("subspace").alias("cb_subspace"),
-        F.col("vec_id").alias("code"),
-        F.col("sv").alias("cw"),
+    sub = _pq_slices(emb)
+    return _pq_codes(sub, _pq_codebook(sub))
+
+
+IVFPQ_TOP_K = 3
+
+
+def q_ext_similarity_ivfpq(spark, sf_dir):
+    """IVF-PQ ANN search via asymmetric distance computation (ADC): the
+    query keeps its exact slices, candidates are represented ONLY by
+    their PQ codes, and the approximate L2 distance is a sum of PQ_M
+    table lookups — the storage/search layout a billion-vector index
+    actually runs (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search").
+
+    Scale shape: candidate generation is the IVF probe join (index-
+    output-sized, never all-pairs); scoring touches the CODES table
+    (PQ_M small ints per vector — the 32x-compressed representation),
+    not the raw vectors; the per-query distance table (|queries| x
+    PQ_M x PQ_K rows) is broadcast. The raw corpus is never re-read
+    after indexing — that is the point of PQ at 100 TB.
+
+    Determinism: per-subspace L2 folds sequentially on both engines;
+    the cross-subspace sum runs in decimal (order-independent), so the
+    rounded ADC distance and the (dist, cand_id) ranking are
+    engine-exact.
+    """
+    emb = _emb(spark, sf_dir, spread=True)
+    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    l2 = (
-        "aggregate(zip_with(sv, cw, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    inverted = _assign(emb, cents, "cand_id", "arank", N_ASSIGN)
+    probes = _assign(
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0), cents,
+        "query_id", "prank", N_PROBE,
     )
-    scored = sub.join(
-        F.broadcast(codebook),
-        F.col("subspace") == F.col("cb_subspace"),
-    ).select("vec_id", "subspace", "code", F.expr(l2).alias("dist"))
-    # min_by over a (dist, code) struct = argmin with deterministic
-    # smallest-code tie-break, as a map-side-combinable hash aggregate —
-    # no window sort of the M-times-exploded corpus.
-    return scored.groupBy("vec_id", "subspace").agg(
-        F.min_by("code", F.struct("dist", "code")).alias("code")
+    sub = _pq_slices(emb)
+    codebook = _pq_codebook(sub)
+    codes = _pq_codes(sub, codebook).withColumnRenamed("vec_id", "cand_id")
+    # Per-query ADC distance table: |queries| x PQ_M x PQ_K rows.
+    dtab = (
+        sub.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook),
+              F.col("subspace") == F.col("cb_subspace"))
+        .select("query_id", "subspace", "code",
+                F.expr(_PQ_L2).alias("d"))
+    )
+    cand = (
+        probes.join(inverted, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    scored = (
+        cand.join(codes, "cand_id")
+        .join(F.broadcast(dtab), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVFPQ_TOP_K)
     )
 
 
@@ -398,6 +485,7 @@ QUERIES = {
     "ext_similarity_topk": q_ext_similarity_topk,
     "ext_similarity_lsh": q_ext_similarity_lsh,
     "ext_similarity_ivf": q_ext_similarity_ivf,
+    "ext_similarity_ivfpq": q_ext_similarity_ivfpq,
     "ext_knn_classify": q_ext_knn_classify,
     "ext_embed_centroids": q_ext_embed_centroids,
     "ext_embed_quantize": q_ext_embed_quantize,
@@ -552,6 +640,81 @@ SELECT vec_id, subspace, code FROM (
                             ORDER BY dist ASC, code ASC) AS r
   FROM scored
 ) WHERE r = 1
+"""
+
+# ADC search: same IVF candidate CTEs + same PQ code/codebook CTEs; the
+# cross-subspace sum runs in DECIMAL on both engines (order-independent)
+# before the 6-digit round, so ranks are engine-exact.
+ORACLES["ext_similarity_ivfpq"] = f"""
+WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cents AS (SELECT vec_id AS cent_id, v FROM v WHERE vec_id < {N_CENTROIDS}),
+assign AS (
+  SELECT cand_id, cent_id FROM (
+    SELECT q.vec_id AS cand_id, c.cent_id, {_SQL_COS} AS cent_cos,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_SQL_COS} DESC, c.cent_id ASC) AS r
+    FROM v q JOIN cents c ON TRUE
+  ) WHERE r <= {N_ASSIGN}
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, c.cent_id, {_SQL_COS} AS cent_cos,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {_SQL_COS} DESC, c.cent_id ASC) AS r
+    FROM v q JOIN cents c ON TRUE
+    WHERE q.vec_id % {QUERY_STRIDE} = 0
+  ) WHERE r <= {N_PROBE}
+),
+cand AS (
+  SELECT DISTINCT p.query_id, a.cand_id
+  FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+  WHERE p.query_id <> a.cand_id
+),
+sub AS (
+  SELECT vec_id,
+         unnest([{{'subspace': s, 'sv': v[s * {PQ_SUB} + 1 : (s + 1) * {PQ_SUB}]}}
+                 for s in generate_series(0, {PQ_M - 1})]) AS e
+  FROM v
+),
+flat AS (SELECT vec_id, e.subspace AS subspace, e.sv AS sv FROM sub),
+codebook AS (
+  SELECT subspace AS cb_subspace, vec_id AS code, sv AS cw
+  FROM flat WHERE vec_id < {PQ_K}
+),
+codes AS (
+  SELECT vec_id AS cand_id, subspace, code FROM (
+    SELECT f.vec_id, f.subspace, c.code,
+           row_number() OVER (PARTITION BY f.vec_id, f.subspace
+                              ORDER BY list_sum([(f.sv[i] - c.cw[i]) *
+                                                 (f.sv[i] - c.cw[i])
+                                  for i in generate_series(1, {PQ_SUB})])
+                                  ASC, c.code ASC) AS r
+    FROM flat f JOIN codebook c ON f.subspace = c.cb_subspace
+  ) WHERE r = 1
+),
+dtab AS (
+  SELECT f.vec_id AS query_id, f.subspace, c.code,
+         list_sum([(f.sv[i] - c.cw[i]) * (f.sv[i] - c.cw[i])
+                   for i in generate_series(1, {PQ_SUB})]) AS d
+  FROM flat f JOIN codebook c ON f.subspace = c.cb_subspace
+  WHERE f.vec_id % {QUERY_STRIDE} = 0
+),
+adc AS (
+  SELECT cd.query_id, cd.cand_id,
+         round(CAST(SUM(CAST(d.d AS DECIMAL(28,12))) AS DOUBLE), 6)
+           AS adc_dist
+  FROM cand cd
+  JOIN codes k ON k.cand_id = cd.cand_id
+  JOIN dtab d ON d.query_id = cd.query_id AND d.subspace = k.subspace
+             AND d.code = k.code
+  GROUP BY cd.query_id, cd.cand_id
+)
+SELECT query_id, cand_id, adc_dist, rank FROM (
+  SELECT query_id, cand_id, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, cand_id ASC) AS rank
+  FROM adc
+) WHERE rank <= {IVFPQ_TOP_K}
 """
 
 ORACLES["ext_knn_classify"] = f"""

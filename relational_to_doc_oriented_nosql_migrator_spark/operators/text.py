@@ -223,6 +223,34 @@ def q_ext_text_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_ext_text_perplexity_bucket(spark, sf_dir):
+    """CCNet-style perplexity bucketing: docs split into head / middle /
+    tail terciles of the unigram-LM score (head = most natural text) —
+    the partition CCNet uses to keep head+middle and drop the tail.
+
+    Scale shape: the bucketed frame is the |docs|-sized score output of
+    the unigram pass, not the token explosion. Tercile assignment here is
+    exact ntile(3) (rank-based, integer-exact across engines); at 100 TB
+    the drop-in swap is two approx-quantile cut points computed in one
+    aggregation and broadcast — the bucketing join stays identical, only
+    the cut-point source changes (documented, not silently approximate).
+    """
+    scored = q_ext_text_unigram_logprob(spark, sf_dir)
+    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
+    return (
+        scored.withColumn("tercile", F.ntile(3).over(w))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "avg_logprob",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tercile"),
+            ).alias("bucket"),
+        )
+    )
+
+
 TFIDF_TOP_K = 3
 
 
@@ -342,6 +370,7 @@ QUERIES = {
     "ext_text_langid": q_ext_text_langid,
     "ext_text_fingerprint": q_ext_text_fingerprint,
     "ext_text_unigram_logprob": q_ext_text_unigram_logprob,
+    "ext_text_perplexity_bucket": q_ext_text_perplexity_bucket,
     "ext_text_bigram_logprob": q_ext_text_bigram_logprob,
     "ext_text_tfidf_top": q_ext_text_tfidf_top,
 }
@@ -440,6 +469,22 @@ logp AS (SELECT tok, round(ln(cnt::DOUBLE / total), 6) AS lp
          FROM freq, tot)
 SELECT doc_id, COUNT(*) AS n_tokens, {sql_dec_avg('lp')} AS avg_logprob
 FROM ex JOIN logp USING (tok) GROUP BY doc_id
+""",
+    "ext_text_perplexity_bucket": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+ex AS (SELECT doc_id, unnest(tk) AS tok FROM tk),
+freq AS (SELECT tok, COUNT(*) AS cnt FROM ex GROUP BY tok),
+tot AS (SELECT SUM(cnt) AS total FROM freq),
+logp AS (SELECT tok, round(ln(cnt::DOUBLE / total), 6) AS lp
+         FROM freq, tot),
+scored AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, {sql_dec_avg('lp')} AS avg_logprob
+  FROM ex JOIN logp USING (tok) GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, avg_logprob,
+       (['head', 'middle', 'tail'])[
+         ntile(3) OVER (ORDER BY avg_logprob DESC, doc_id ASC)] AS bucket
+FROM scored
 """,
     "ext_text_bigram_logprob": f"""
 WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),

@@ -232,6 +232,79 @@ def q_ext_events_attribution(spark, sf_dir):
     )
 
 
+def q_ext_events_sessionize(spark, sf_dir):
+    """Event-level sessionization: every event gets its user-relative
+    session sequence number (gap >= 30 minutes starts a new session) —
+    the row-level companion to ext_session_agg's per-session rollup,
+    and the id-assignment pass a sessionized clickstream export needs.
+
+    Scale shape: ONE window pass partitioned by user_id ordered by
+    (ts, event_id): a lag to detect gaps and a running sum to number the
+    islands — the classic gaps-and-islands plan, shuffling once on the
+    high-cardinality user key and never holding more than a partition's
+    events in the sort.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(micros).over(w)
+    new_session = F.when(
+        prev.isNull() | (micros - prev >= 30 * 60 * 1_000_000), 1
+    ).otherwise(0)
+    return (
+        ev.withColumn("new_session", new_session)
+        .withColumn(
+            "session_seq",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .select("user_id", "event_id", "ts", "event_type", "session_seq")
+    )
+
+
+def q_ext_events_anomaly(spark, sf_dir):
+    """Daily volume anomalies per event type: z-score of each day's event
+    count against that type's across-days mean/stddev, flagged at
+    |z| >= 2 — the standard ops-dashboard outlier pass.
+
+    Scale shape: the daily rollup is one map-side-combined aggregation to
+    |types| x |days| rows; the per-type moment aggregates (n, sum, sum of
+    squares — exact BIGINTs) reduce that to |types| rows, broadcast back
+    over the daily frame. The raw stream is scanned once; z is computed
+    from integer moments with the identical double expression on both
+    engines, so the rounded score is engine-exact.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n_events").alias("s"),
+        F.sum(F.col("n_events") * F.col("n_events")).alias("ss"),
+    )
+    mean = F.col("s").cast("double") / F.col("n_days")
+    var = (
+        (F.col("ss").cast("double") - F.col("s").cast("double") * mean)
+        / (F.col("n_days") - 1)
+    )
+    std = F.sqrt(var)
+    z = F.round((F.col("n_events") - mean) / std, 6)
+    return (
+        daily.join(F.broadcast(stats), "event_type")
+        .filter(F.col("n_days") > 1)
+        .select(
+            "event_type",
+            "day",
+            "n_events",
+            F.when(std > 0, z).alias("zscore"),
+            F.when(std > 0, F.abs(z) >= 2).otherwise(F.lit(False))
+            .alias("is_anomaly"),
+        )
+    )
+
+
 def q_ext_window_running(spark, sf_dir):
     """Cumulative frames: per-user running event count and value sum
     ordered by time (rowsBetween unboundedPreceding..currentRow)."""
@@ -339,6 +412,8 @@ QUERIES = {
     "ext_events_funnel": q_ext_events_funnel,
     "ext_events_retention": q_ext_events_retention,
     "ext_events_attribution": q_ext_events_attribution,
+    "ext_events_sessionize": q_ext_events_sessionize,
+    "ext_events_anomaly": q_ext_events_anomaly,
     "ext_window_running": q_ext_window_running,
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
@@ -512,5 +587,55 @@ SELECT 'click_only', user_id FROM (SELECT user_id FROM clicks EXCEPT
 SELECT event_type, COUNT(DISTINCT user_id) AS n_exact,
        TRUE AS within_bound
 FROM events GROUP BY event_type
+""",
+    # Gaps-and-islands at event granularity (same gap rule as
+    # ext_session_agg, but the islands themselves are the output).
+    "ext_events_sessionize": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts, event_type,
+       CAST(SUM(new_session) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING)
+            AS BIGINT) AS session_seq
+FROM ordered
+""",
+    # z from exact integer moments (n, sum, sum of squares) with the
+    # identical double expression as the Spark side.
+    "ext_events_anomaly": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+stats AS (
+  SELECT event_type, COUNT(*) AS n_days, SUM(n_events) AS s,
+         SUM(n_events * n_events) AS ss
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n_events,
+       CASE WHEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                       (CAST(s AS DOUBLE) / n_days)) / (n_days - 1)) > 0
+            THEN round((d.n_events - CAST(s AS DOUBLE) / n_days) /
+                       sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                             (CAST(s AS DOUBLE) / n_days)) / (n_days - 1)),
+                       6)
+       END AS zscore,
+       CASE WHEN sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                       (CAST(s AS DOUBLE) / n_days)) / (n_days - 1)) > 0
+            THEN abs(round((d.n_events - CAST(s AS DOUBLE) / n_days) /
+                           sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE) *
+                                 (CAST(s AS DOUBLE) / n_days)) /
+                                (n_days - 1)), 6)) >= 2
+            ELSE FALSE
+       END AS is_anomaly
+FROM daily d JOIN stats st ON d.event_type = st.event_type
+WHERE n_days > 1
 """,
 }

@@ -1,0 +1,76 @@
+"""Planted-duplicate soundness for the embedding-LSH dedup scale path.
+
+The shipped testdata embeddings are isotropic — no pair reaches the 0.99
+cosine threshold (verified via DuckDB brute force across thresholds down
+to 0.8), so the oracle-parity row for ext_dedup_embedding_lsh legitimately
+matches on an empty frame. This test supplies the missing hard signal: a
+synthetic corpus with planted near-identical vectors, where
+
+- the LSH path must find EXACTLY the brute-force pair set (precision 1 by
+  construction — pairs are exact-cosine verified; recall 1 because at
+  cos >= 0.99 the per-table collision probability is ~0.83 and missing
+  all 12 tables has probability ~0.17^12 ~ 5e-10, deterministic given the
+  fixed vectors), and
+- background (non-planted) pairs must NOT appear.
+"""
+
+import math
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+    dedup as D,
+)
+
+N_BACKGROUND = 120
+N_PLANTED = 6     # planted as near-identical copies of background vectors
+DIMS = 64
+
+
+@pytest.fixture(scope="module")
+def planted_dir(tmp_path_factory):
+    rng = random.Random(42)
+    vecs = []
+    for _ in range(N_BACKGROUND):
+        v = [rng.gauss(0, 1) for _ in range(DIMS)]
+        n = math.sqrt(sum(x * x for x in v))
+        vecs.append([x / n for x in v])
+    # Planted copies: tiny perturbation keeps cosine > 0.999.
+    for i in range(N_PLANTED):
+        src = vecs[i]
+        vecs.append([x + rng.gauss(0, 0.005) for x in src])
+    out = tmp_path_factory.mktemp("planted_emb")
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), type=pa.int64()),
+            "embedding": pa.array(
+                [[float(x) for x in v] for v in vecs],
+                type=pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * len(vecs), type=pa.int32()),
+        }
+    )
+    pq.write_table(table, os.path.join(str(out), "embeddings.parquet"))
+    return str(out)
+
+
+def test_lsh_matches_brute_force_on_planted_dups(spark, planted_dir):
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D.q_ext_dedup_embedding_lsh(spark, planted_dir).collect()
+    }
+    bf = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in D.q_ext_dedup_embedding(spark, planted_dir).collect()
+    }
+    assert len(bf) >= N_PLANTED          # every plant survives the threshold
+    assert set(lsh) <= set(bf)           # precision 1 (exact-cosine verify)
+    assert all(lsh[k] == bf[k] for k in lsh)
+    assert lsh == bf                     # recall 1 on planted dups
+    # Each planted copy pairs with its source (i, N_BACKGROUND + i).
+    for i in range(N_PLANTED):
+        assert (i, N_BACKGROUND + i) in lsh

@@ -33,7 +33,9 @@ BRUTE_FORCE_BASELINES = {
 # hazard.
 TINY_BROADCAST_CROSS = {
     "ext_similarity_ivf",
+    "ext_similarity_ivfpq",      # same N_CENTROIDS assign stage as ivf
     "ext_text_unigram_logprob",  # 1-row corpus-total cross join
+    "ext_text_perplexity_bucket",  # built on unigram_logprob's 1-row cross
     "ext_text_tfidf_top",        # 1-row doc-count cross join
 }
 
@@ -76,7 +78,7 @@ def _walk(node):
 @pytest.mark.parametrize(
     "qid",
     ["ext_similarity_topk", "ext_similarity_lsh", "ext_similarity_ivf",
-     "ext_knn_classify"],
+     "ext_similarity_ivfpq", "ext_knn_classify"],
 )
 def test_no_unfiltered_embeddings_broadcast(qid, spark):
     """Every broadcast build side whose subtree scans `embeddings` must
