@@ -109,6 +109,9 @@ def main() -> None:
             "text_bigram_logprob": lambda: force(
                 text.q_ext_text_bigram_logprob(spark, sf_dir)
             ),
+            "similarity_ivfpq": lambda: force(
+                similarity.q_ext_similarity_ivfpq(spark, sf_dir)
+            ),
         }
 
     headline = make_suite(SF_DIR)
