@@ -274,8 +274,33 @@ def q_ext_mm_decode_dims(spark, sf_dir):
     return mm_decode(spark, media_df(spark, sf_dir), codec=_fake_dims_codec)
 
 
+def q_ext_mm_dedup_exact(spark, sf_dir):
+    """Exact duplicate detection over the BINARY media column: every blob
+    keyed by its md5, with its duplicate-group size and representative
+    flag (smallest doc_id wins) — the byte-level image/audio dedup pass a
+    multimodal corpus runs before any perceptual hashing.
+
+    Scale shape: md5 is computed JVM-side in one narrow pass; group size
+    and representative selection are two window functions over the
+    md5-partitioned shuffle — one corpus shuffle keyed by the hash, the
+    same shape as text exact-dedup but over raw bytes.
+    """
+    from pyspark.sql.window import Window
+
+    mm = attach_media(t(spark, sf_dir, "documents"))
+    hashed = mm.select("doc_id", F.md5("blob").alias("blob_md5"))
+    w = Window.partitionBy("blob_md5")
+    return hashed.select(
+        "doc_id",
+        "blob_md5",
+        F.count(F.lit(1)).over(w).alias("n_copies"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("is_rep"),
+    )
+
+
 QUERIES = {
     "ext_mm_attach_meta": q_ext_mm_attach_meta,
+    "ext_mm_dedup_exact": q_ext_mm_dedup_exact,
     "ext_mm_decode_dims": q_ext_mm_decode_dims,
     "ext_mm_decode_features": q_ext_mm_decode_features,
     "ext_mm_resize": q_ext_mm_resize,
@@ -301,6 +326,15 @@ FROM documents
 """,
     "ext_mm_decode_features": f"""
 SELECT doc_id, {_FEATS_SQL} FROM documents
+""",
+    # DuckDB's md5(VARCHAR) hashes the string's utf-8 bytes — the same
+    # bytes Spark's md5(binary) sees on the encode(text) blob, so the
+    # digest matches byte-exactly regardless of the ASCII invariant.
+    "ext_mm_dedup_exact": """
+SELECT doc_id, md5(text) AS blob_md5,
+       COUNT(*) OVER (PARTITION BY md5(text)) AS n_copies,
+       doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_rep
+FROM documents
 """,
     # octet_length(encode(..)) = utf-8 BYTES, matching the Python codec's
     # len(blob) even for non-ASCII text (the other fake-kernel oracles

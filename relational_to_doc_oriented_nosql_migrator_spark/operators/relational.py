@@ -178,6 +178,58 @@ def q_src_indexed_lookup(spark, sf_dir):
     return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
 
 
+# FK edges audited by ext_fk_orphan_audit (child, fk, parent, pk) — the
+# same parent-child edges the migration planner nests on.
+FK_AUDIT_EDGES = (
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+)
+
+
+def q_ext_fk_orphan_audit(spark, sf_dir):
+    """Referential-integrity audit: for every FK edge the migration plans
+    to nest or reference on, count child rows whose FK has no matching
+    parent key — the pre-flight check a relational-to-document migration
+    runs before embedding children under a parent that may not exist
+    (an orphan would silently vanish from the nested output).
+
+    Scale shape: one left join + one-row aggregate per edge (parent keys
+    are unique PKs, so the join never multiplies rows; AQE broadcasts
+    small parents). Output is |edges| rows — audit-sized. A planted-
+    orphan unit test proves the counter actually counts
+    (tests/test_fk_orphan_audit.py); on intact testdata every edge
+    reports zero orphans, which is the assertion a migration wants.
+    """
+    frames = []
+    for child, fk, parent, pk in FK_AUDIT_EDGES:
+        c = t(spark, sf_dir, child).select(F.col(fk).alias("fk_val"))
+        p = t(spark, sf_dir, parent).select(
+            F.col(pk).alias("fk_val"), F.lit(1).alias("parent_hit")
+        )
+        frames.append(
+            c.join(p, "fk_val", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(
+                    F.when(F.col("parent_hit").isNull(), F.lit(1))
+                ).alias("n_orphans"),
+            )
+            .select(
+                F.lit(child).alias("child_table"),
+                F.lit(fk).alias("fk_column"),
+                F.lit(parent).alias("parent_table"),
+                "n_rows",
+                "n_orphans",
+            )
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def q_src_csv_import(spark, sf_dir):
     """CSV interchange source, verified round trip: export `customer`
     (free-text comment column exercises quoting) to headered CSV, read
@@ -622,6 +674,7 @@ QUERIES = {
     "src_indexed_lookup": q_src_indexed_lookup,
     "src_csv_import": q_src_csv_import,
     "src_jsonl_import": q_src_jsonl_import,
+    "ext_fk_orphan_audit": q_ext_fk_orphan_audit,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
     "proj_rename_ref": q_proj_rename_ref,
@@ -673,6 +726,13 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
+        "ext_fk_orphan_audit": " UNION ALL ".join(
+            f"SELECT '{child}' AS child_table, '{fk}' AS fk_column,"
+            f" '{parent}' AS parent_table, COUNT(*) AS n_rows,"
+            f" COUNT(CASE WHEN p.{pk} IS NULL THEN 1 END) AS n_orphans"
+            f" FROM {child} c LEFT JOIN {parent} p ON c.{fk} = p.{pk}"
+            for child, fk, parent, pk in FK_AUDIT_EDGES
+        ),
         "proj_attribute_select":
             "SELECT c_custkey, c_name, c_mktsegment FROM customer",
         "proj_drop_fk_column":

@@ -116,9 +116,41 @@ def q_ext_range_join(spark, sf_dir):
     )
 
 
+def q_ext_cdc_merge_latest(spark, sf_dir):
+    """CDC changelog compaction (SCD type-1 merge): treat the event
+    stream as a change log keyed by (user_id, event_type) and emit the
+    latest version of every key plus its version count — the compaction
+    pass that turns an append-only change stream back into current-state
+    (the batch equivalent of a MERGE INTO ... WHEN MATCHED UPDATE).
+
+    Scale shape: ONE map-side-combined hash aggregation keyed by the
+    merge key; latest-version selection is max of a (ts, event_id,
+    value) struct (lexicographic, deterministic — no window sort over
+    the full changelog, no self-join). At 100 TB this is the shape that
+    compacts a day's changelog in a single shuffle.
+    """
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("m"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        .select(
+            "user_id",
+            "event_type",
+            F.col("m.ts").alias("last_ts"),
+            F.col("m.event_id").alias("last_event_id"),
+            F.col("m.value").alias("last_value"),
+            "n_versions",
+        )
+    )
+
+
 QUERIES = {
     "ext_asof_join": q_ext_asof_join,
     "ext_range_join": q_ext_range_join,
+    "ext_cdc_merge_latest": q_ext_cdc_merge_latest,
 }
 
 ORACLES = {
@@ -147,5 +179,19 @@ FROM events c JOIN events p
  AND c.event_type = 'click' AND p.event_type = 'purchase'
  AND p.ts >= c.ts
  AND p.ts <= c.ts + INTERVAL {RANGE_SECONDS} SECONDS
+""",
+    # row_number replication of the lexicographic (ts, event_id) max;
+    # last_value passes through unmodified parquet doubles, so the hash
+    # compare sees identical bits on both engines.
+    "ext_cdc_merge_latest": """
+SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+       value AS last_value, n_versions
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS r,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+  FROM events
+) WHERE r = 1
 """,
 }

@@ -10,6 +10,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.streaming.ops import (
     stream_enrich_agg,
     stream_interval_join,
     stream_session_agg,
+    stream_sessionize,
     stream_sliding_agg,
     stream_tumbling_agg,
     stream_user_stats,
@@ -25,6 +26,7 @@ __all__ = [
     "stream_enrich_agg",
     "stream_interval_join",
     "stream_session_agg",
+    "stream_sessionize",
     "stream_sliding_agg",
     "stream_tumbling_agg",
     "stream_user_stats",

@@ -299,6 +299,76 @@ def stream_user_stats(events: DataFrame):
     )
 
 
+SESSION_GAP_MICROS = 30 * 60 * 1_000_000
+
+
+def stream_sessionize(events: DataFrame):
+    """Custom stateful streaming sessionization via INTERVAL UNION: each
+    user's state is the merged set of [ts, ts + 30 min) activity
+    intervals; the running outputs are the session count and span.
+
+    Unlike a last-ts/gap counter, interval union is ORDER-INSENSITIVE:
+    events may arrive in any order across and within micro-batches (file
+    splits do not preserve per-user time order) and the final state is
+    identical — which is what makes the batch gaps-and-islands SQL a
+    valid oracle for the streaming run. State size is bounded by the
+    number of distinct sessions per user (merged intervals), not events.
+    """
+    import pandas as pd  # noqa: F401 — required by the worker closure
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_sessions int,"
+        " first_start_micros bigint, last_end_micros bigint"
+    )
+    state_schema = "starts array<bigint>, ends array<bigint>"
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        if state.exists:
+            starts, ends = state.get
+            ivals = [[s, e] for s, e in zip(starts, ends)]
+        else:
+            ivals = []
+        for pdf in pdfs:
+            micros = (
+                pd.to_datetime(pdf["ts"])
+                .astype("datetime64[ns]")
+                .astype("int64")
+                // 1000
+            )
+            ivals.extend(
+                [int(t0), int(t0) + SESSION_GAP_MICROS] for t0 in micros
+            )
+        ivals.sort()
+        merged: list[list[int]] = []
+        for s, e in ivals:
+            if merged and s < merged[-1][1]:
+                merged[-1][1] = max(merged[-1][1], e)
+            else:
+                merged.append([s, e])
+        state.update(
+            ([s for s, _ in merged], [e for _, e in merged])
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_sessions": [len(merged)],
+                "first_start_micros": [merged[0][0]],
+                "last_end_micros": [merged[-1][1]],
+            }
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 # ---------------------------------------------------------------------------
 # queries()/oracle_sql() registry — each op run end-to-end via availableNow.
 # Complete/update modes over the finite input yield the batch-equivalent
@@ -356,6 +426,12 @@ def q_ext_stream_stateful(spark, sf_dir):
     )
 
 
+def q_ext_stream_sessionize(spark, sf_dir):
+    return run_stream_to_batch(
+        stream_sessionize(read_events_stream(spark, sf_dir)), "update"
+    )
+
+
 def q_stream_to_json_files(spark, sf_dir):
     """Checkpointed streaming JSON sink, verified end to end: stream the
     events table through the file sink, read the files back, hash-compare
@@ -384,6 +460,7 @@ QUERIES = {
     "ext_stream_interval_join": q_ext_stream_interval_join,
     "ext_stream_dedup": q_ext_stream_dedup,
     "ext_stream_stateful": q_ext_stream_stateful,
+    "ext_stream_sessionize": q_ext_stream_sessionize,
 }
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (  # noqa: E402
@@ -452,5 +529,22 @@ FROM events GROUP BY user_id
 """,
     "stream_to_json_files": """
 SELECT event_id, user_id, event_type FROM events
+""",
+    # Batch gaps-and-islands equivalent of the interval-union state:
+    # islands count = session count; span = [min ts, max ts + gap).
+    "ext_stream_sessionize": """
+WITH ordered AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR ts - lag(ts) OVER w >= INTERVAL '30 minutes'
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT user_id,
+       CAST(SUM(new_session) AS INT) AS n_sessions,
+       epoch_us(MIN(ts)) AS first_start_micros,
+       epoch_us(MAX(ts)) + 30 * 60 * 1000000 AS last_end_micros
+FROM ordered GROUP BY user_id
 """,
 }

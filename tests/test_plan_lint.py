@@ -46,6 +46,7 @@ EAGER = {
     "ext_stream_tumbling_agg", "ext_stream_sliding_agg",
     "ext_stream_session_agg", "ext_stream_dedup", "ext_stream_stateful",
     "ext_stream_enrich_agg", "ext_stream_interval_join",
+    "ext_stream_sessionize",
     "ext_dedup_components", "ext_dedup_canonical", "sink_json_collections",
     "src_sql_dump_import", "src_log_text",
 }

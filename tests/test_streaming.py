@@ -215,3 +215,42 @@ def test_interval_join_matches_across_micro_batches(spark, tmp_path):
     ).collect()
     got = {(r["purchase_id"], r["click_id"], r["user_id"]) for r in rows}
     assert got == {(11, 1, 1)}
+
+
+def test_sessionize_interval_union_across_batches(spark, tmp_path):
+    """Interval-union sessionization: state persists across micro-batches
+    AND tolerates out-of-order arrival — batch 2 delivers an event that
+    falls BETWEEN batch 1's two sessions and bridges them into one."""
+    from relational_to_doc_oriented_nosql_migrator_spark.streaming import (
+        stream_sessionize,
+    )
+
+    d = str(tmp_path)
+    now = time.time()
+    # Batch 1: two events 50 minutes apart -> 2 sessions.
+    _write_events(
+        os.path.join(d, "b1.parquet"),
+        [(1, "2024-08-07 10:00:00", 7, "click", 1.0, "{}"),
+         (2, "2024-08-07 10:50:00", 7, "click", 1.0, "{}")],
+        now - 20,
+    )
+    # Batch 2: an out-of-order event at 10:25 bridges both gaps
+    # (25 min to each neighbor) -> sessions merge into ONE.
+    _write_events(
+        os.path.join(d, "b2.parquet"),
+        [(3, "2024-08-07 10:25:00", 7, "click", 1.0, "{}")],
+        now - 10,
+    )
+    events = read_events_stream(
+        spark, d, max_files_per_trigger=1, path=os.path.join(d, "*.parquet")
+    )
+    rows = run_stream_to_batch(stream_sessionize(events), "update").collect()
+    per_batch = [r for r in rows if r["user_id"] == 7]
+    assert len(per_batch) == 2
+    # Update mode emits one row per batch: 2 sessions, then 1 merged.
+    assert {r["n_sessions"] for r in per_batch} == {2, 1}
+    merged = next(r for r in per_batch if r["n_sessions"] == 1)
+    start = pd.Timestamp("2024-08-07 10:00:00").value // 1000
+    end = pd.Timestamp("2024-08-07 11:20:00").value // 1000
+    assert merged["first_start_micros"] == start
+    assert merged["last_end_micros"] == end
