@@ -34,6 +34,16 @@ def test_ann_recall_bounds(spark):
     assert ivf >= 0.7, f"IVF recall@3 degraded: {ivf:.3f}"
 
 
+def test_ivfpq_recall_bound(spark):
+    """IVF-PQ (normalize -> Lloyd-trained codebook -> ADC -> exact
+    refine) measures 0.90 recall@3 at sf0.01; floor at 0.8. The
+    un-normalized raw-L2 ADC variant measured 0.07 — this test is what
+    catches that class of metric-mismatch regression."""
+    truth = _topk_sets(S.q_ext_similarity_topk(spark, SF001))
+    pq = _recall(truth, _topk_sets(S.q_ext_similarity_ivfpq(spark, SF001)))
+    assert pq >= 0.8, f"IVF-PQ recall@3 degraded: {pq:.3f}"
+
+
 def test_knn_classify_ann_variant_agrees(spark):
     """knn_classify_from composes with the ANN frames; on isotropic
     embeddings (labels carry no cluster signal) exact and LSH-backed
