@@ -10,7 +10,7 @@ def test_guard_raises_above_ceiling(spark, monkeypatch):
     monkeypatch.setattr(dedup, "ALL_PAIRS_CEILING", 10)
     with pytest.raises(ValueError, match="ext_dedup_minhash"):
         dedup.q_ext_dedup_ngram_jaccard(spark, SF001)
-    with pytest.raises(ValueError, match="ext_similarity_lsh"):
+    with pytest.raises(ValueError, match="ext_dedup_embedding_lsh"):
         dedup.q_ext_dedup_embedding(spark, SF001)
 
 
