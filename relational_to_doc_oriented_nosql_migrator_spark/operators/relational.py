@@ -178,6 +178,50 @@ def q_src_indexed_lookup(spark, sf_dir):
     return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
 
 
+def q_ext_migrate_reconcile(spark, sf_dir):
+    """Migration reconciliation diff: full-outer compare of the source
+    relation against the migrated target by key + row fingerprint,
+    reporting matched / missing_in_target per row — the validation pass
+    that certifies a migration actually moved every row unchanged. The
+    target here is the deterministic 90% md5-bucket subset (simulating a
+    partially-completed migration), so the diff is reproducible and
+    non-empty in both statuses.
+
+    Scale shape: both sides reduce to (key, fingerprint) before the
+    full-outer join — one key-partitioned shuffle of two narrow frames,
+    never the wide rows; the fingerprint is a JVM-side md5 over
+    stably-stringified columns (doubles excluded: float-to-string
+    formats differ across engines and a reconciler should fingerprint
+    canonical encodings, not locale-ish renderings).
+    """
+    src = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.md5(
+            F.concat_ws("|", F.col("c_custkey").cast("string"),
+                        "c_name", "c_mktsegment")
+        ).alias("row_hash"),
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 12), 16,"
+        " 10) AS BIGINT) % 100"
+    )
+    tgt = src.filter(bucket < 90).select(
+        F.col("c_custkey").alias("t_key"),
+        F.col("row_hash").alias("t_hash"),
+    )
+    joined = src.join(
+        tgt, F.col("c_custkey") == F.col("t_key"), "full_outer"
+    )
+    return joined.select(
+        F.coalesce("c_custkey", "t_key").alias("c_custkey"),
+        F.when(F.col("t_key").isNull(), F.lit("missing_in_target"))
+        .when(F.col("c_custkey").isNull(), F.lit("missing_in_source"))
+        .when(F.col("row_hash") != F.col("t_hash"), F.lit("changed"))
+        .otherwise(F.lit("matched"))
+        .alias("status"),
+    )
+
+
 # FK edges audited by ext_fk_orphan_audit (child, fk, parent, pk) — the
 # same parent-child edges the migration planner nests on.
 FK_AUDIT_EDGES = (
@@ -675,6 +719,7 @@ QUERIES = {
     "src_csv_import": q_src_csv_import,
     "src_jsonl_import": q_src_jsonl_import,
     "ext_fk_orphan_audit": q_ext_fk_orphan_audit,
+    "ext_migrate_reconcile": q_ext_migrate_reconcile,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
     "proj_rename_ref": q_proj_rename_ref,
@@ -726,6 +771,26 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
+        "ext_migrate_reconcile": """
+WITH src AS (
+  SELECT c_custkey,
+         md5(concat_ws('|', CAST(c_custkey AS VARCHAR), c_name,
+                       c_mktsegment)) AS row_hash
+  FROM customer
+),
+tgt AS (
+  SELECT c_custkey AS t_key, row_hash AS t_hash FROM src
+  WHERE ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT
+        % 100 < 90
+)
+SELECT COALESCE(s.c_custkey, t.t_key) AS c_custkey,
+       CASE WHEN t.t_key IS NULL THEN 'missing_in_target'
+            WHEN s.c_custkey IS NULL THEN 'missing_in_source'
+            WHEN s.row_hash <> t.t_hash THEN 'changed'
+            ELSE 'matched'
+       END AS status
+FROM src s FULL OUTER JOIN tgt t ON s.c_custkey = t.t_key
+""",
         "ext_fk_orphan_audit": " UNION ALL ".join(
             f"SELECT '{child}' AS child_table, '{fk}' AS fk_column,"
             f" '{parent}' AS parent_table, COUNT(*) AS n_rows,"

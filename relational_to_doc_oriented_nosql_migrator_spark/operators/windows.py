@@ -305,6 +305,78 @@ def q_ext_events_anomaly(spark, sf_dir):
     )
 
 
+PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def q_ext_pivot(spark, sf_dir):
+    """Pivot (long -> wide): per user-bucket event counts spread into one
+    column per event type — `df.groupBy().pivot()` with an EXPLICIT value
+    list, which is the scale-safe form (the list-less variant runs a
+    blocking distinct scan over the stream to discover columns; at 100 TB
+    the schema must be declared, not inferred).
+
+    Scale shape: a pivot with explicit values compiles to one map-side-
+    combined aggregation with |values| conditional counters — identical
+    shuffle profile to the plain groupBy count.
+    """
+    ev = t(spark, sf_dir, "events").withColumn(
+        "user_bucket", (F.col("user_id") % 10).cast("int")
+    )
+    return (
+        ev.groupBy("user_bucket")
+        .pivot("event_type", list(PIVOT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, list(PIVOT_TYPES))
+    )
+
+
+def q_ext_unpivot(spark, sf_dir):
+    """Unpivot / melt (wide -> long): the pivoted frame back to (bucket,
+    event_type, n) rows via `df.unpivot` (SQL UNPIVOT / stack) — the
+    inverse transform a feature store needs when a wide metrics table
+    feeds a long-format consumer.
+
+    Scale shape: unpivot is a narrow per-row flatMap (|values| output
+    rows per input row), no shuffle at all beyond the upstream pivot's.
+    """
+    wide = q_ext_pivot(spark, sf_dir)
+    return wide.unpivot(
+        "user_bucket", list(PIVOT_TYPES), "event_type", "n"
+    )
+
+
+HIST_LO = 0.0
+HIST_WIDTH = 10_000.0
+HIST_BINS = 11  # covers [0, 110k); l_extendedprice tops out ~105k
+
+
+def q_ext_histogram(spark, sf_dir):
+    """Fixed-width histogram of lineitem.l_extendedprice — the OLAP
+    profiling primitive behind every data-quality dashboard.
+
+    Scale shape: bin assignment is a narrow integer expression; the
+    count-per-bin aggregation map-side combines to |bins| rows. No
+    sort, no window — the cheapest possible full-column profile.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    bin_idx = F.floor(
+        (F.col("l_extendedprice") - F.lit(HIST_LO)) / F.lit(HIST_WIDTH)
+    ).cast("int")
+    return (
+        li.select(bin_idx.alias("bin"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "bin",
+            (F.lit(HIST_LO) + F.col("bin") * F.lit(HIST_WIDTH))
+            .alias("bin_lo"),
+            (F.lit(HIST_LO) + (F.col("bin") + 1) * F.lit(HIST_WIDTH))
+            .alias("bin_hi"),
+            "n",
+        )
+    )
+
+
 def q_ext_window_running(spark, sf_dir):
     """Cumulative frames: per-user running event count and value sum
     ordered by time (rowsBetween unboundedPreceding..currentRow)."""
@@ -414,6 +486,9 @@ QUERIES = {
     "ext_events_attribution": q_ext_events_attribution,
     "ext_events_sessionize": q_ext_events_sessionize,
     "ext_events_anomaly": q_ext_events_anomaly,
+    "ext_pivot": q_ext_pivot,
+    "ext_unpivot": q_ext_unpivot,
+    "ext_histogram": q_ext_histogram,
     "ext_window_running": q_ext_window_running,
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
@@ -606,6 +681,46 @@ SELECT user_id, event_id, ts, event_type,
                                    ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS session_seq
 FROM ordered
+""",
+    # Explicit-value pivot = |values| conditional counts; COUNT never
+    # returns NULL, matching the Spark side's na.fill(0).
+    "ext_pivot": """
+SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+FROM events GROUP BY 1
+""",
+    "ext_unpivot": """
+WITH wide AS (
+  SELECT CAST(user_id % 10 AS INT) AS user_bucket,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+  FROM events GROUP BY 1
+)
+SELECT user_bucket, 'click' AS event_type, click AS n FROM wide
+UNION ALL
+SELECT user_bucket, 'error', error FROM wide
+UNION ALL
+SELECT user_bucket, 'purchase', purchase FROM wide
+UNION ALL
+SELECT user_bucket, 'signup', signup FROM wide
+UNION ALL
+SELECT user_bucket, 'view', view FROM wide
+""",
+    "ext_histogram": """
+SELECT bin, 0.0 + bin * 10000.0 AS bin_lo,
+       0.0 + (bin + 1) * 10000.0 AS bin_hi, n
+FROM (
+  SELECT CAST(floor((l_extendedprice - 0.0) / 10000.0) AS INT) AS bin,
+         COUNT(*) AS n
+  FROM lineitem GROUP BY 1
+)
 """,
     # z from exact integer moments (n, sum, sum of squares) with the
     # identical double expression as the Spark side.
