@@ -516,18 +516,11 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
     )
     va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    dot = F.expr(
-        "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0 AS DOUBLE),"
-        " (acc, x) -> acc + x)"
-    )
-    norm_a = F.expr(
-        "sqrt(aggregate(zip_with(va, va, (x, y) -> x * y),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
-    )
-    norm_b = F.expr(
-        "sqrt(aggregate(zip_with(vb, vb, (x, y) -> x * y),"
-        " CAST(0 AS DOUBLE), (acc, x) -> acc + x))"
-    )
+    # Unrolled (codegen-resident) dot/norms — identical fold order to the
+    # baseline's lambda aggregate; see similarity._unrolled_dot.
+    dot = F.expr(_sim._unrolled_dot("va", "vb"))
+    norm_a = F.sqrt(F.expr(_sim._unrolled_dot("va", "va")))
+    norm_b = F.sqrt(F.expr(_sim._unrolled_dot("vb", "vb")))
     return (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
