@@ -178,6 +178,57 @@ def q_src_indexed_lookup(spark, sf_dir):
     return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
 
 
+FUZZY_MAX_DIST = 1
+
+_DELETE_KEYS = (
+    "transform(sequence(0, length(nm)), i ->"
+    " IF(i = 0, nm,"
+    " concat(substring(nm, 1, i - 1), substring(nm, i + 1))))"
+)
+
+
+def q_ext_fuzzy_join_names(spark, sf_dir):
+    """Fuzzy self-match over customer names at edit distance <= 1 — the
+    record-linkage pass that finds near-identical entities before (or
+    after) a migration merges two systems' customer tables.
+
+    Blocking is SYMMETRIC-DELETE (SymSpell): each name emits itself plus
+    every single-character deletion as keys; any two strings within edit
+    distance 1 (substitution, insertion, or deletion) are GUARANTEED to
+    share a key — so the equi-join on keys is a complete candidate
+    generator, not a heuristic, and the cross product never
+    materializes (the same shape as the MinHash band join). Candidates
+    are then verified with the exact levenshtein distance.
+
+    Scale shape: |name| + 1 keys per row (narrow explode), one
+    key-partitioned shuffle join, verification on the candidate set
+    only. At 100 TB the key space is near-unique, so bucket collisions
+    stay tiny.
+    """
+    cust = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_name").alias("nm")
+    )
+    keys = cust.select(
+        "id", "nm", F.explode(F.expr(_DELETE_KEYS)).alias("k")
+    )
+    ka = keys.select(F.col("id").alias("id_a"),
+                     F.col("nm").alias("name_a"), "k")
+    kb = keys.select(F.col("id").alias("id_b"),
+                     F.col("nm").alias("name_b"), "k")
+    cand = (
+        ka.join(kb, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "name_a", "name_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "distance", F.levenshtein("name_a", "name_b")
+        )
+        .filter(F.col("distance") <= FUZZY_MAX_DIST)
+    )
+
+
 def q_ext_migrate_reconcile(spark, sf_dir):
     """Migration reconciliation diff: full-outer compare of the source
     relation against the migrated target by key + row fingerprint,
@@ -720,6 +771,7 @@ QUERIES = {
     "src_jsonl_import": q_src_jsonl_import,
     "ext_fk_orphan_audit": q_ext_fk_orphan_audit,
     "ext_migrate_reconcile": q_ext_migrate_reconcile,
+    "ext_fuzzy_join_names": q_ext_fuzzy_join_names,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
     "proj_rename_ref": q_proj_rename_ref,
@@ -771,6 +823,26 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
+        "ext_fuzzy_join_names": f"""
+WITH nm AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
+keys AS (
+  SELECT id, nm,
+         unnest([CASE WHEN i = 0 THEN nm
+                      ELSE substr(nm, 1, i - 1) || substr(nm, i + 1)
+                 END
+                 for i in generate_series(0, length(nm))]) AS k
+  FROM nm
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                  a.nm AS name_a, b.nm AS name_b
+  FROM keys a JOIN keys b ON a.k = b.k AND a.id < b.id
+)
+SELECT id_a, id_b, name_a, name_b,
+       CAST(levenshtein(name_a, name_b) AS INT) AS distance
+FROM cand
+WHERE levenshtein(name_a, name_b) <= {FUZZY_MAX_DIST}
+""",
         "ext_migrate_reconcile": """
 WITH src AS (
   SELECT c_custkey,

@@ -305,6 +305,39 @@ def q_ext_events_anomaly(spark, sf_dir):
     )
 
 
+def q_ext_moving_avg(spark, sf_dir):
+    """7-day moving average of daily event volume per type — a RANGE
+    window frame (value-based, not row-based: days with no events leave
+    a genuine hole in the average's denominator), the time-series
+    smoothing pass behind every metrics dashboard.
+
+    Scale shape: the daily rollup map-side combines to |types| x |days|
+    rows; the range-frame window then sorts only that small frame. The
+    average divides two exact integers with the identical double
+    expression on both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    day_num = F.datediff(F.col("day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(day_num)
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "event_type",
+        "day",
+        "n_events",
+        F.round(
+            F.sum("n_events").over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("ma7"),
+    )
+
+
 PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
@@ -489,6 +522,7 @@ QUERIES = {
     "ext_pivot": q_ext_pivot,
     "ext_unpivot": q_ext_unpivot,
     "ext_histogram": q_ext_histogram,
+    "ext_moving_avg": q_ext_moving_avg,
     "ext_window_running": q_ext_window_running,
     "ext_setops": q_ext_setops,
     "ext_json_extract": q_ext_json_extract,
@@ -681,6 +715,21 @@ SELECT user_id, event_id, ts, event_type,
                                    ROWS UNBOUNDED PRECEDING)
             AS BIGINT) AS session_seq
 FROM ordered
+""",
+    # RANGE frame keyed on integer days-since-epoch, same 7-day window
+    # and exact-integer division as the Spark side.
+    "ext_moving_avg": """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day, n_events,
+       round(CAST(SUM(n_events) OVER w AS DOUBLE)
+             / COUNT(*) OVER w, 6) AS ma7
+FROM daily
+WINDOW w AS (PARTITION BY event_type
+             ORDER BY (day - DATE '1970-01-01')
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 """,
     # Explicit-value pivot = |values| conditional counts; COUNT never
     # returns NULL, matching the Spark side's na.fill(0).
