@@ -223,6 +223,48 @@ def q_ext_text_unigram_logprob(spark, sf_dir):
     )
 
 
+def q_ext_text_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    garble detector: natural prose sits ~2.8-3.2, base64/compressed junk
+    pushes toward ln(alphabet), single-char spam collapses toward 0.
+
+    Scale shape: the char explode is narrow (one small row per
+    character, same cost class as the token explode every text op
+    already pays) and the (doc_id, char) count map-side combines to at
+    most |alphabet| rows per doc before the shuffle. Each summand is
+    rounded to 9 digits and summed in decimal, so the per-doc fold is
+    order-independent and engine-exact.
+    """
+    docs = t(spark, sf_dir, "documents")
+    ch = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("total"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1))"
+            )
+        ).alias("c"),
+    )
+    counts = ch.groupBy("doc_id", "total", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p), 9)
+    return counts.groupBy("doc_id", "total").agg(
+        F.round(
+            F.sum(term.cast("decimal(18,9)"))
+            .cast("decimal(28,9)")
+            .cast("double"),
+            6,
+        ).alias("entropy"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    ).select(
+        "doc_id", F.col("total").alias("n_chars"), "entropy",
+        "n_distinct_chars",
+    )
+
+
 def q_ext_text_perplexity_bucket(spark, sf_dir):
     """CCNet-style perplexity bucketing: docs split into head / middle /
     tail terciles of the unigram-LM score (head = most natural text) —
@@ -371,6 +413,7 @@ QUERIES = {
     "ext_text_fingerprint": q_ext_text_fingerprint,
     "ext_text_unigram_logprob": q_ext_text_unigram_logprob,
     "ext_text_perplexity_bucket": q_ext_text_perplexity_bucket,
+    "ext_text_entropy": q_ext_text_entropy,
     "ext_text_bigram_logprob": q_ext_text_bigram_logprob,
     "ext_text_tfidf_top": q_ext_text_tfidf_top,
 }
@@ -469,6 +512,24 @@ logp AS (SELECT tok, round(ln(cnt::DOUBLE / total), 6) AS lp
          FROM freq, tot)
 SELECT doc_id, COUNT(*) AS n_tokens, {sql_dec_avg('lp')} AS avg_logprob
 FROM ex JOIN logp USING (tok) GROUP BY doc_id
+""",
+    "ext_text_entropy": """
+WITH ch AS (
+  SELECT doc_id, length(text) AS total,
+         unnest([substr(text, i, 1)
+                 for i in generate_series(1, length(text))]) AS c
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, total, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3
+)
+SELECT doc_id, total AS n_chars,
+       round(CAST(SUM(CAST(round(-(cnt::DOUBLE / total) *
+                                 ln(cnt::DOUBLE / total), 9)
+                           AS DECIMAL(18,9))) AS DECIMAL(28,9))::DOUBLE,
+             6) AS entropy,
+       COUNT(*) AS n_distinct_chars
+FROM counts GROUP BY doc_id, total
 """,
     "ext_text_perplexity_bucket": f"""
 WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
