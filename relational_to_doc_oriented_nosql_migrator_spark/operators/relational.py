@@ -178,6 +178,36 @@ def q_src_indexed_lookup(spark, sf_dir):
     return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
 
 
+BASKET_MIN_SUPPORT = 2
+
+
+def q_ext_basket_pairs(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs appearing together in at
+    least BASKET_MIN_SUPPORT orders — the affinity-analysis primitive
+    behind 'frequently bought together'.
+
+    Scale shape: the within-order self-join is keyed by l_orderkey, so
+    pair expansion is bounded by basket size squared PER ORDER (~7
+    items -> <=21 pairs), never corpus-quadratic; the pair-frequency
+    rollup map-side combines. This is the a-priori candidate-counting
+    shape: linear in orders, not in parts squared.
+    """
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+    )
+
+
 FUZZY_MAX_DIST = 1
 
 _DELETE_KEYS = (
@@ -772,6 +802,7 @@ QUERIES = {
     "ext_fk_orphan_audit": q_ext_fk_orphan_audit,
     "ext_migrate_reconcile": q_ext_migrate_reconcile,
     "ext_fuzzy_join_names": q_ext_fuzzy_join_names,
+    "ext_basket_pairs": q_ext_basket_pairs,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
     "proj_rename_ref": q_proj_rename_ref,
@@ -823,6 +854,15 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
+        "ext_basket_pairs": f"""
+WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+       COUNT(*) AS n_orders
+FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+                 AND a.l_partkey < b.l_partkey
+GROUP BY 1, 2
+HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+""",
         "ext_fuzzy_join_names": f"""
 WITH nm AS (SELECT c_custkey AS id, c_name AS nm FROM customer),
 keys AS (

@@ -263,6 +263,37 @@ def q_ext_events_sessionize(spark, sf_dir):
     )
 
 
+def q_ext_session_paths(spark, sf_dir):
+    """Session path mining: the frequency table of event-type journeys
+    (click>view>purchase...) across sessions — the product-analytics
+    query behind 'what do users do before buying'.
+
+    Scale shape: builds on the sessionize gaps-and-islands pass; per-
+    session path assembly is ONE hash aggregation collecting (ts,
+    event_id, event_type) structs, sorted within the session's own
+    bounded row set (array_sort is per-group, not a shuffle sort) and
+    stringified; the path frequency rollup then map-side combines to
+    |distinct paths| rows.
+    """
+    sess = q_ext_events_sessionize(spark, sf_dir)
+    paths = (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.expr(
+                "array_join(transform(evs, e -> e.event_type), '>')"
+            ).alias("path")
+        )
+    )
+    return paths.groupBy("path").agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+
+
 def q_ext_events_anomaly(spark, sf_dir):
     """Daily volume anomalies per event type: z-score of each day's event
     count against that type's across-days mean/stddev, flagged at
@@ -518,6 +549,7 @@ QUERIES = {
     "ext_events_retention": q_ext_events_retention,
     "ext_events_attribution": q_ext_events_attribution,
     "ext_events_sessionize": q_ext_events_sessionize,
+    "ext_session_paths": q_ext_session_paths,
     "ext_events_anomaly": q_ext_events_anomaly,
     "ext_pivot": q_ext_pivot,
     "ext_unpivot": q_ext_unpivot,
@@ -770,6 +802,31 @@ FROM (
          COUNT(*) AS n
   FROM lineitem GROUP BY 1
 )
+""",
+    # Same gaps-and-islands sessionization; the path is the in-session
+    # (ts, event_id)-ordered event_type concatenation.
+    "ext_session_paths": """
+WITH ordered AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                      >= 30 * 60 * 1000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, event_id, ts, event_type,
+         SUM(new_session) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM ordered
+),
+paths AS (
+  SELECT string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT path, COUNT(*) AS n_sessions FROM paths GROUP BY path
 """,
     # z from exact integer moments (n, sum, sum of squares) with the
     # identical double expression as the Spark side.
