@@ -794,9 +794,11 @@ SELECT user_bucket, 'signup', signup FROM wide
 UNION ALL
 SELECT user_bucket, 'view', view FROM wide
 """,
+    # DOUBLE casts: DuckDB types the x.0 literals as DECIMAL, which
+    # would ship Decimal cells where Spark has doubles.
     "ext_histogram": """
-SELECT bin, 0.0 + bin * 10000.0 AS bin_lo,
-       0.0 + (bin + 1) * 10000.0 AS bin_hi, n
+SELECT bin, CAST(bin * 10000.0 AS DOUBLE) AS bin_lo,
+       CAST((bin + 1) * 10000.0 AS DOUBLE) AS bin_hi, n
 FROM (
   SELECT CAST(floor((l_extendedprice - 0.0) / 10000.0) AS INT) AS bin,
          COUNT(*) AS n

@@ -47,7 +47,12 @@ def _cell(v):
     not glob.glob(os.path.join(SCALE_DIR, "lineitem.parquet*")),
     reason="scale dataset not generated",
 )
-@pytest.mark.parametrize("qid", ["agg_pricing_summary", "ext_dedup_exact"])
+@pytest.mark.parametrize("qid", [
+    "agg_pricing_summary", "ext_dedup_exact",
+    # round-4 ops over the big tables: 6M-row histogram profile, 100k-
+    # event changelog compaction, range-frame smoothing
+    "ext_histogram", "ext_cdc_merge_latest", "ext_moving_avg",
+])
 def test_oracle_parity_at_sf1(spark, qid):
     sdf = entrymod.queries()[qid](spark, SCALE_DIR)
     cols = sorted(sdf.columns)
