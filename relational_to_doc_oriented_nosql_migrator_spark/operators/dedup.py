@@ -477,6 +477,64 @@ def q_ext_dedup_embedding(spark, sf_dir):
     )
 
 
+CONTAIN_DF_CAP = 10       # shingles in more docs than this are treated
+                          # as boilerplate and dropped from the postings
+CONTAIN_THRESHOLD = 0.5   # shared-rare-shingle fraction of the smaller doc
+
+
+def q_ext_dedup_containment(spark, sf_dir):
+    """Containment (subset-duplicate) detection: pairs where the smaller
+    document's rare shingles are mostly contained in the larger one —
+    catches quote-plus-commentary and excerpt duplicates that symmetric
+    Jaccard misses (a 10x-longer superset halves Jaccard but keeps
+    containment at 1).
+
+    Scale shape: the classic inverted-index overlap count — explode
+    distinct (doc, shingle) postings, DROP shingles with document
+    frequency > CONTAIN_DF_CAP (boilerplate is what makes posting-list
+    self-joins quadratic; dropped shingles are exactly the ones carrying
+    no identity signal), self-join the capped postings on the shingle,
+    and count shared shingles per pair. Per-shingle join fan-out is
+    bounded by the cap, so candidate work is linear in postings, never
+    |docs|^2.
+    """
+    sh = (
+        _shingle_df(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= CONTAIN_DF_CAP), "s"
+    ).select("doc_id", "s")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = rare.select(F.col("doc_id").alias("doc_a"), "s")
+    pb = rare.select(F.col("doc_id").alias("doc_b"), "s")
+    overlap = (
+        pa.join(pb, "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        overlap.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared",
+            F.round(
+                F.col("shared").cast("double")
+                / F.least("n_a", "n_b"),
+                6,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_THRESHOLD)
+    )
+
+
 def q_ext_dedup_embedding_lsh(spark, sf_dir):
     """Embedding-cosine near-dup pairs — the LSH-bucketed SCALE path for
     q_ext_dedup_embedding (which is the guarded all-pairs baseline).
@@ -701,6 +759,7 @@ QUERIES = {
     "ext_dedup_simhash_pairs": q_ext_dedup_simhash_pairs,
     "ext_dedup_embedding": q_ext_dedup_embedding,
     "ext_dedup_embedding_lsh": q_ext_dedup_embedding_lsh,
+    "ext_dedup_containment": q_ext_dedup_containment,
 }
 
 _SQL_HS = (
@@ -801,6 +860,31 @@ WHERE round(list_dot_product(a.e, b.e) /
 from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (  # noqa: E402
     _SQL_TABLE_KEYS as _SIM_SQL_TABLE_KEYS,
 )
+
+# Same df-capped posting-list overlap count; COUNT/least are integer-
+# exact, only the final ratio is floating (identical expression).
+ORACLES["ext_dedup_containment"] = f"""
+WITH tk AS ({SQL_TK}),
+sh AS (SELECT DISTINCT doc_id, unnest({SQL_SHINGLES}) AS s FROM tk),
+dfc AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+rare AS (
+  SELECT sh.doc_id, sh.s FROM sh JOIN dfc ON sh.s = dfc.s
+  WHERE dfc.df <= {CONTAIN_DF_CAP}
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM rare GROUP BY doc_id),
+overlap AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+  FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b, shared,
+       round(shared::DOUBLE / least(na.n_sh, nb.n_sh), 6) AS containment
+FROM overlap
+JOIN sizes na ON na.doc_id = doc_a
+JOIN sizes nb ON nb.doc_id = doc_b
+WHERE round(shared::DOUBLE / least(na.n_sh, nb.n_sh), 6)
+      >= {CONTAIN_THRESHOLD}
+"""
 
 ORACLES["ext_dedup_embedding_lsh"] = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,

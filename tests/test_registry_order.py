@@ -11,7 +11,8 @@ events_sessionize, events_anomaly, text_perplexity_bucket,
 src_csv_import, src_jsonl_import, cdc_merge_latest, mm_dedup_exact,
 fk_orphan_audit, stream_sessionize, pivot, unpivot, histogram,
 migrate_reconcile, fuzzy_join_names, moving_avg, text_entropy,
-session_paths, basket_pairs), then r02-era backfill.
+session_paths, basket_pairs, dedup_containment), then r02-era
+backfill.
 Deferred to round 5 with green r02 rows and full local coverage: the
 seven curation-pipeline ids (curation_pipeline, text_pii_scrub,
 decontaminate, repetition_filter, domain_mix, sample_stratified,
@@ -39,15 +40,15 @@ def test_priority_block_leads_registry():
 
 def test_registry_complete_and_oracle_backed():
     qs, ors = all_queries(), all_oracles()
-    # 91 as of round 2 + 12 round-3 adds + 24 round-4 adds:
+    # 91 as of round 2 + 12 round-3 adds + 25 round-4 adds:
     # events_attribution, dedup_canonical, embed_quantize, embed_pq,
     # similarity_ivfpq, dedup_embedding_lsh, events_sessionize,
     # events_anomaly, text_perplexity_bucket, src_csv_import,
     # src_jsonl_import, cdc_merge_latest, mm_dedup_exact,
     # fk_orphan_audit, stream_sessionize, pivot, unpivot, histogram,
     # migrate_reconcile, fuzzy_join_names, moving_avg, text_entropy,
-    # session_paths, basket_pairs
-    assert len(qs) == 127
+    # session_paths, basket_pairs, dedup_containment
+    assert len(qs) == 128
     assert set(ors) == set(qs)  # every query oracle-checked as of round 2
     # entry module passes through the same ordering
     assert list(entrymod.queries()) == list(qs)
