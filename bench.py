@@ -11,7 +11,7 @@ Each query is forced end-to-end with the noop sink (a bare count() would
 let Catalyst prune computed columns and under-report the work).
 
 Variance hygiene: the whole suite runs $SPARK_GRAFT_BENCH_RUNS times
-(default 3, suite-interleaved so a query's repeats don't ride its own
+(default 5, suite-interleaved so a query's repeats don't ride its own
 just-warmed caches back-to-back); `queries` carries per-query MEDIANS and
 `spread` the min/max, so sub-second run-to-run noise is visible instead
 of consuming round-over-round attention.

@@ -126,6 +126,7 @@ def migrate_from_jdbc(
         metadata_catalog,
     )
     from relational_to_doc_oriented_nosql_migrator_spark.sources.jdbc import (
+        quote_ident,
         read_partitioned,
     )
 
@@ -140,8 +141,9 @@ def migrate_from_jdbc(
                 .option("url", url)
                 .option(
                     "dbtable",
-                    f'(SELECT MIN("{pk}") AS lo, MAX("{pk}") AS hi'
-                    f' FROM "{t.name}") AS b',
+                    f"(SELECT MIN({quote_ident(pk, url)}) AS lo,"
+                    f" MAX({quote_ident(pk, url)}) AS hi"
+                    f" FROM {quote_ident(t.name, url)}) AS b",
                 )
                 .load()
                 .first()

@@ -355,6 +355,21 @@ def q_ext_fk_orphan_audit(spark, sf_dir):
     return out
 
 
+_INTERCHANGE_DIR: list[str] = []
+
+
+def _interchange_dir() -> str:
+    """One cached scratch dir per process for the round-trip interchange
+    sources — repeated builds (driver run, oracle audit, plan lint,
+    registry sweeps) overwrite in place instead of leaking a fresh
+    mkdtemp table copy per invocation."""
+    import tempfile
+
+    if not _INTERCHANGE_DIR:
+        _INTERCHANGE_DIR.append(tempfile.mkdtemp(prefix="sg_interchange_"))
+    return _INTERCHANGE_DIR[0]
+
+
 def q_src_csv_import(spark, sf_dir):
     """CSV interchange source, verified round trip: export `customer`
     (free-text comment column exercises quoting) to headered CSV, read
@@ -369,10 +384,8 @@ def q_src_csv_import(spark, sf_dir):
     columns have none, and corpora with them belong in the JSONL path
     below.
     """
-    import tempfile
-
     cust = t(spark, sf_dir, "customer")
-    out = os.path.join(tempfile.mkdtemp(prefix="sg_csv_src_"), "customer")
+    out = os.path.join(_interchange_dir(), "customer_csv")
     cust.write.option("header", True).mode("overwrite").csv(out)
     return spark.read.schema(cust.schema).option("header", True).csv(out)
 
@@ -389,10 +402,8 @@ def q_src_jsonl_import(spark, sf_dir):
     inference scan). JSON omits null fields on write, so the explicit
     read schema is what keeps absent keys typed as nulls.
     """
-    import tempfile
-
     docs = t(spark, sf_dir, "documents")
-    out = os.path.join(tempfile.mkdtemp(prefix="sg_jsonl_src_"), "documents")
+    out = os.path.join(_interchange_dir(), "documents_jsonl")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(docs.schema).json(out)
 

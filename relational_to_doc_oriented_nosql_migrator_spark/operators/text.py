@@ -235,7 +235,12 @@ def q_ext_text_entropy(spark, sf_dir):
     rounded to 9 digits and summed in decimal, so the per-doc fold is
     order-independent and engine-exact.
     """
-    docs = t(spark, sf_dir, "documents")
+    # Empty docs are excluded on BOTH engines: Spark's sequence(1, 0) is
+    # the DESCENDING [1, 0] (two spurious rows + an ANSI divide-by-zero),
+    # while DuckDB's generate_series(1, 0) is empty — the filter is what
+    # keeps the engines agreeing (entropy of an empty string is
+    # undefined anyway).
+    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
     ch = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("total"),
@@ -518,7 +523,7 @@ WITH ch AS (
   SELECT doc_id, length(text) AS total,
          unnest([substr(text, i, 1)
                  for i in generate_series(1, length(text))]) AS c
-  FROM documents
+  FROM documents WHERE length(text) > 0
 ),
 counts AS (
   SELECT doc_id, total, c, COUNT(*) AS cnt FROM ch GROUP BY 1, 2, 3

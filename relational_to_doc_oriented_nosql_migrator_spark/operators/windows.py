@@ -410,8 +410,8 @@ def q_ext_unpivot(spark, sf_dir):
 
 
 HIST_LO = 0.0
-HIST_WIDTH = 10_000.0
-HIST_BINS = 11  # covers [0, 110k); l_extendedprice tops out ~105k
+HIST_WIDTH = 10_000.0  # bins are open-ended: values beyond the last
+                       # expected bin simply create higher bin indexes
 
 
 def q_ext_histogram(spark, sf_dir):

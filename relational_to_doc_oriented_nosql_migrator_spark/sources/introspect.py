@@ -404,8 +404,14 @@ def metadata_catalog(
             ]
             n = 0
             if count_rows:
+                from relational_to_doc_oriented_nosql_migrator_spark.sources.jdbc import (
+                    quote_ident,
+                )
+
                 st = conn.createStatement()
-                rs = st.executeQuery(f'SELECT COUNT(*) AS n FROM "{name}"')
+                rs = st.executeQuery(
+                    f"SELECT COUNT(*) AS n FROM {quote_ident(name, url)}"
+                )
                 rs.next()
                 n = rs.getLong(1)
                 rs.close()

@@ -27,6 +27,17 @@ DIALECT_HASH = {
 }
 
 
+def quote_ident(name: str, url: str) -> str:
+    """Dialect-aware identifier quoting for SQL text pushed through JDBC
+    (dbtable subqueries, COUNT(*) probes). MySQL/MariaDB default
+    sql_mode rejects ANSI double-quoted identifiers — `FROM "t"` parses
+    as a string literal — so those dialects get backticks; everything
+    else (Postgres, Derby, H2, ...) gets standard double quotes."""
+    if url.startswith(("jdbc:mysql:", "jdbc:mariadb:")):
+        return "`" + name.replace("`", "``") + "`"
+    return '"' + name.replace('"', '""') + '"'
+
+
 def range_options(
     column: str, lower: int, upper: int, num_partitions: int
 ) -> dict[str, str]:

@@ -34,8 +34,13 @@ def test_scalar_quantize_reconstruction_bound(spark):
         for r in S.q_ext_embed_quantize(spark, SF0001).collect()
     }
     assert set(out) == set(ids.tolist())
-    # recompute codes from the engine's definition and bound the error
-    codes = np.where(hi > lo, np.round((V - lo) * 255 / (hi - lo)), 0.0)
+    # recompute codes from the engine's definition and bound the error.
+    # floor(x + 0.5) mirrors the engines' HALF_UP rounding on these
+    # non-negative values; np.round is half-to-EVEN and would diverge on
+    # exact .5 midpoints.
+    codes = np.where(
+        hi > lo, np.floor((V - lo) * 255 / (hi - lo) + 0.5), 0.0
+    )
     deq = lo + codes * scale
     assert np.abs(V - deq).max() <= scale.max() / 2 + 1e-12
     # engine's integer stats match the numpy codes exactly

@@ -74,3 +74,32 @@ def test_lsh_matches_brute_force_on_planted_dups(spark, planted_dir):
     # Each planted copy pairs with its source (i, N_BACKGROUND + i).
     for i in range(N_PLANTED):
         assert (i, N_BACKGROUND + i) in lsh
+
+
+def test_entropy_skips_empty_documents(spark, tmp_path):
+    """Spark's sequence(1, 0) is the DESCENDING [1, 0]; without the
+    length filter an empty doc would crash the entropy query under ANSI
+    mode while DuckDB silently omitted it. Both engines must agree:
+    empty docs are excluded."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import text as T
+
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": ["hello world", "", "aaaa"],
+            "lang": ["en"] * 3,
+            "source": ["s"] * 3,
+            "n_chars": pa.array([11, 0, 4], type=pa.int64()),
+        }),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    rows = {r.doc_id: r for r in
+            T.q_ext_text_entropy(spark, str(tmp_path)).collect()}
+    assert set(rows) == {0, 2}          # empty doc 1 excluded, no crash
+    assert rows[2].entropy == 0.0       # single-char doc
+    assert rows[0].n_distinct_chars == 8

@@ -39,3 +39,17 @@ def test_hash_predicates_disjoint_exhaustive(dialect):
 def test_hash_predicates_unknown_dialect():
     with pytest.raises(ValueError, match="dialect"):
         hash_predicates("c", 4, "oracle")
+
+
+def test_quote_ident_is_dialect_aware():
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.jdbc import quote_ident
+
+    # MySQL/MariaDB default sql_mode parses "t" as a string literal —
+    # identifiers must be backticked there, ANSI-quoted elsewhere.
+    assert quote_ident("orders", "jdbc:mysql://h/db") == "`orders`"
+    assert quote_ident("orders", "jdbc:mariadb://h/db") == "`orders`"
+    assert quote_ident("orders", "jdbc:postgresql://h/db") == '"orders"'
+    assert quote_ident("orders", "jdbc:derby:memory:db") == '"orders"'
+    # embedded quote characters are doubled, not truncated
+    assert quote_ident('we"ird', "jdbc:postgresql://h/db") == '"we""ird"'
+    assert quote_ident("we`ird", "jdbc:mysql://h/db") == "`we``ird`"

@@ -4,7 +4,7 @@ the 5 ids that have never had a driver row (ext_mm_decode_dims,
 ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
 ext_embed_centroids), the ids whose code materially changed in round 4
 (ext_similarity_lsh/_ivf broadcast+recall, ext_dedup_minhash stats
-refactor, ext_embed_pq internals shared with ivfpq), the TWENTY-ONE
+refactor, ext_embed_pq internals shared with ivfpq), the TWENTY-FIVE
 round-4-new operators (events_attribution, dedup_canonical,
 embed_quantize, embed_pq, similarity_ivfpq, dedup_embedding_lsh,
 events_sessionize, events_anomaly, text_perplexity_bucket,
