@@ -112,6 +112,12 @@ def main() -> None:
             "similarity_ivfpq": lambda: force(
                 similarity.q_ext_similarity_ivfpq(spark, sf_dir)
             ),
+            # Amortized production shape: run 1 builds the parquet index
+            # (cached per process), later runs measure search-only — the
+            # MEDIAN over n_runs is therefore the search cost.
+            "similarity_ivfpq_indexed": lambda: force(
+                similarity.q_ext_similarity_ivfpq_indexed(spark, sf_dir)
+            ),
         }
 
     headline = make_suite(SF_DIR)

@@ -19,6 +19,8 @@ digits on both engines, so rankings (with vec_id tiebreak) are identical.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
@@ -226,6 +228,120 @@ def q_ext_similarity_ivf(spark, sf_dir):
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= IVF_TOP_K)
+    )
+
+
+_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+
+
+def build_ivfpq_index(spark, sf_dir: str) -> str:
+    """Materialize the IVF-PQ index (centroids, inverted lists, trained
+    codebook, PQ codes) to parquet — the one-time TRAIN+BUILD pass whose
+    output a production search service reads instead of the raw corpus.
+    Cached per (process, sf_dir); deterministic content, so rebuilds are
+    idempotent.
+
+    At 100 TB this is the index table a nightly job writes (partitioned
+    by cent_id for list pruning); searches then touch only these
+    compact relations plus |queries| x ADC_SHORTLIST raw rows.
+    """
+    import tempfile
+
+    if sf_dir in _IVFPQ_INDEX_DIRS:
+        return _IVFPQ_INDEX_DIRS[sf_dir]
+    out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
+    emb = _emb(spark, sf_dir, spread=True)
+    embn = emb.select(
+        "vec_id", F.expr(_NORM).alias("nrm"), "v"
+    ).select(
+        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
+    )
+    cents = embn.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
+    sub = _pq_slices(embn)
+    codebook = _lloyd_refine(
+        sub, _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS
+    )
+    codes = _pq_codes(sub, codebook)
+    cents.write.mode("overwrite").parquet(os.path.join(out, "centroids"))
+    inverted.write.mode("overwrite").parquet(os.path.join(out, "inverted"))
+    codebook.write.mode("overwrite").parquet(os.path.join(out, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(out, "codes"))
+    _IVFPQ_INDEX_DIRS[sf_dir] = out
+    return out
+
+
+def q_ext_similarity_ivfpq_indexed(spark, sf_dir):
+    """IVF-PQ search against the MATERIALIZED index: identical results
+    to q_ext_similarity_ivfpq (same oracle), but the corpus-scale
+    training/assignment work is amortized into build_ivfpq_index — the
+    search plan reads only the index relations, the strided query
+    vectors, and the |queries| x ADC_SHORTLIST raw rows for the refine
+    stage. This is the production shape: index nightly, search cheap.
+    """
+    idx = build_ivfpq_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    inverted = spark.read.parquet(os.path.join(idx, "inverted"))
+    codebook = spark.read.parquet(os.path.join(idx, "codebook"))
+    codes = spark.read.parquet(os.path.join(idx, "codes")) \
+        .withColumnRenamed("vec_id", "cand_id")
+    emb = _emb(spark, sf_dir)
+    qn = (
+        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+        .select("vec_id", F.expr(_NORM).alias("nrm"), "v")
+        .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("v"))
+    )
+    probes = _assign(qn, cents, "query_id", "prank", N_PROBE)
+    dtab = (
+        _pq_slices(qn)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook),
+              F.col("subspace") == F.col("cb_subspace"))
+        .select("query_id", "subspace", "code",
+                F.expr(_PQ_L2).alias("d"))
+    )
+    cand = (
+        probes.join(inverted, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+        .distinct()
+    )
+    adc = (
+        cand.join(codes, "cand_id")
+        .join(F.broadcast(dtab), ["query_id", "subspace", "code"])
+        .groupBy("query_id", "cand_id")
+        .agg(
+            F.round(
+                F.sum(F.col("d").cast("decimal(28,12)")).cast("double"), 6
+            ).alias("adc_dist")
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    short = (
+        adc.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= ADC_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qv = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"),
+                    F.col("v").alias("cv"))
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", _cosine_expr().alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= IVFPQ_TOP_K)
     )
 
 
@@ -606,6 +722,7 @@ QUERIES = {
     "ext_similarity_lsh": q_ext_similarity_lsh,
     "ext_similarity_ivf": q_ext_similarity_ivf,
     "ext_similarity_ivfpq": q_ext_similarity_ivfpq,
+    "ext_similarity_ivfpq_indexed": q_ext_similarity_ivfpq_indexed,
     "ext_knn_classify": q_ext_knn_classify,
     "ext_embed_centroids": q_ext_embed_centroids,
     "ext_embed_quantize": q_ext_embed_quantize,
@@ -875,6 +992,10 @@ SELECT query_id, cand_id, cosine, rank FROM (
                JOIN raw c ON c.vec_id = s.cand_id
 ) WHERE rank <= {IVFPQ_TOP_K}
 """
+
+# The indexed variant is result-identical by construction (same stages,
+# index relations round-tripped through parquet losslessly) — same oracle.
+ORACLES["ext_similarity_ivfpq_indexed"] = ORACLES["ext_similarity_ivfpq"]
 
 ORACLES["ext_knn_classify"] = f"""
 WITH topk AS ({ORACLES['ext_similarity_topk']}),

@@ -34,6 +34,9 @@ BRUTE_FORCE_BASELINES = {
 TINY_BROADCAST_CROSS = {
     "ext_similarity_ivf",
     "ext_similarity_ivfpq",      # same N_CENTROIDS assign stage as ivf
+    "ext_similarity_ivfpq_indexed",  # query-side assign vs the 64-row
+                                     # centroid relation read from the
+                                     # materialized index
     "ext_text_unigram_logprob",  # 1-row corpus-total cross join
     "ext_text_perplexity_bucket",  # built on unigram_logprob's 1-row cross
     "ext_text_tfidf_top",        # 1-row doc-count cross join
