@@ -33,7 +33,7 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_embed_centroids). Round 4 leads with those 5 (first hard-signal row
 # each), then the ids whose code changed this round (similarity broadcast
 # fix + recall tuning; dedup stats refactor; ext_embed_pq's internals
-# refactored for IVF-PQ reuse), then the TWENTY-SIX round-4-new
+# refactored for IVF-PQ reuse), then the TWENTY-SEVEN round-4-new
 # operators,
 # then backfills with r02-era ids oldest-row-first. Deferred to round 5
 # (still green under the local all-ids suite every run), with their
@@ -48,9 +48,10 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_mm_resize + ext_mm_decode_features + ext_mm_frame_sample +
 # ext_mm_attach_meta (mm_dedup_exact and mm_decode_dims stay in-window),
 # ext_stream_sliding_agg + ext_stream_dedup + ext_stream_stateful +
-# ext_stream_session_agg + ext_stream_tumbling_agg (stream_sessionize
-# and stream_to_json_files stay in-window), and ext_text_langid (six
-# text-analysis siblings in-window).
+# ext_stream_session_agg + ext_stream_tumbling_agg + stream_to_json_files
+# (the new ext_stream_sessionize carries the streaming family's
+# in-window slot), and ext_text_langid (six text-analysis siblings
+# in-window).
 DRIVER_WINDOW_FIRST = (
     # never driver-proven before round 4 — first hard-signal rows
     "ext_mm_decode_dims", "ext_events_funnel", "ext_events_retention",
@@ -70,7 +71,7 @@ DRIVER_WINDOW_FIRST = (
     "ext_pivot", "ext_unpivot", "ext_histogram", "ext_migrate_reconcile",
     "ext_fuzzy_join_names", "ext_moving_avg", "ext_text_entropy",
     "ext_session_paths", "ext_basket_pairs", "ext_dedup_containment",
-    "ext_similarity_ivfpq_indexed",
+    "ext_similarity_ivfpq_indexed", "ext_events_transitions",
     # r02-era backfill (latest green row is round 2)
     "src_full_scan", "src_sql_dump_import", "src_indexed_lookup",
     "sink_json_collections", "join_nest_one_to_many", "join_nest_salted",
@@ -78,7 +79,6 @@ DRIVER_WINDOW_FIRST = (
     "ext_text_stats", "ext_text_quality",
     "ext_text_fingerprint", "ext_dedup_exact", "ext_dedup_simhash",
     "ext_similarity_topk",
-    "stream_to_json_files",
 )
 
 

@@ -294,6 +294,44 @@ def q_ext_session_paths(spark, sf_dir):
     )
 
 
+def q_ext_events_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over event types: for each
+    (from, to) pair of consecutive events BY THE SAME USER, the count
+    and conditional probability P(to | from) — the model behind
+    next-action prediction and funnel-leak analysis (session_paths
+    shows whole journeys; this is their bigram factorization).
+
+    Scale shape: one lag window pass per user (same shuffle the
+    sessionizer pays), then a map-side-combined count to at most
+    |types|^2 rows; the row-conditional probability joins the tiny
+    |types|-row margin back by broadcast. Probability = exact-integer
+    division, identical on both engines.
+    """
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("from_type"),
+            F.col("event_type").alias("to_type"),
+        )
+        .filter(F.col("from_type").isNotNull())
+    )
+    counts = steps.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    margins = counts.groupBy("from_type").agg(
+        F.sum("n").alias("n_from")
+    )
+    return counts.join(F.broadcast(margins), "from_type").select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_from"), 6)
+        .alias("p"),
+    )
+
+
 def q_ext_events_anomaly(spark, sf_dir):
     """Daily volume anomalies per event type: z-score of each day's event
     count against that type's across-days mean/stddev, flagged at
@@ -550,6 +588,7 @@ QUERIES = {
     "ext_events_attribution": q_ext_events_attribution,
     "ext_events_sessionize": q_ext_events_sessionize,
     "ext_session_paths": q_ext_session_paths,
+    "ext_events_transitions": q_ext_events_transitions,
     "ext_events_anomaly": q_ext_events_anomaly,
     "ext_pivot": q_ext_pivot,
     "ext_unpivot": q_ext_unpivot,
@@ -804,6 +843,25 @@ FROM (
          COUNT(*) AS n
   FROM lineitem GROUP BY 1
 )
+""",
+    # lag-pair counts + row-conditional probability from exact integers.
+    "ext_events_transitions": """
+WITH steps AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+),
+counts AS (
+  SELECT from_type, to_type, COUNT(*) AS n FROM steps
+  WHERE from_type IS NOT NULL GROUP BY 1, 2
+),
+margins AS (
+  SELECT from_type, SUM(n) AS n_from FROM counts GROUP BY 1
+)
+SELECT c.from_type, c.to_type, c.n,
+       round(c.n::DOUBLE / m.n_from, 6) AS p
+FROM counts c JOIN margins m ON c.from_type = m.from_type
 """,
     # Same gaps-and-islands sessionization; the path is the in-session
     # (ts, event_id)-ordered event_type concatenation.

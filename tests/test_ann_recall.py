@@ -73,3 +73,15 @@ def test_knn_classify_ann_variant_agrees(spark):
     )
     # votes are bounded by k on the exact path
     assert exact.agg(F.max("votes")).first()[0] <= S.TOP_K
+
+
+def test_indexed_ivfpq_is_result_identical(spark):
+    """The materialized-index search must return row-for-row what the
+    train-every-call variant returns (stronger than sharing an oracle:
+    this pins the parquet round trip of the index relations)."""
+    live = {(r.query_id, r.rank): (r.cand_id, r.cosine)
+            for r in S.q_ext_similarity_ivfpq(spark, SF001).collect()}
+    idx = {(r.query_id, r.rank): (r.cand_id, r.cosine)
+           for r in S.q_ext_similarity_ivfpq_indexed(spark, SF001).collect()}
+    assert live == idx
+    assert len(live) > 0
