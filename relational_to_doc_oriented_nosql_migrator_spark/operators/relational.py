@@ -178,6 +178,48 @@ def q_src_indexed_lookup(spark, sf_dir):
     return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
 
 
+PROFILE_COLUMNS = ("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+
+
+def q_ext_profile_table(spark, sf_dir):
+    """Column profile of `customer` — per-column row/null/distinct
+    counts plus min/max (stringified for a uniform schema): the
+    data-quality pass a migration runs before trusting a source table.
+
+    Scale shape: ALL columns profile in ONE full scan — a single
+    aggregation computes every column's four statistics as parallel
+    aggregate expressions (distinct counts via exact count(distinct)
+    which Spark expands with a single expand+two-phase agg), and the
+    wide 1-row result unpivots to |columns| rows driver-side-free.
+    """
+    cust = t(spark, sf_dir, "customer")
+    aggs = []
+    for c in PROFILE_COLUMNS:
+        aggs += [
+            F.count(F.lit(1)).alias(f"{c}__rows"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
+            F.countDistinct(c).alias(f"{c}__distinct"),
+            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
+            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+        ]
+    wide = cust.agg(*aggs)
+    per_col = [
+        wide.select(
+            F.lit(c).alias("column_name"),
+            F.col(f"{c}__rows").alias("n_rows"),
+            F.col(f"{c}__nulls").alias("n_nulls"),
+            F.col(f"{c}__distinct").alias("n_distinct"),
+            F.col(f"{c}__min").alias("min_value"),
+            F.col(f"{c}__max").alias("max_value"),
+        )
+        for c in PROFILE_COLUMNS
+    ]
+    out = per_col[0]
+    for f in per_col[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 BASKET_MIN_SUPPORT = 2
 
 
@@ -814,6 +856,7 @@ QUERIES = {
     "ext_migrate_reconcile": q_ext_migrate_reconcile,
     "ext_fuzzy_join_names": q_ext_fuzzy_join_names,
     "ext_basket_pairs": q_ext_basket_pairs,
+    "ext_profile_table": q_ext_profile_table,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
     "proj_rename_ref": q_proj_rename_ref,
@@ -865,6 +908,18 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
+        # min/max are stringified on BOTH engines (uniform schema across
+        # column types); binary string compare is engine-identical.
+        "ext_profile_table": " UNION ALL ".join(
+            f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,"
+            f" SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
+            f" AS n_nulls,"
+            f" COUNT(DISTINCT {c}) AS n_distinct,"
+            f" MIN(CAST({c} AS VARCHAR)) AS min_value,"
+            f" MAX(CAST({c} AS VARCHAR)) AS max_value"
+            f" FROM customer"
+            for c in PROFILE_COLUMNS
+        ),
         "ext_basket_pairs": f"""
 WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
 SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
