@@ -50,7 +50,10 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_stream_sliding_agg + ext_stream_dedup + ext_stream_stateful +
 # ext_stream_session_agg + ext_stream_tumbling_agg + stream_to_json_files
 # (the new ext_stream_sessionize carries the streaming family's
-# in-window slot), and ext_text_langid (six text-analysis siblings
+# in-window slot), ext_similarity_topk (displaced last; its semantics
+# are pinned every run by the ANN recall suite, which measures every
+# approximate path against it — round 5 should restore it first among
+# backfills), and ext_text_langid (six text-analysis siblings
 # in-window).
 DRIVER_WINDOW_FIRST = (
     # never driver-proven before round 4 — first hard-signal rows

@@ -186,38 +186,34 @@ def q_ext_profile_table(spark, sf_dir):
     counts plus min/max (stringified for a uniform schema): the
     data-quality pass a migration runs before trusting a source table.
 
-    Scale shape: ALL columns profile in ONE full scan — a single
-    aggregation computes every column's four statistics as parallel
-    aggregate expressions (distinct counts via exact count(distinct)
-    which Spark expands with a single expand+two-phase agg), and the
-    wide 1-row result unpivots to |columns| rows driver-side-free.
+    Scale shape: ALL columns profile in ONE full scan by construction —
+    a single aggregation computes every column's statistics as parallel
+    aggregate expressions (min/max aggregate the TYPED column, then
+    stringify for the uniform output schema — a string-typed min would
+    be lexicographic and numerically wrong), and the wide 1-row result
+    unpivots to |columns| rows via stack(), not a self-union.
     """
     cust = t(spark, sf_dir, "customer")
-    aggs = []
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLUMNS:
         aggs += [
-            F.count(F.lit(1)).alias(f"{c}__rows"),
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c).cast("string")).alias(f"{c}__min"),
-            F.max(F.col(c).cast("string")).alias(f"{c}__max"),
+            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
+            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
         ]
     wide = cust.agg(*aggs)
-    per_col = [
-        wide.select(
-            F.lit(c).alias("column_name"),
-            F.col(f"{c}__rows").alias("n_rows"),
-            F.col(f"{c}__nulls").alias("n_nulls"),
-            F.col(f"{c}__distinct").alias("n_distinct"),
-            F.col(f"{c}__min").alias("min_value"),
-            F.col(f"{c}__max").alias("max_value"),
-        )
+    stack = ", ".join(
+        f"'{c}', n_rows, {c}__nulls, {c}__distinct, {c}__min, {c}__max"
         for c in PROFILE_COLUMNS
-    ]
-    out = per_col[0]
-    for f in per_col[1:]:
-        out = out.unionByName(f)
-    return out
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(PROFILE_COLUMNS)}, {stack}) AS"
+            " (column_name, n_rows, n_nulls, n_distinct,"
+            " min_value, max_value)"
+        )
+    )
 
 
 BASKET_MIN_SUPPORT = 2
@@ -908,15 +904,15 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
-        # min/max are stringified on BOTH engines (uniform schema across
-        # column types); binary string compare is engine-identical.
+        # TYPED min/max then stringify (a VARCHAR-typed MIN would be
+        # lexicographic — numerically wrong for key/balance columns).
         "ext_profile_table": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,"
             f" SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
             f" AS n_nulls,"
             f" COUNT(DISTINCT {c}) AS n_distinct,"
-            f" MIN(CAST({c} AS VARCHAR)) AS min_value,"
-            f" MAX(CAST({c} AS VARCHAR)) AS max_value"
+            f" CAST(MIN({c}) AS VARCHAR) AS min_value,"
+            f" CAST(MAX({c}) AS VARCHAR) AS max_value"
             f" FROM customer"
             for c in PROFILE_COLUMNS
         ),

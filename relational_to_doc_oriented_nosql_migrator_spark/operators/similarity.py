@@ -231,25 +231,49 @@ def q_ext_similarity_ivf(spark, sf_dir):
     )
 
 
-_IVFPQ_INDEX_DIRS: dict[str, str] = {}
+_IVFPQ_INDEX_DIRS: dict[tuple, str] = {}
+
+
+def _corpus_fingerprint(sf_dir: str) -> tuple:
+    """(path, mtime, size) of the embeddings source — the index cache
+    key, so in-process data regeneration invalidates instead of serving
+    a stale index."""
+    import glob as _glob
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    files = sorted(_glob.glob(path + "*")) or [path]
+    sig = []
+    for f in files:
+        if os.path.isdir(f):
+            for p in sorted(_glob.glob(os.path.join(f, "*"))):
+                st = os.stat(p)
+                sig.append((p, st.st_mtime_ns, st.st_size))
+        elif os.path.exists(f):
+            st = os.stat(f)
+            sig.append((f, st.st_mtime_ns, st.st_size))
+    return (sf_dir, tuple(sig))
 
 
 def build_ivfpq_index(spark, sf_dir: str) -> str:
     """Materialize the IVF-PQ index (centroids, inverted lists, trained
     codebook, PQ codes) to parquet — the one-time TRAIN+BUILD pass whose
     output a production search service reads instead of the raw corpus.
-    Cached per (process, sf_dir); deterministic content, so rebuilds are
-    idempotent.
+    Cached per (process, corpus fingerprint) — a regenerated corpus gets
+    a fresh index, never a stale one — and removed at process exit.
 
     At 100 TB this is the index table a nightly job writes (partitioned
     by cent_id for list pruning); searches then touch only these
     compact relations plus |queries| x ADC_SHORTLIST raw rows.
     """
+    import atexit
+    import shutil
     import tempfile
 
-    if sf_dir in _IVFPQ_INDEX_DIRS:
-        return _IVFPQ_INDEX_DIRS[sf_dir]
+    key = _corpus_fingerprint(sf_dir)
+    if key in _IVFPQ_INDEX_DIRS:
+        return _IVFPQ_INDEX_DIRS[key]
     out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
+    atexit.register(shutil.rmtree, out, ignore_errors=True)
     emb = _emb(spark, sf_dir, spread=True)
     embn = emb.select(
         "vec_id", F.expr(_NORM).alias("nrm"), "v"
@@ -269,7 +293,7 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     inverted.write.mode("overwrite").parquet(os.path.join(out, "inverted"))
     codebook.write.mode("overwrite").parquet(os.path.join(out, "codebook"))
     codes.write.mode("overwrite").parquet(os.path.join(out, "codes"))
-    _IVFPQ_INDEX_DIRS[sf_dir] = out
+    _IVFPQ_INDEX_DIRS[key] = out
     return out
 
 

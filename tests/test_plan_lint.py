@@ -85,7 +85,8 @@ def _walk(node):
 @pytest.mark.parametrize(
     "qid",
     ["ext_similarity_topk", "ext_similarity_lsh", "ext_similarity_ivf",
-     "ext_similarity_ivfpq", "ext_knn_classify"],
+     "ext_similarity_ivfpq", "ext_similarity_ivfpq_indexed",
+     "ext_knn_classify"],
 )
 def test_no_unfiltered_embeddings_broadcast(qid, spark):
     """Every broadcast build side whose subtree scans `embeddings` must
