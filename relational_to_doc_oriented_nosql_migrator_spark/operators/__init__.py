@@ -33,7 +33,7 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_embed_centroids). Round 4 leads with those 5 (first hard-signal row
 # each), then the ids whose code changed this round (similarity broadcast
 # fix + recall tuning; dedup stats refactor; ext_embed_pq's internals
-# refactored for IVF-PQ reuse), then the TWENTY-EIGHT round-4-new
+# refactored for IVF-PQ reuse), then the TWENTY-NINE round-4-new
 # operators,
 # then backfills with r02-era ids oldest-row-first. Deferred to round 5
 # (still green under the local all-ids suite every run), with their
@@ -50,7 +50,9 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_stream_sliding_agg + ext_stream_dedup + ext_stream_stateful +
 # ext_stream_session_agg + ext_stream_tumbling_agg + stream_to_json_files
 # (the new ext_stream_sessionize carries the streaming family's
-# in-window slot), ext_similarity_topk (displaced last; its semantics
+# in-window slot), ext_dedup_simhash (simhash_pairs' sibling; its
+# fingerprints are value-pinned by tests/test_dedup_soundness.py every
+# run), ext_similarity_topk (displaced late; its semantics
 # are pinned every run by the ANN recall suite, which measures every
 # approximate path against it — round 5 should restore it first among
 # backfills), and ext_text_langid (six text-analysis siblings
@@ -75,13 +77,13 @@ DRIVER_WINDOW_FIRST = (
     "ext_fuzzy_join_names", "ext_moving_avg", "ext_text_entropy",
     "ext_session_paths", "ext_basket_pairs", "ext_dedup_containment",
     "ext_similarity_ivfpq_indexed", "ext_events_transitions",
-    "ext_profile_table",
+    "ext_profile_table", "ext_dedup_minhash_incremental",
     # r02-era backfill (latest green row is round 2)
     "src_full_scan", "src_sql_dump_import", "src_indexed_lookup",
     "sink_json_collections", "join_nest_one_to_many", "join_nest_salted",
     "agg_collect_children", "fn_split_trim", "ext_approx_distinct",
     "ext_text_stats", "ext_text_quality",
-    "ext_text_fingerprint", "ext_dedup_exact", "ext_dedup_simhash",
+    "ext_text_fingerprint", "ext_dedup_exact",
 )
 
 

@@ -477,6 +477,60 @@ def q_ext_dedup_embedding(spark, sf_dir):
     )
 
 
+INCR_NEW_MOD = 10  # doc_id % 10 == 9 -> the simulated "new batch" (10%)
+
+
+def q_ext_dedup_minhash_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup detection — the nightly-ingest shape: only
+    pairs between the NEW batch (a deterministic 10% slice) and the
+    EXISTING corpus are generated and verified; existing-vs-existing
+    pairs are never re-derived. This is how a production dedup pipeline
+    runs after day one: the corpus's band keys are a STORED index, each
+    new batch computes its own signatures, probes the index, and
+    appends.
+
+    Scale shape: candidate generation is a band-key equi-join of the
+    batch's bands (small) against the stored band relation; per-key
+    fan-out is |new_in_bucket| x |old_in_bucket|, capped by skipping
+    band keys whose STORED posting exceeds MINHASH_BUCKET_CAP (the hot-
+    posting cap every inverted index applies). Work per night is
+    O(batch x bands), independent of total corpus size.
+    """
+    sh = _shingle_df(spark, sf_dir)
+    bands = minhash_bands_from(spark, sh)
+    new_pred = (F.col("doc_id") % INCR_NEW_MOD) == INCR_NEW_MOD - 1
+    bo = bands.filter(~new_pred).select(
+        F.col("doc_id").alias("old_id"), "band_key"
+    )
+    bn = bands.filter(new_pred).select(
+        F.col("doc_id").alias("new_id"), "band_key"
+    )
+    ok = (
+        bo.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") <= MINHASH_BUCKET_CAP)
+        .select("band_key")
+    )
+    cand = (
+        bn.join(bo.join(ok, "band_key", "left_semi"), "band_key")
+        .select("old_id", "new_id")
+        .distinct()
+    )
+    sa = sh.select(F.col("doc_id").alias("old_id"),
+                   F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("new_id"),
+                   F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        cand.join(sa, "old_id")
+        .join(sb, "new_id")
+        .select("old_id", "new_id", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
 CONTAIN_DF_CAP = 10       # shingles in more docs than this are treated
                           # as boilerplate and dropped from the postings
 CONTAIN_THRESHOLD = 0.5   # shared-rare-shingle fraction of the smaller doc
@@ -760,6 +814,7 @@ QUERIES = {
     "ext_dedup_embedding": q_ext_dedup_embedding,
     "ext_dedup_embedding_lsh": q_ext_dedup_embedding_lsh,
     "ext_dedup_containment": q_ext_dedup_containment,
+    "ext_dedup_minhash_incremental": q_ext_dedup_minhash_incremental,
 }
 
 _SQL_HS = (
@@ -860,6 +915,32 @@ WHERE round(list_dot_product(a.e, b.e) /
 from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (  # noqa: E402
     _SQL_TABLE_KEYS as _SIM_SQL_TABLE_KEYS,
 )
+
+# Incremental mirror: same bands/sigs, old/new split on doc_id % mod,
+# hot-posting cap on the STORED (old) side only.
+ORACLES["ext_dedup_minhash_incremental"] = f"""
+WITH tk AS ({SQL_TK}),
+shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk),
+hashed AS (SELECT doc_id, {_SQL_HS} AS hs FROM shingles),
+sigs AS (SELECT doc_id, {_SQL_SIGS} AS sigs FROM hashed),
+bands AS (SELECT doc_id, unnest({_SQL_BANDS}) AS band_key FROM sigs),
+bo AS (SELECT doc_id AS old_id, band_key FROM bands
+       WHERE doc_id % {INCR_NEW_MOD} <> {INCR_NEW_MOD - 1}),
+bn AS (SELECT doc_id AS new_id, band_key FROM bands
+       WHERE doc_id % {INCR_NEW_MOD} = {INCR_NEW_MOD - 1}),
+ok AS (SELECT band_key FROM bo GROUP BY band_key
+       HAVING COUNT(*) <= {MINHASH_BUCKET_CAP}),
+cand AS (
+  SELECT DISTINCT o.old_id, n.new_id
+  FROM bn n JOIN bo o ON n.band_key = o.band_key
+  JOIN ok ON o.band_key = ok.band_key
+)
+SELECT c.old_id, c.new_id, {_SQL_PAIR_JACCARD} AS jaccard
+FROM cand c
+JOIN shingles a ON c.old_id = a.doc_id
+JOIN shingles b ON c.new_id = b.doc_id
+WHERE {_SQL_PAIR_JACCARD} >= {JACCARD_THRESHOLD}
+"""
 
 # Same df-capped posting-list overlap count; COUNT/least are integer-
 # exact, only the final ratio is floating (identical expression).

@@ -52,3 +52,27 @@ def test_simhash_banding_is_pigeonhole_complete(spark):
         if bin(sims[a] ^ sims[b]).count("1") <= D.HAMMING_MAX
     }
     assert pairs == brute
+
+
+def test_incremental_equals_full_restricted_to_cross_batch(spark):
+    """The incremental path must find EXACTLY the full run's pairs that
+    cross the old/new batch boundary — nothing lost by indexing only
+    the stored side, nothing invented. (Bucket caps could differ in
+    principle — the full path caps on total bucket size, incremental on
+    the stored posting — but no bucket approaches the cap here, pinned
+    by the audit in minhash_pairs_from.)"""
+    full = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.q_ext_dedup_minhash(spark, SF0001).collect()
+    }
+    m = D.INCR_NEW_MOD
+    cross = {
+        pair: j for pair, j in full.items()
+        if (pair[0] % m == m - 1) != (pair[1] % m == m - 1)
+    }
+    incr = {
+        tuple(sorted((r.old_id, r.new_id))): r.jaccard
+        for r in D.q_ext_dedup_minhash_incremental(spark, SF0001).collect()
+    }
+    assert incr == cross
+    assert len(incr) > 0   # the corpus does contain a cross-batch pair
