@@ -387,6 +387,39 @@ def q_sink_parquet_partitioned(spark, sf_dir):
     return spark.read.parquet(out).select("doc_id", "split")
 
 
+COMPACT_TARGET_FILES = 4
+
+
+def q_sink_parquet_compacted(spark, sf_dir):
+    """Small-files compaction, verified round trip: fragment `documents`
+    into 64 tiny parquet files (the pathology a streaming or per-batch
+    writer accumulates), then compact to COMPACT_TARGET_FILES via
+    coalesce and read the result back — the maintenance job that keeps a
+    100 TB lake scannable (every file costs a listing call, a footer
+    read, and a scheduler task; 10^6 small files can dominate query time
+    before a byte of data is read).
+
+    Scale shape: compaction reads once and writes once; coalesce (not
+    repartition) merges partitions WITHOUT a shuffle — the rewrite moves
+    every byte exactly twice (in, out), nothing through the driver.
+    tests/test_sink_compaction.py asserts the file-count contract.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_compact_")
+    fragmented = os.path.join(base, "fragmented")
+    compacted = os.path.join(base, "compacted")
+    docs = t(spark, sf_dir, "documents")
+    docs.repartition(64).write.mode("overwrite").parquet(fragmented)
+    (
+        spark.read.parquet(fragmented)
+        .coalesce(COMPACT_TARGET_FILES)
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return spark.read.schema(docs.schema).parquet(compacted)
+
+
 def q_ext_curation_pipeline(spark, sf_dir):
     """The end-to-end curation pipeline as ONE composed plan: a doc
     survives iff it passes the quality filter, the repetition filter,
@@ -519,6 +552,7 @@ def q_ext_curation_pipeline(spark, sf_dir):
 
 QUERIES = {
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
+    "sink_parquet_compacted": q_sink_parquet_compacted,
     "ext_curation_pipeline": q_ext_curation_pipeline,
     "ext_text_pii_scrub": q_ext_text_pii_scrub,
     "ext_decontaminate": q_ext_decontaminate,
@@ -540,6 +574,8 @@ _SQL_BUCKET = (
 )
 
 ORACLES = {
+    # Lossless fragment->compact->read round trip returns the base table.
+    "sink_parquet_compacted": "SELECT * FROM documents",
     "sink_parquet_partitioned": """
 SELECT doc_id,
        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT

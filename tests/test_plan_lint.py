@@ -52,9 +52,9 @@ EAGER = {
     "ext_stream_sessionize",
     "ext_dedup_components", "ext_dedup_canonical", "sink_json_collections",
     "src_sql_dump_import", "src_log_text",
-    # round-trip interchange sources: building the frame performs the
-    # distributed export write; the returned plan is just the read-back
-    "src_csv_import", "src_jsonl_import",
+    # round-trip interchange sources / compaction: building the frame
+    # performs distributed writes; the returned plan is just the read-back
+    "src_csv_import", "src_jsonl_import", "sink_parquet_compacted",
 }
 
 BAD = ("CartesianProduct", "BroadcastNestedLoopJoin")
