@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.functions.scalar import (
     case_when_referenced,
@@ -176,6 +177,40 @@ def q_src_indexed_lookup(spark, sf_dir):
     """Point-predicate scan; the predicate reaches the parquet scan as a
     PushedFilter (reference server/MySQLDBManager.js:284-312)."""
     return t(spark, sf_dir, "orders").filter(F.col("o_custkey") == 7)
+
+
+SKEW_TOP_K = 5
+
+
+def q_ext_skew_report(spark, sf_dir):
+    """Join-key skew diagnostic: the SKEW_TOP_K heaviest o_custkey values
+    in `orders` with their share of total rows — the pre-flight that
+    decides whether the nesting join needs salting (join_nest_salted) or
+    AQE skew handling before a 100 TB run, instead of discovering the
+    straggler task in production.
+
+    Scale shape: one map-side-combined count per key, a top-K over the
+    |keys|-sized aggregate (deterministic tiebreak), and the total rides
+    the documented broadcast 1-row cross join — never the driver.
+    """
+    orders = t(spark, sf_dir, "orders")
+    per_key = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = per_key.agg(F.sum("n_rows").alias("total"))
+    w = Window.orderBy(F.desc("n_rows"), F.asc("o_custkey"))
+    return (
+        per_key.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= SKEW_TOP_K)
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "o_custkey",
+            "n_rows",
+            F.round(F.col("n_rows").cast("double") / F.col("total"), 6)
+            .alias("share"),
+        )
+    )
 
 
 PROFILE_COLUMNS = ("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
@@ -853,6 +888,7 @@ QUERIES = {
     "ext_fuzzy_join_names": q_ext_fuzzy_join_names,
     "ext_basket_pairs": q_ext_basket_pairs,
     "ext_profile_table": q_ext_profile_table,
+    "ext_skew_report": q_ext_skew_report,
     "proj_attribute_select": q_proj_attribute_select,
     "proj_drop_fk_column": q_proj_drop_fk_column,
     "proj_rename_ref": q_proj_rename_ref,
@@ -904,6 +940,20 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
+        "ext_skew_report": f"""
+WITH per_key AS (
+  SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM per_key)
+SELECT rank, o_custkey, n_rows,
+       round(n_rows::DOUBLE / total, 6) AS share
+FROM (
+  SELECT o_custkey, n_rows,
+         row_number() OVER (ORDER BY n_rows DESC, o_custkey ASC) AS rank
+  FROM per_key
+), tot
+WHERE rank <= {SKEW_TOP_K}
+""",
         # TYPED min/max then stringify (a VARCHAR-typed MIN would be
         # lexicographic — numerically wrong for key/balance columns).
         "ext_profile_table": " UNION ALL ".join(

@@ -38,6 +38,7 @@ TINY_BROADCAST_CROSS = {
                                      # centroid relation read from the
                                      # materialized index
     "ext_text_unigram_logprob",  # 1-row corpus-total cross join
+    "ext_skew_report",           # 1-row total cross join
     "ext_text_perplexity_bucket",  # built on unigram_logprob's 1-row cross
     "ext_text_tfidf_top",        # 1-row doc-count cross join
 }
