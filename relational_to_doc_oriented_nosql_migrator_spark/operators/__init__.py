@@ -55,8 +55,9 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # run), ext_similarity_topk (displaced late; its semantics
 # are pinned every run by the ANN recall suite, which measures every
 # approximate path against it — round 5 should restore it first among
-# backfills), and ext_text_langid (six text-analysis siblings
-# in-window).
+# backfills), and ext_text_langid + ext_text_stats +
+# ext_text_fingerprint (four text-analysis siblings stay in-window:
+# quality, bigram_logprob, perplexity_bucket, entropy).
 DRIVER_WINDOW_FIRST = (
     # never driver-proven before round 4 — first hard-signal rows
     "ext_mm_decode_dims", "ext_events_funnel", "ext_events_retention",

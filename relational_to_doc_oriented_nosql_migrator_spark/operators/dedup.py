@@ -496,39 +496,97 @@ def q_ext_dedup_minhash_incremental(spark, sf_dir):
     posting cap every inverted index applies). Work per night is
     O(batch x bands), independent of total corpus size.
     """
+    from pyspark.storagelevel import StorageLevel
+
+    cap = MINHASH_BUCKET_CAP
     sh = _shingle_df(spark, sf_dir)
-    bands = minhash_bands_from(spark, sh)
-    new_pred = (F.col("doc_id") % INCR_NEW_MOD) == INCR_NEW_MOD - 1
-    bo = bands.filter(~new_pred).select(
-        F.col("doc_id").alias("old_id"), "band_key"
+    # Same cached-hash discipline as minhash_pairs_from: the tokenize/
+    # shingle/md5 pipeline (the dominant cost) runs ONCE into this
+    # persisted frame; banding, the posting audit, and the Jaccard
+    # verify all reuse it instead of re-deriving per consumer.
+    hashed = sh.select(
+        "doc_id", F.expr(_HS48_EXPR).alias("hs48")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = _with_sigs(
+        hashed.withColumn(
+            "hs", F.expr(f"transform(hs48, h -> h % {MERSENNE_P})")
+        )
     )
+    bands = sigs.select(
+        "doc_id", F.explode(F.expr(_BANDS_EXPR)).alias("band_key")
+    )
+    new_pred = (F.col("doc_id") % INCR_NEW_MOD) == INCR_NEW_MOD - 1
+    # Stored-side postings, persisted: the index relation the batch
+    # probes. Over-cap postings are skipped-and-AUDITED, mirroring
+    # minhash_pairs_from's observable-skip contract (warning +
+    # `minhash_audit` on the result; never a silent drop).
+    postings = (
+        bands.filter(~new_pred)
+        .groupBy("band_key")
+        .agg(F.collect_list("doc_id").alias("old_ids"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    over = (
+        postings.filter(F.size("old_ids") > cap)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.max(F.size("old_ids")), F.lit(0))
+            .alias("largest"),
+        )
+        .first()
+    )
+    stats = {
+        "skipped_buckets": over["n"],
+        "largest_bucket": over["largest"],
+        "cap": cap,
+    }
+    if over["n"]:
+        warnings.warn(
+            f"incremental minhash skipped {over['n']} stored posting(s)"
+            f" over the {cap}-doc cap (largest: {over['largest']})."
+            " New-batch pairs against those postings are NOT emitted —"
+            " collapse the mega-cluster with exact dedup upstream.",
+            stacklevel=2,
+        )
     bn = bands.filter(new_pred).select(
         F.col("doc_id").alias("new_id"), "band_key"
     )
-    ok = (
-        bo.groupBy("band_key")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") <= MINHASH_BUCKET_CAP)
-        .select("band_key")
-    )
     cand = (
-        bn.join(bo.join(ok, "band_key", "left_semi"), "band_key")
-        .select("old_id", "new_id")
+        bn.join(postings.filter(F.size("old_ids") <= cap), "band_key")
+        .select("new_id", F.explode("old_ids").alias("old_id"))
         .distinct()
     )
-    sa = sh.select(F.col("doc_id").alias("old_id"),
-                   F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("new_id"),
-                   F.col("sh").alias("sh_b"))
+    # Verify from the SAME cached hash relation (explode pair members,
+    # one join, regroup) — not per-side shingle re-derivation.
+    sides = cand.select(
+        "old_id", "new_id",
+        F.explode(F.array("old_id", "new_id")).alias("doc_id"),
+    )
+    per_pair = (
+        sides.join(hashed, "doc_id")
+        .groupBy("old_id", "new_id")
+        .agg(
+            F.first(
+                F.when(F.col("doc_id") == F.col("old_id"),
+                       F.col("hs48")),
+                ignorenulls=True,
+            ).alias("sh_a"),
+            F.first(
+                F.when(F.col("doc_id") == F.col("new_id"),
+                       F.col("hs48")),
+                ignorenulls=True,
+            ).alias("sh_b"),
+        )
+    )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = F.round(inter.cast("double") / union, 6)
-    return (
-        cand.join(sa, "old_id")
-        .join(sb, "new_id")
-        .select("old_id", "new_id", jac.alias("jaccard"))
+    out = (
+        per_pair.select("old_id", "new_id", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+    out.minhash_audit = stats
+    return out
 
 
 CONTAIN_DF_CAP = 10       # shingles in more docs than this are treated

@@ -57,13 +57,24 @@ def test_simhash_banding_is_pigeonhole_complete(spark):
 def test_incremental_equals_full_restricted_to_cross_batch(spark):
     """The incremental path must find EXACTLY the full run's pairs that
     cross the old/new batch boundary — nothing lost by indexing only
-    the stored side, nothing invented. (Bucket caps could differ in
-    principle — the full path caps on total bucket size, incremental on
-    the stored posting — but no bucket approaches the cap here, pinned
-    by the audit in minhash_pairs_from.)"""
+    the stored side, nothing invented.
+
+    PRECONDITION (asserted, not assumed): the equality holds only while
+    no band bucket approaches MINHASH_BUCKET_CAP, because the two paths
+    cap differently — full on TOTAL bucket size, incremental on the
+    STORED posting. If a testdata regeneration ever plants a mega-
+    cluster, the precondition assert below fails with a clear message
+    instead of a confusing pair-set mismatch."""
+    full_df = D.q_ext_dedup_minhash(spark, SF0001)
+    audit = full_df.minhash_audit
+    assert audit is not None and audit["skipped_buckets"] == 0 and (
+        audit["largest_bucket"] <= D.MINHASH_BUCKET_CAP
+    ), (
+        "equality precondition broken: a bucket approaches the cap, so "
+        f"full-vs-incremental capping may diverge (audit: {audit})"
+    )
     full = {
-        (r.doc_a, r.doc_b): r.jaccard
-        for r in D.q_ext_dedup_minhash(spark, SF0001).collect()
+        (r.doc_a, r.doc_b): r.jaccard for r in full_df.collect()
     }
     m = D.INCR_NEW_MOD
     cross = {

@@ -23,8 +23,9 @@ sink_http_response, sink_parquet_partitioned, ext_asof_join,
 ext_range_join (displaced by the round-4-new first-proofs), the three
 brute-force baselines (ngram_jaccard, embedding, simhash_pairs),
 ext_similarity_topk (recall suite re-pins it every run; restore first
-in round 5), ext_mm_resize, ext_stream_sliding_agg, and
-ext_text_langid."""
+in round 5), ext_dedup_simhash (soundness suite value-pins its
+fingerprints), ext_mm_resize, ext_stream_sliding_agg, ext_text_langid,
+ext_text_stats, and ext_text_fingerprint."""
 
 import __spark_entry__ as entrymod
 
