@@ -860,8 +860,43 @@ def q_ext_dedup_common_ngrams(spark, sf_dir):
     )
 
 
+def q_ext_dedup_dup_rate(spark, sf_dir):
+    """Per-document duplication rate: the fraction of a doc's distinct
+    word-5-gram shingles that also appear in at least one OTHER document —
+    the standard per-doc "how much of this text is boilerplate/copied"
+    signal used to rank removal candidates (a soft complement to the hard
+    pair detectors: 1.0 = every shingle is shared somewhere, 0.0 = fully
+    novel text).
+
+    Scale shape: per-doc shingle sets are distinct, so document frequency
+    is one explode + one map-side-combined groupBy; the freq frame joins
+    back shingle-keyed (both sides already hashed on shingle from the agg,
+    so the join reuses that partitioning). The per-doc ratio is one double
+    division of exact integers — engine-identical.
+    """
+    sh = _shingle_df(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("shingle")
+    )
+    dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = (
+        sh.join(dfreq, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("n_shared"),
+        )
+    )
+    return counts.select(
+        "doc_id", "n_shingles", "n_shared",
+        F.round(
+            F.col("n_shared").cast("double") / F.col("n_shingles"), 6
+        ).alias("dup_rate"),
+    )
+
+
 QUERIES = {
     "ext_dedup_exact": q_ext_dedup_exact,
+    "ext_dedup_dup_rate": q_ext_dedup_dup_rate,
     "ext_dedup_common_ngrams": q_ext_dedup_common_ngrams,
     "ext_dedup_components": q_ext_dedup_components,
     "ext_dedup_canonical": q_ext_dedup_canonical,
@@ -898,6 +933,20 @@ _SQL_PAIR_JACCARD = (
 )
 
 ORACLES = {
+    "ext_dedup_dup_rate": f"""
+WITH tk AS ({SQL_TK}),
+shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk),
+ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shingles),
+dfreq AS (SELECT shingle, COUNT(*) AS n_docs FROM ex GROUP BY shingle),
+counts AS (
+  SELECT doc_id, COUNT(*) AS n_shingles,
+         SUM(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_shared
+  FROM ex JOIN dfreq USING (shingle) GROUP BY doc_id
+)
+SELECT doc_id, n_shingles, n_shared,
+       round(n_shared::DOUBLE / n_shingles, 6) AS dup_rate
+FROM counts
+""",
     "ext_dedup_common_ngrams": f"""
 WITH tk AS ({SQL_TK}),
 shingles AS (SELECT doc_id, {SQL_SHINGLES} AS sh FROM tk)

@@ -391,6 +391,89 @@ def q_ext_text_bigram_logprob(spark, sf_dir):
     )
 
 
+CHUNK_W = 16   # tokens per chunk
+CHUNK_S = 12   # stride (CHUNK_W - CHUNK_S = 4 tokens of overlap)
+
+
+def q_ext_text_chunk(spark, sf_dir):
+    """RAG-style document chunking: overlapping token windows of
+    CHUNK_W tokens every CHUNK_S (so consecutive chunks share
+    CHUNK_W - CHUNK_S tokens of context), the standard retrieval-corpus
+    preparation step before embedding.
+
+    Scale shape: one narrow pass — tokenize, explode the stride start
+    positions (~n_tokens/CHUNK_S small rows per doc), slice per start.
+    No shuffle at all: chunking is embarrassingly parallel per document,
+    and the output keeps (doc_id, chunk_idx) so downstream embedding /
+    indexing can repartition however it likes.
+    """
+    docs = docs_tokenized(spark, sf_dir)
+    ch = docs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(1), F.size("tk"), F.lit(CHUNK_S))
+        ).alias("s"),
+        "tk",
+    )
+    chunk = F.slice(F.col("tk"), F.col("s"), CHUNK_W)
+    return ch.select(
+        "doc_id",
+        F.expr(f"CAST((s - 1) DIV {CHUNK_S} AS INT)").alias("chunk_idx"),
+        F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
+PMI_MIN_COUNT = 5
+
+
+def q_ext_text_pmi(spark, sf_dir):
+    """Collocation mining: pointwise mutual information of adjacent token
+    pairs, PMI = ln(p(w1w2) / (p(w1) p(w2))), reported for pairs seen at
+    least PMI_MIN_COUNT times — the classic phrase detector (high PMI =
+    tokens that co-occur far above chance, e.g. multiword terms worth
+    merging before tokenizer training).
+
+    Scale shape: one token explode and one bigram explode, each feeding a
+    map-side-combined count; corpus totals ride broadcast 1-row cross
+    joins; the two unigram-count joins are post-aggregation
+    vocabulary-sized (AQE broadcasts them). PMI is computed as exact
+    integer products with ONE double division then ln — both engines see
+    identical integers, so the rounded double matches bit-for-bit. (The
+    integer product c12*T1*T1 stays under 2^63 up to ~1e9-token corpora;
+    beyond that, shift to summed-logs form.)
+    """
+    docs = docs_tokenized(spark, sf_dir)
+    bigrams_expr = (
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+    )
+    bg = docs.select(F.explode(F.expr(bigrams_expr)).alias("bigram"))
+    uni = docs.select(F.explode("tk").alias("tok"))
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t_uni = c1.agg(F.sum("c").alias("t_uni"))
+    t_bg = c12.agg(F.sum("c12").alias("t_bg"))
+    pairs = (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.element_at(F.split("bigram", " "), 1))
+        .withColumn("w2", F.element_at(F.split("bigram", " "), 2))
+        .join(c1.withColumnRenamed("tok", "w1")
+                .withColumnRenamed("c", "c1"), "w1")
+        .join(c1.withColumnRenamed("tok", "w2")
+                .withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bg))
+    )
+    ratio = (
+        (F.col("c12") * F.col("t_uni") * F.col("t_uni")).cast("double")
+        / (F.col("t_bg") * F.col("c1") * F.col("c2"))
+    )
+    return pairs.select(
+        "bigram", "c12", F.round(F.log(ratio), 6).alias("pmi")
+    )
+
+
 def q_ext_token_bigrams(spark, sf_dir):
     """Corpus-wide token-pair frequencies (the merge-candidate counting
     step of BPE training): adjacent-token bigrams exploded and counted."""
@@ -421,6 +504,8 @@ QUERIES = {
     "ext_text_entropy": q_ext_text_entropy,
     "ext_text_bigram_logprob": q_ext_text_bigram_logprob,
     "ext_text_tfidf_top": q_ext_text_tfidf_top,
+    "ext_text_chunk": q_ext_text_chunk,
+    "ext_text_pmi": q_ext_text_pmi,
 }
 
 
@@ -586,5 +671,37 @@ ranked AS (SELECT doc_id, term, tfidf,
                                      ORDER BY tfidf DESC, term) AS rnk
            FROM scored)
 SELECT doc_id, rnk, term, tfidf FROM ranked WHERE rnk <= 3
+""",
+    "ext_text_chunk": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents)
+SELECT doc_id,
+       CAST((s - 1) // {CHUNK_S} AS INT) AS chunk_idx,
+       len(tk[s:s + {CHUNK_W - 1}])::BIGINT AS n_chunk_tokens,
+       array_to_string(tk[s:s + {CHUNK_W - 1}], ' ') AS chunk_text
+FROM (SELECT doc_id, tk,
+             unnest(generate_series(1, len(tk), {CHUNK_S})) AS s
+      FROM tk)
+""",
+    "ext_text_pmi": f"""
+WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
+bg AS (
+  SELECT unnest([tk[i] || ' ' || tk[i + 1]
+                 for i in generate_series(1, greatest(len(tk) - 1, 0))])
+           AS bigram
+  FROM tk
+),
+uni AS (SELECT unnest(tk) AS tok FROM tk),
+c12 AS (SELECT bigram, COUNT(*) AS c12 FROM bg GROUP BY bigram),
+c1 AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
+t_uni AS (SELECT SUM(c) AS t_uni FROM c1),
+t_bg AS (SELECT SUM(c12) AS t_bg FROM c12)
+SELECT bigram, c12,
+       round(ln((c12 * t_uni * t_uni)::DOUBLE
+                / (t_bg * w1.c * w2.c)), 6) AS pmi
+FROM c12
+JOIN c1 w1 ON string_split(c12.bigram, ' ')[1] = w1.tok
+JOIN c1 w2 ON string_split(c12.bigram, ' ')[2] = w2.tok
+CROSS JOIN t_uni CROSS JOIN t_bg
+WHERE c12 >= {PMI_MIN_COUNT}
 """,
 }

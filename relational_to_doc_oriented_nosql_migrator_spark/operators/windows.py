@@ -575,8 +575,89 @@ def q_ext_percentiles(spark, sf_dir):
     )
 
 
+def q_ext_window_ntile(spark, sf_dir):
+    """Customer-spend distribution ranking: ntile(10) deciles plus
+    percent_rank / cume_dist over per-customer total spend — the
+    segmentation primitive behind "top-decile customers" reports.
+
+    Scale shape: the window is GLOBAL (a total order), which Spark
+    executes on a single partition — acceptable here because it runs on
+    the post-aggregation per-customer frame (|customers| << |orders|,
+    and the shuffle-heavy part, the spend aggregation, is fully
+    parallel). At billions of customers, swap the global window for the
+    rank-via-count formulation (join against a broadcast histogram of
+    spend quantile bounds from approx_quantile). The ORDER BY is made
+    unique with the key tiebreak so ntile is deterministic.
+    """
+    orders = t(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        dec_sum("o_totalprice", 2).alias("spend")
+    )
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    return spend.select(
+        "o_custkey",
+        "spend",
+        F.ntile(10).over(w).alias("decile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+def _dec_prod_sum(a: str, b: str, pa: int = 19, pb: int = 18):
+    """Order-independent sum of a product of two double columns: cast each
+    factor to decimal FIRST (single-value double->decimal casts round
+    identically on both engines), multiply exactly in decimal, sum
+    exactly. Factor precisions: pa=19 forces DuckDB onto the int128
+    physical type (width-18 operands multiply in int64 and overflow), and
+    pa + pb + 1 <= 38 keeps Spark from clamping the product's scale below
+    12 — so (19,18) is the one pair exact on BOTH engines."""
+    return F.sum(
+        F.col(a).cast(f"decimal({pa},6)") * F.col(b).cast(f"decimal({pb},6)")
+    ).cast("double")
+
+
+def q_ext_corr_stats(spark, sf_dir):
+    """Numeric column profiling: Pearson correlation, sample covariance,
+    and sample standard deviations of (l_quantity, l_extendedprice) per
+    return flag — the schema-profiling step before feature selection.
+
+    Built-in corr()/covar_samp() accumulate double co-moments in
+    partition-merge order, which is not reproducible against a
+    sequential oracle; instead the five raw sums (Sx, Sy, Sxy, Sxx, Syy)
+    are computed EXACTLY in decimal (order-independent), and the
+    statistics are derived from them with one identical double
+    expression tree on both engines — bit-stable at any parallelism.
+    Scale shape: one map-side-combined groupBy over the scan; the
+    formula work is per-group constant.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    sums = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        dec_sum("l_quantity").alias("sx"),
+        dec_sum("l_extendedprice").alias("sy"),
+        _dec_prod_sum("l_quantity", "l_extendedprice", 19, 18).alias("sxy"),
+        _dec_prod_sum("l_quantity", "l_quantity", 19, 18).alias("sxx"),
+        _dec_prod_sum("l_extendedprice", "l_extendedprice", 19, 18)
+        .alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov_n = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    var_x = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    var_y = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return sums.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / F.sqrt(var_x * var_y), 6).alias("corr_qty_price"),
+        F.round(cov_n / (n - 1), 6).alias("covar_qty_price"),
+        F.round(F.sqrt(var_x / (n - 1)), 6).alias("stddev_qty"),
+        F.round(F.sqrt(var_y / (n - 1)), 6).alias("stddev_price"),
+    )
+
+
 QUERIES = {
     "ext_window_rank": q_ext_window_rank,
+    "ext_window_ntile": q_ext_window_ntile,
+    "ext_corr_stats": q_ext_corr_stats,
     "ext_window_lag_lead": q_ext_window_lag_lead,
     "ext_tumbling_agg": q_ext_tumbling_agg,
     "ext_sliding_agg": q_ext_sliding_agg,
@@ -601,7 +682,51 @@ QUERIES = {
     "ext_percentiles": q_ext_percentiles,
 }
 
+_SQL_DEC_PROD_SUM = (
+    "CAST(SUM(CAST({a} AS DECIMAL({pa},6)) * CAST({b} AS DECIMAL({pb},6)))"
+    " AS DOUBLE)"
+)
+
 ORACLES = {
+    "ext_window_ntile": f"""
+WITH spend AS (
+  SELECT o_custkey, {sql_dec_sum('o_totalprice', 2)} AS spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT o_custkey, spend,
+       ntile(10) OVER w AS decile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume
+FROM spend WINDOW w AS (ORDER BY spend ASC, o_custkey ASC)
+""",
+    "ext_corr_stats": f"""
+WITH sums AS (
+  SELECT l_returnflag, COUNT(*) AS n,
+         {sql_dec_sum('l_quantity')} AS sx,
+         {sql_dec_sum('l_extendedprice')} AS sy,
+         {_SQL_DEC_PROD_SUM.format(a='l_quantity', b='l_extendedprice',
+                                    pa=19, pb=18)}
+           AS sxy,
+         {_SQL_DEC_PROD_SUM.format(a='l_quantity', b='l_quantity',
+                                    pa=19, pb=18)} AS sxx,
+         {_SQL_DEC_PROD_SUM.format(a='l_extendedprice',
+                                   b='l_extendedprice', pa=19, pb=18)}
+           AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       round((sxy - sx * sy / CAST(n AS DOUBLE))
+             / sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                    * (syy - sy * sy / CAST(n AS DOUBLE))), 6)
+         AS corr_qty_price,
+       round((sxy - sx * sy / CAST(n AS DOUBLE))
+             / (CAST(n AS DOUBLE) - 1), 6) AS covar_qty_price,
+       round(sqrt((sxx - sx * sx / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_qty,
+       round(sqrt((syy - sy * sy / CAST(n AS DOUBLE))
+                  / (CAST(n AS DOUBLE) - 1)), 6) AS stddev_price
+FROM sums
+""",
     "ext_window_rank": """
 SELECT user_id, event_id, event_type, value, rn FROM (
   SELECT user_id, event_id, event_type, value,

@@ -41,6 +41,7 @@ TINY_BROADCAST_CROSS = {
     "ext_skew_report",           # 1-row total cross join
     "ext_text_perplexity_bucket",  # built on unigram_logprob's 1-row cross
     "ext_text_tfidf_top",        # 1-row doc-count cross join
+    "ext_text_pmi",              # two 1-row corpus-total cross joins
 }
 
 # Ops that execute eagerly (streaming/iterative/sink) — their final
