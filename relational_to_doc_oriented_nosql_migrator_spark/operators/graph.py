@@ -1,0 +1,151 @@
+"""Iterative graph analytics over the relational tables (SURVEY §2.11
+extension surface — the reference has no graph path; this is the
+"iterative algorithms" family alongside dedup's label propagation).
+
+PageRank here runs a FIXED iteration count in FIXED-POINT integer
+arithmetic: ranks live in units of 1e-12 as BIGINT, per-edge
+contributions are integer divisions, and the damping update is an
+integer multiply-divide. Every operation is exact and order-independent,
+so the result is bit-identical at any parallelism AND to a sequential
+DuckDB computation — iterative ops are usually rows-only checked; the
+fixed-point formulation buys the stronger value-hash gate (a double
+formulation was measured to diverge on ~0.25% of nodes from
+engine-specific round() boundary behavior). Floats appear exactly once,
+in the final display projection.
+
+Scale shape per iteration: one src-keyed equi-join (rank frame onto the
+edge list) + one dst-keyed map-side-combined BIGINT aggregation — the
+classic Pregel step as two shuffles over |edges|. Ranks/degrees ride a
+frame of |nodes| rows. With ITERS fixed and small the lineage stays
+shallow (no checkpoint needed; dedup's label propagation documents the
+localCheckpoint pattern for open-ended loops). The graph is the
+customer<->supplier co-transaction bipartite graph, symmetrized so rank
+circulates (a pure bipartite direction would drain all rank to one
+side). Truncation note: integer division drops < 1e-12 of mass per hop
+(both engines truncate identically for non-negative operands), which is
+the standard fixed-point PageRank trade — rank ORDER is unaffected.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+
+DAMPING_NUM, DAMPING_DEN = 85, 100   # damping 0.85 as an exact ratio
+TELEPORT_NUM = 15                    # (1 - damping) numerator
+ITERS = 3
+UNIT = 10**12                        # fixed-point scale: 1.0 == 1e12 units
+
+
+def _edges(spark, sf_dir) -> DataFrame:
+    orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+    return pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_ext_graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 3 iterations, exact fixed-point) over the
+    symmetrized customer<->supplier co-transaction graph — the
+    influence/centrality score behind entity-importance ranking.
+
+    Every node appears in the degree frame (edges are symmetric, so no
+    dangling mass) and the teleport term (0.15 * UNIT) DIV N uses the
+    node count via a broadcast 1-row cross join, never the driver.
+    Overflow headroom: per-node contribution sums are bounded by the
+    total mass ~UNIT=1e12; the damping multiply peaks ~8.5e13 << 2^63.
+    """
+    e = _edges(spark, sf_dir)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    state = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"), "deg", "n",
+            F.expr(f"CAST({UNIT} AS BIGINT) DIV n").alias("units"),
+        )
+    )
+    teleport = F.expr(f"CAST({TELEPORT_NUM} AS BIGINT) * {UNIT // 100} DIV n")
+    for _ in range(ITERS):
+        contrib = (
+            e.join(state, e.src == state.node)
+            .select("dst", F.expr("units DIV deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        state = (
+            contrib.join(deg, contrib.dst == deg.src)
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"), "deg", "n",
+                (
+                    teleport
+                    + F.expr(f"{DAMPING_NUM} * s DIV {DAMPING_DEN}")
+                ).alias("units"),
+            )
+        )
+    return state.select(
+        "node", "deg",
+        (F.col("units").cast("double") / F.lit(float(UNIT)))
+        .alias("pagerank"),
+    )
+
+
+QUERIES = {
+    "ext_graph_pagerank": q_ext_graph_pagerank,
+}
+
+_SQL_EDGES = """
+edges0 AS (
+  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+),
+e AS (
+  SELECT 'c' || c AS src, 's' || s AS dst FROM edges0
+  UNION ALL
+  SELECT 's' || s AS src, 'c' || c AS dst FROM edges0
+),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+nn AS (SELECT COUNT(*) AS n FROM deg)
+"""
+
+
+def _sql_iter(prev: str, out: str) -> str:
+    return f"""
+{out}_c AS (
+  SELECT e.dst AS node, SUM(r.units // r.deg)::BIGINT AS s
+  FROM e JOIN {prev} r ON e.src = r.node GROUP BY e.dst
+),
+{out} AS (
+  SELECT c.node, d.deg, n,
+         ({TELEPORT_NUM}::BIGINT * {UNIT // 100} // n
+          + {DAMPING_NUM} * c.s // {DAMPING_DEN})::BIGINT AS units
+  FROM {out}_c c JOIN deg d ON c.node = d.src CROSS JOIN nn
+)"""
+
+
+ORACLES = {
+    "ext_graph_pagerank": (
+        "WITH " + _SQL_EDGES + ","
+        + f"""
+r0 AS (
+  SELECT src AS node, deg, n, ({UNIT}::BIGINT // n)::BIGINT AS units
+  FROM deg CROSS JOIN nn
+)"""
+        + "".join(
+            "," + _sql_iter(f"r{i}", f"r{i + 1}") for i in range(ITERS)
+        )
+        + f"\nSELECT node, deg, units::DOUBLE / {float(UNIT)} AS pagerank"
+        + f" FROM r{ITERS}\n"
+    ),
+}

@@ -18,7 +18,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    sql_dec_sum,
+    t,
+)
 
 RANGE_SECONDS = 120  # range-join band width
 
@@ -147,10 +150,61 @@ def q_ext_cdc_merge_latest(spark, sf_dir):
     )
 
 
+def q_ext_incremental_agg(spark, sf_dir):
+    """Incremental aggregate maintenance (materialized-rollup refresh):
+    the daily (day, event_type) rollup is maintained as BASE-partial +
+    DELTA-partial -> merge, instead of recomputing over the full history
+    — the nightly-ETL shape where yesterday's materialized summary
+    absorbs today's increment at O(delta + |summary|) cost.
+
+    The partial sums are stored as EXACT decimals (not doubles), so the
+    merge is associative and the incremental result is value-identical
+    to a full recompute — which is precisely what the DuckDB oracle
+    checks (it recomputes from scratch). Base = 90% of events by id hash,
+    delta = the rest; the base partial round-trips through parquet to
+    make the materialization real.
+
+    Scale shape: two map-side-combined rollups (one over the base scan —
+    in production, read back instead of recomputed — one over the small
+    delta) + a merge groupBy over two |summary|-sized frames.
+    """
+    import os
+    import tempfile
+
+    ev = t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    is_delta = (F.col("event_id") % 10) == 9
+
+    def partial(df):
+        return df.groupBy(day, "event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+
+    base_dir = os.path.join(
+        tempfile.mkdtemp(prefix="sg_incr_agg_"), "base_summary"
+    )
+    partial(ev.filter(~is_delta)).write.mode("overwrite").parquet(base_dir)
+    base = spark.read.parquet(base_dir)
+    merged = (
+        base.unionByName(partial(ev.filter(is_delta)))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sv").alias("sv"),
+        )
+    )
+    return merged.select(
+        "day", "event_type", "n_events",
+        F.col("sv").cast("double").alias("sum_value"),
+    )
+
+
 QUERIES = {
     "ext_asof_join": q_ext_asof_join,
     "ext_range_join": q_ext_range_join,
     "ext_cdc_merge_latest": q_ext_cdc_merge_latest,
+    "ext_incremental_agg": q_ext_incremental_agg,
 }
 
 ORACLES = {
@@ -193,5 +247,11 @@ FROM (
          COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
   FROM events
 ) WHERE r = 1
+""",
+    # Full recompute — the incremental base+delta merge must equal it.
+    "ext_incremental_agg": f"""
+SELECT ts::DATE AS day, event_type, COUNT(*) AS n_events,
+       {sql_dec_sum('value')} AS sum_value
+FROM events GROUP BY 1, 2
 """,
 }

@@ -451,8 +451,90 @@ def q_stream_to_json_files(spark, sf_dir):
     ).json(out)
 
 
+def stream_cdc_upsert(events: DataFrame, state_base: str,
+                      checkpoint_dir: str) -> None:
+    """foreachBatch streaming SCD-1 upsert: every micro-batch MERGEs into
+    a parquet current-state table (latest version per (user_id,
+    event_type) + version count) — the streaming twin of
+    ext_cdc_merge_latest and the shape of a continuously-maintained
+    serving table.
+
+    Merge math: the state row holds max(struct(ts, event_id, value)) and
+    n_versions; merging a batch is groupBy(key).agg(max(m),
+    sum(n_versions)) over previous-state ∪ batch-partial — associative,
+    so ANY batch split of the input converges to the batch answer
+    (proven by the oracle: a full recompute). State swap is
+    write-to-next + atomic rename, so a crashed batch never corrupts
+    current state. Scale shape per batch: one map-side-combined agg over
+    the batch + one |state|-sized merge — O(delta + |state|), never a
+    rescan of history.
+    """
+    import shutil
+
+    cur = os.path.join(state_base, "current")
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy("user_id", "event_type").agg(
+            F.max(F.struct("ts", "event_id", "value")).alias("m"),
+            F.count(F.lit(1)).alias("n_versions"),
+        )
+        if os.path.isdir(cur):
+            prev = batch_df.sparkSession.read.parquet(cur)
+            part = (
+                prev.unionByName(part)
+                .groupBy("user_id", "event_type")
+                .agg(
+                    F.max("m").alias("m"),
+                    F.sum("n_versions").alias("n_versions"),
+                )
+            )
+        nxt = os.path.join(state_base, f"next_{batch_id}")
+        part.write.mode("overwrite").parquet(nxt)
+        shutil.rmtree(cur, ignore_errors=True)
+        os.rename(nxt, cur)
+
+    query = (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+
+
+def q_ext_stream_cdc_upsert(spark, sf_dir):
+    """Streaming upsert driven over a 3-file split of the events table
+    (maxFilesPerTrigger=1 -> three real micro-batches), then the final
+    state read back — value-identical to the batch CDC compaction."""
+    import tempfile
+
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
+        load_table,
+    )
+
+    base = tempfile.mkdtemp(prefix="sg_stream_cdc_")
+    src = os.path.join(base, "src")
+    load_table(spark, sf_dir, "events").repartition(3).write.parquet(src)
+    events = read_events_stream(
+        spark, sf_dir, max_files_per_trigger=1,
+        path=os.path.join(src, "*.parquet"),
+    )
+    state = os.path.join(base, "state")
+    stream_cdc_upsert(events, state, os.path.join(base, "ckpt"))
+    final = spark.read.parquet(os.path.join(state, "current"))
+    return final.select(
+        "user_id",
+        "event_type",
+        F.col("m.ts").cast("timestamp_ntz").alias("last_ts"),
+        F.col("m.event_id").alias("last_event_id"),
+        F.col("m.value").alias("last_value"),
+        "n_versions",
+    )
+
+
 QUERIES = {
     "stream_to_json_files": q_stream_to_json_files,
+    "ext_stream_cdc_upsert": q_ext_stream_cdc_upsert,
     "ext_stream_tumbling_agg": q_ext_stream_tumbling_agg,
     "ext_stream_sliding_agg": q_ext_stream_sliding_agg,
     "ext_stream_session_agg": q_ext_stream_session_agg,
@@ -468,6 +550,19 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (  
 )
 
 ORACLES = {
+    # Full recompute over the whole changelog — the 3-micro-batch
+    # incremental upsert must converge to it exactly.
+    "ext_stream_cdc_upsert": """
+SELECT user_id, event_type, ts AS last_ts, event_id AS last_event_id,
+       value AS last_value, n_versions
+FROM (
+  SELECT user_id, event_type, ts, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts DESC, event_id DESC) AS r,
+         COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+  FROM events
+) WHERE r = 1
+""",
     "ext_stream_tumbling_agg": f"""
 SELECT time_bucket(INTERVAL '10 minutes', ts) AS window_start, event_type,
        COUNT(*) AS n_events, {sql_dec_sum('value')} AS sum_value

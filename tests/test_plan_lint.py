@@ -42,6 +42,7 @@ TINY_BROADCAST_CROSS = {
     "ext_text_perplexity_bucket",  # built on unigram_logprob's 1-row cross
     "ext_text_tfidf_top",        # 1-row doc-count cross join
     "ext_text_pmi",              # two 1-row corpus-total cross joins
+    "ext_graph_pagerank",        # 1-row node-count cross per iteration
 }
 
 # Ops that execute eagerly (streaming/iterative/sink) — their final
@@ -57,6 +58,9 @@ EAGER = {
     # round-trip interchange sources / compaction: building the frame
     # performs distributed writes; the returned plan is just the read-back
     "src_csv_import", "src_jsonl_import", "sink_parquet_compacted",
+    # materialized-state maintenance: base summary / merged state round-
+    # trip through parquet; the returned plan is the read-back + merge
+    "ext_incremental_agg", "ext_stream_cdc_upsert",
 }
 
 BAD = ("CartesianProduct", "BroadcastNestedLoopJoin")
