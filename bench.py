@@ -43,6 +43,7 @@ def main() -> None:
     from relational_to_doc_oriented_nosql_migrator_spark import streaming
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         dedup,
+        graph,
         multimodal,
         pipeline,
         relational,
@@ -117,6 +118,11 @@ def main() -> None:
             # MEDIAN over n_runs is therefore the search cost.
             "similarity_ivfpq_indexed": lambda: force(
                 similarity.q_ext_similarity_ivfpq_indexed(spark, sf_dir)
+            ),
+            # iterative family: 3 Pregel steps over the ~480k-edge
+            # co-transaction graph at sf0.1
+            "graph_pagerank": lambda: force(
+                graph.q_ext_graph_pagerank(spark, sf_dir)
             ),
         }
 

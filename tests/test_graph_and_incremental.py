@@ -1,0 +1,149 @@
+"""Planted-data semantics tests for the round-4 graph / maintenance
+operators: fixed-point PageRank pinned against a hand-computed exact
+reference on a crafted graph, chunking edge widths, and the
+incremental-rollup merge under an empty delta."""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+    graph as G,
+    temporal as T,
+    text as X,
+)
+
+
+def _write_graph(tmp, orders, lineitems):
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([o[0] for o in orders], type=pa.int64()),
+            "o_custkey": pa.array([o[1] for o in orders], type=pa.int64()),
+        }),
+        os.path.join(str(tmp), "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([l[0] for l in lineitems],
+                                   type=pa.int64()),
+            "l_suppkey": pa.array([l[1] for l in lineitems],
+                                  type=pa.int64()),
+        }),
+        os.path.join(str(tmp), "lineitem.parquet"),
+    )
+
+
+def _expected_pagerank(edges):
+    """Sequential replica of the engine's exact fixed-point math."""
+    sym = set(edges) | {(b, a) for a, b in edges}
+    deg = {}
+    for a, _ in sym:
+        deg[a] = deg.get(a, 0) + 1
+    n = len(deg)
+    units = {v: G.UNIT // n for v in deg}
+    for _ in range(G.ITERS):
+        s = {v: 0 for v in deg}
+        for a, b in sym:
+            s[b] += units[a] // deg[a]
+        units = {
+            v: (G.TELEPORT_NUM * (G.UNIT // 100)) // n
+            + (G.DAMPING_NUM * s[v]) // G.DAMPING_DEN
+            for v in deg
+        }
+    return {v: u / float(G.UNIT) for v, u in units.items()}
+
+
+def test_pagerank_matches_exact_sequential_replica(spark, tmp_path):
+    """Star-plus-tail graph: supplier 1 is hub for customers 1-3;
+    customer 3 also buys from supplier 2. Engine output must equal the
+    sequential fixed-point computation EXACTLY (no tolerance) — that is
+    the whole point of the integer formulation."""
+    _write_graph(
+        tmp_path,
+        orders=[(100, 1), (101, 2), (102, 3), (103, 3)],
+        lineitems=[(100, 1), (101, 1), (102, 1), (103, 2)],
+    )
+    edges = [("c1", "s1"), ("c2", "s1"), ("c3", "s1"), ("c3", "s2")]
+    expected = _expected_pagerank(edges)
+    got = {
+        r.node: r.pagerank
+        for r in G.q_ext_graph_pagerank(spark, str(tmp_path)).collect()
+    }
+    assert got == expected
+    # Hub outranks every leaf; symmetric leaves tie exactly.
+    assert got["s1"] == max(got.values())
+    assert got["c1"] == got["c2"]
+    # Mass conservation up to integer-truncation loss (strictly < 1e-12
+    # lost per division; generous bound).
+    assert abs(sum(got.values()) - 1.0) < 1e-6
+
+
+def test_chunk_edge_widths(spark, tmp_path):
+    """Docs at exactly W, W+1, and < S tokens: one full chunk, a full
+    chunk plus a short trailing chunk, and a single short chunk."""
+    w, s = X.CHUNK_W, X.CHUNK_S
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            " ".join(f"t{i}" for i in range(w)),        # exactly W
+            " ".join(f"t{i}" for i in range(w + 1)),    # W + 1
+            "a b",                                       # < stride
+        ],
+        "lang": ["en"] * 3,
+        "source": ["src0"] * 3,
+        "n_chars": [0, 0, 3],
+    })
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    out = X.q_ext_text_chunk(spark, str(tmp_path)).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # W tokens -> ceil(W / S) stride starts cover it; first chunk full.
+    d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert d1[0].n_chunk_tokens == w
+    assert [r.chunk_idx for r in d1] == list(range(len(d1)))
+    # W+1 tokens -> the second chunk holds the overlap + the extra token.
+    d2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
+    assert d2[0].n_chunk_tokens == w
+    assert d2[1].n_chunk_tokens == (w + 1) - s
+    # Consecutive chunks overlap by exactly W - S tokens.
+    assert d2[0].chunk_text.split()[s:] == d2[1].chunk_text.split()[: w - s]
+    # Tiny doc -> exactly one chunk with all tokens.
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 2
+
+
+def test_incremental_agg_empty_delta(spark, tmp_path):
+    """event_id chosen so NO row lands in the delta partition: the merge
+    must still equal the plain rollup (the quiet-day refresh)."""
+    rows = [
+        (10, "2024-08-07 10:00:00", 1, "click", 1.5, "{}"),
+        (11, "2024-08-07 11:00:00", 1, "click", 2.5, "{}"),
+        (12, "2024-08-08 10:00:00", 2, "view", 4.0, "{}"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"])
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    pq.write_table(
+        pa.Table.from_pandas(df, schema=schema),
+        os.path.join(str(tmp_path), "events.parquet"),
+    )
+    got = {
+        (str(r.day), r.event_type): (r.n_events, r.sum_value)
+        for r in T.q_ext_incremental_agg(spark, str(tmp_path)).collect()
+    }
+    assert got == {
+        ("2024-08-07", "click"): (2, 4.0),
+        ("2024-08-08", "view"): (1, 4.0),
+    }
