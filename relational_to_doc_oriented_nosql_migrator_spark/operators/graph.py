@@ -65,7 +65,11 @@ def q_ext_graph_pagerank(spark, sf_dir):
     Overflow headroom: per-node contribution sums are bounded by the
     total mass ~UNIT=1e12; the damping multiply peaks ~8.5e13 << 2^63.
     """
-    e = _edges(spark, sf_dir)
+    # The edge list feeds deg once plus one join PER iteration — without a
+    # persist Spark would redo the orders|><|lineitem join + distinct for
+    # every consumer (4x scans at ITERS=3). Cached spill-safely; bench
+    # clears caches between runs.
+    e = _edges(spark, sf_dir).persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     state = (

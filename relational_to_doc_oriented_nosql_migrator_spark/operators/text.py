@@ -391,6 +391,52 @@ def q_ext_text_bigram_logprob(spark, sf_dir):
     )
 
 
+# Fixed published weights for the logistic quality filter (the shape of a
+# fastText/classifier-based doc filter, with the model reduced to a linear
+# head over interpretable features so both engines can run inference as
+# one expression). Shared verbatim with the oracle.
+QSCORE_BIAS = -3.0
+QSCORE_W_STOP = 4.0      # stopword density reads as natural prose
+QSCORE_W_PUNCT = -20.0   # punctuation spam reads as boilerplate
+QSCORE_W_LNTOK = 0.8     # longer docs score higher, log-damped
+
+
+def q_ext_text_quality_score(spark, sf_dir):
+    """Model-scoring pass: per-doc keep-probability from a fixed-weight
+    logistic head over quality features (stopword ratio, punctuation
+    ratio, log token count) — the inference step of a classifier-based
+    quality filter, run entirely as JVM expressions (no model server, no
+    UDF).
+
+    Scale shape: one narrow pass over the text column, no shuffle at
+    all. The sigmoid is a single identical expression tree on both
+    engines, so the rounded probability matches bit-for-bit.
+    """
+    docs = docs_tokenized(spark, sf_dir)
+    toks = F.col("tk")
+    n_tokens = F.size(toks)
+    n_chars = F.length("text")
+    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+    sr = stop.cast("double") / n_tokens
+    pr = punct.cast("double") / n_chars
+    z = (
+        F.lit(QSCORE_BIAS)
+        + F.lit(QSCORE_W_STOP) * sr
+        + F.lit(QSCORE_W_PUNCT) * pr
+        + F.lit(QSCORE_W_LNTOK) * F.log(n_tokens.cast("double"))
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        F.round(sr, 6).alias("stop_ratio"),
+        F.round(pr, 6).alias("punct_ratio"),
+        n_tokens.cast("bigint").alias("n_tokens"),
+        prob.alias("keep_prob"),
+        (prob >= 0.5).alias("keep"),
+    )
+
+
 CHUNK_W = 16   # tokens per chunk
 CHUNK_S = 12   # stride (CHUNK_W - CHUNK_S = 4 tokens of overlap)
 
@@ -506,6 +552,7 @@ QUERIES = {
     "ext_text_tfidf_top": q_ext_text_tfidf_top,
     "ext_text_chunk": q_ext_text_chunk,
     "ext_text_pmi": q_ext_text_pmi,
+    "ext_text_quality_score": q_ext_text_quality_score,
 }
 
 
@@ -703,5 +750,31 @@ JOIN c1 w1 ON string_split(c12.bigram, ' ')[1] = w1.tok
 JOIN c1 w2 ON string_split(c12.bigram, ' ')[2] = w2.tok
 CROSS JOIN t_uni CROSS JOIN t_bg
 WHERE c12 >= {PMI_MIN_COUNT}
+""",
+    "ext_text_quality_score": f"""
+WITH feats AS (
+  SELECT doc_id,
+         len(list_filter({SQL_TOKENS},
+             x -> list_contains(['the','and','of','to','in','is','that',
+                                 'it','was','for'], x)))::DOUBLE
+           / len({SQL_TOKENS}) AS sr,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::DOUBLE
+           / length(text) AS pr,
+         len({SQL_TOKENS}) AS nt
+  FROM documents
+)
+SELECT doc_id,
+       round(sr, 6) AS stop_ratio,
+       round(pr, 6) AS punct_ratio,
+       nt::BIGINT AS n_tokens,
+       round(1.0 / (1.0 + exp(-({QSCORE_BIAS} + {QSCORE_W_STOP} * sr
+                               + {QSCORE_W_PUNCT} * pr
+                               + {QSCORE_W_LNTOK} * ln(nt::DOUBLE)))), 6)
+         AS keep_prob,
+       round(1.0 / (1.0 + exp(-({QSCORE_BIAS} + {QSCORE_W_STOP} * sr
+                               + {QSCORE_W_PUNCT} * pr
+                               + {QSCORE_W_LNTOK} * ln(nt::DOUBLE)))), 6)
+         >= 0.5 AS keep
+FROM feats
 """,
 }

@@ -4,7 +4,7 @@ the 5 ids that have never had a driver row (ext_mm_decode_dims,
 ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
 ext_embed_centroids), the ids whose code materially changed in round 4
 (ext_similarity_lsh/_ivf broadcast+recall, ext_dedup_minhash stats
-refactor, ext_embed_pq internals shared with ivfpq), the THIRTY-NINE
+refactor, ext_embed_pq internals shared with ivfpq), the FORTY
 round-4-new operators (events_attribution, dedup_canonical,
 embed_quantize, embed_pq, similarity_ivfpq, dedup_embedding_lsh,
 events_sessionize, events_anomaly, text_perplexity_bucket,
@@ -15,8 +15,8 @@ session_paths, basket_pairs, dedup_containment,
 similarity_ivfpq_indexed, events_transitions, profile_table,
 dedup_minhash_incremental, sink_parquet_compacted, skew_report,
 text_chunk, text_pmi, dedup_dup_rate, window_ntile, corr_stats,
-graph_pagerank, incremental_agg, stream_cdc_upsert), then r02-era
-backfill.
+graph_pagerank, incremental_agg, stream_cdc_upsert,
+text_quality_score), then r02-era backfill.
 Deferred to round 5 with green r02 rows and full local coverage: the
 seven curation-pipeline ids (curation_pipeline, text_pii_scrub,
 decontaminate, repetition_filter, domain_mix, sample_stratified,
@@ -27,11 +27,12 @@ brute-force baselines (ngram_jaccard, embedding, simhash_pairs),
 ext_similarity_topk (recall suite re-pins it every run; restore first
 in round 5), ext_dedup_simhash (soundness suite value-pins its
 fingerprints), ext_mm_resize, ext_stream_sliding_agg, ext_text_langid,
-ext_text_stats, ext_text_fingerprint, and — displaced by the eight
+ext_text_stats, ext_text_fingerprint, and — displaced by the nine
 newest first-proofs (chunk/pmi/dup_rate/ntile/corr/pagerank/
-incremental_agg/stream_cdc_upsert) — agg_collect_children,
-fn_split_trim, ext_approx_distinct, ext_text_quality, ext_dedup_exact,
-sink_json_collections, join_nest_one_to_many, join_nest_salted."""
+incremental_agg/stream_cdc_upsert/quality_score) —
+agg_collect_children, fn_split_trim, ext_approx_distinct,
+ext_text_quality, ext_dedup_exact, sink_json_collections,
+join_nest_one_to_many, join_nest_salted, src_indexed_lookup."""
 
 import __spark_entry__ as entrymod
 
@@ -51,7 +52,7 @@ def test_priority_block_leads_registry():
 
 def test_registry_complete_and_oracle_backed():
     qs, ors = all_queries(), all_oracles()
-    # 91 as of round 2 + 12 round-3 adds + 39 round-4 adds:
+    # 91 as of round 2 + 12 round-3 adds + 40 round-4 adds:
     # events_attribution, dedup_canonical, embed_quantize, embed_pq,
     # similarity_ivfpq, dedup_embedding_lsh, events_sessionize,
     # events_anomaly, text_perplexity_bucket, src_csv_import,
@@ -62,8 +63,9 @@ def test_registry_complete_and_oracle_backed():
     # similarity_ivfpq_indexed, events_transitions, profile_table,
     # dedup_minhash_incremental, sink_parquet_compacted, skew_report,
     # text_chunk, text_pmi, dedup_dup_rate, window_ntile, corr_stats,
-    # graph_pagerank, incremental_agg, stream_cdc_upsert
-    assert len(qs) == 142
+    # graph_pagerank, incremental_agg, stream_cdc_upsert,
+    # text_quality_score
+    assert len(qs) == 143
     assert set(ors) == set(qs)  # every query oracle-checked as of round 2
     # entry module passes through the same ordering
     assert list(entrymod.queries()) == list(qs)
