@@ -41,13 +41,17 @@ UNIT = 10**12                        # fixed-point scale: 1.0 == 1e12 units
 def _edges(spark, sf_dir) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    # Distinct on the INT key pair first, then build node labels: the
+    # dedup shuffle carries 16-byte int rows instead of strings (measured
+    # ~2x faster edge build at sf0.1 than concat-before-distinct).
     pairs = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select("o_custkey", "l_suppkey")
+        .distinct()
         .select(
             F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey")).alias("dst"),
         )
-        .distinct()
     )
     return pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
@@ -81,14 +85,21 @@ def q_ext_graph_pagerank(spark, sf_dir):
     )
     teleport = F.expr(f"CAST({TELEPORT_NUM} AS BIGINT) * {UNIT // 100} DIV n")
     for _ in range(ITERS):
+        # Explicit broadcast of the |nodes|-sized rank/degree frames:
+        # with the session's 64 MB auto-broadcast threshold, Catalyst
+        # otherwise broadcasts the CACHED |edges| side (accurate cache
+        # stats make 1.2M rows look broadcastable) and streams the tiny
+        # side through a corpus-sized hash table — measured 3x slower
+        # per iteration. At graphs where |nodes| outgrows an executor,
+        # drop the hints and let AQE shuffle both sides on the key.
         contrib = (
-            e.join(state, e.src == state.node)
+            e.join(F.broadcast(state), e.src == state.node)
             .select("dst", F.expr("units DIV deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
         state = (
-            contrib.join(deg, contrib.dst == deg.src)
+            contrib.join(F.broadcast(deg), contrib.dst == deg.src)
             .crossJoin(F.broadcast(n))
             .select(
                 F.col("dst").alias("node"), "deg", "n",
@@ -98,11 +109,18 @@ def q_ext_graph_pagerank(spark, sf_dir):
                 ).alias("units"),
             )
         )
-    return state.select(
+    out = state.select(
         "node", "deg",
         (F.col("units").cast("double") / F.lit(float(UNIT)))
         .alias("pagerank"),
     )
+    # Materialize the |nodes|-sized result, then RELEASE the edge cache —
+    # the dedup label-propagation pattern (dedup.py) — so repeated
+    # invocations (oracle suites run all 143 ids in one session) don't
+    # accumulate ~|edges| cache entries until an external clearCache.
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
 
 
 QUERIES = {

@@ -95,8 +95,12 @@ def q_ext_text_stats(spark, sf_dir):
     )
 
 
-def text_quality_from(docs_tk: DataFrame) -> DataFrame:
-    """Quality features over a pre-tokenized (doc_id, text, tk) frame."""
+def _quality_features(docs_tk: DataFrame):
+    """UNROUNDED quality features over a pre-tokenized (doc_id, text, tk)
+    frame — the single definition shared by ext_text_quality and
+    ext_text_quality_score, so the two operators cannot drift if the
+    stopword list / punctuation class / tokenization ever changes.
+    Returns (n_tokens, n_chars, stop_ratio, punct_ratio) columns."""
     toks = F.col("tk")
     n_tokens = F.size(toks)
     n_chars = F.length("text")
@@ -104,8 +108,16 @@ def text_quality_from(docs_tk: DataFrame) -> DataFrame:
     stop = F.size(
         F.filter(toks, lambda x: x.isin(*STOPWORDS["en"]))
     )
-    punct_ratio = F.round(punct.cast("double") / n_chars, 6)
-    stop_ratio = F.round(stop.cast("double") / n_tokens, 6)
+    sr = stop.cast("double") / n_tokens
+    pr = punct.cast("double") / n_chars
+    return n_tokens, n_chars, sr, pr
+
+
+def text_quality_from(docs_tk: DataFrame) -> DataFrame:
+    """Quality features over a pre-tokenized (doc_id, text, tk) frame."""
+    n_tokens, n_chars, sr, pr = _quality_features(docs_tk)
+    punct_ratio = F.round(pr, 6)
+    stop_ratio = F.round(sr, 6)
     return docs_tk.select(
         "doc_id",
         n_chars.alias("n_chars_seen"),
@@ -413,13 +425,7 @@ def q_ext_text_quality_score(spark, sf_dir):
     engines, so the rounded probability matches bit-for-bit.
     """
     docs = docs_tokenized(spark, sf_dir)
-    toks = F.col("tk")
-    n_tokens = F.size(toks)
-    n_chars = F.length("text")
-    stop = F.size(F.filter(toks, lambda x: x.isin(*STOPWORDS["en"])))
-    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
-    sr = stop.cast("double") / n_tokens
-    pr = punct.cast("double") / n_chars
+    n_tokens, _n_chars, sr, pr = _quality_features(docs)
     z = (
         F.lit(QSCORE_BIAS)
         + F.lit(QSCORE_W_STOP) * sr
@@ -452,6 +458,12 @@ def q_ext_text_chunk(spark, sf_dir):
     No shuffle at all: chunking is embarrassingly parallel per document,
     and the output keeps (doc_id, chunk_idx) so downstream embedding /
     indexing can repartition however it likes.
+
+    A trailing window that would add NO tokens beyond the previous
+    window's end (possible when n_tokens mod CHUNK_S is in
+    1..CHUNK_W-CHUNK_S) is suppressed, as standard splitters do —
+    emitting it would duplicate a strict subset of the previous chunk
+    into the retrieval corpus.
     """
     docs = docs_tokenized(spark, sf_dir)
     ch = docs.select(
@@ -460,6 +472,9 @@ def q_ext_text_chunk(spark, sf_dir):
             F.sequence(F.lit(1), F.size("tk"), F.lit(CHUNK_S))
         ).alias("s"),
         "tk",
+    ).filter(
+        (F.col("s") == 1)
+        | (F.col("s") + (CHUNK_W - CHUNK_S) <= F.size("tk"))
     )
     chunk = F.slice(F.col("tk"), F.col("s"), CHUNK_W)
     return ch.select(
@@ -483,11 +498,13 @@ def q_ext_text_pmi(spark, sf_dir):
     Scale shape: one token explode and one bigram explode, each feeding a
     map-side-combined count; corpus totals ride broadcast 1-row cross
     joins; the two unigram-count joins are post-aggregation
-    vocabulary-sized (AQE broadcasts them). PMI is computed as exact
-    integer products with ONE double division then ln — both engines see
-    identical integers, so the rounded double matches bit-for-bit. (The
-    integer product c12*T1*T1 stays under 2^63 up to ~1e9-token corpora;
-    beyond that, shift to summed-logs form.)
+    vocabulary-sized (AQE broadcasts them). PMI is computed by promoting
+    the first factor of each product to DOUBLE (so numerator and
+    denominator are IEEE multiply chains — overflow-free at any corpus
+    size, unlike int64 products, which blow past 2^63 as soon as
+    t_bg*c1*c2 does on ~1e7-token corpora) with ONE division then ln;
+    both engines evaluate the identical expression tree left-to-right,
+    so the rounded double matches bit-for-bit.
     """
     docs = docs_tokenized(spark, sf_dir)
     bigrams_expr = (
@@ -512,8 +529,8 @@ def q_ext_text_pmi(spark, sf_dir):
         .crossJoin(F.broadcast(t_bg))
     )
     ratio = (
-        (F.col("c12") * F.col("t_uni") * F.col("t_uni")).cast("double")
-        / (F.col("t_bg") * F.col("c1") * F.col("c2"))
+        F.col("c12").cast("double") * F.col("t_uni") * F.col("t_uni")
+        / (F.col("t_bg").cast("double") * F.col("c1") * F.col("c2"))
     )
     return pairs.select(
         "bigram", "c12", F.round(F.log(ratio), 6).alias("pmi")
@@ -728,6 +745,7 @@ SELECT doc_id,
 FROM (SELECT doc_id, tk,
              unnest(generate_series(1, len(tk), {CHUNK_S})) AS s
       FROM tk)
+WHERE s = 1 OR s + {CHUNK_W - CHUNK_S} <= len(tk)
 """,
     "ext_text_pmi": f"""
 WITH tk AS (SELECT doc_id, {SQL_TOKENS} AS tk FROM documents),
@@ -743,8 +761,8 @@ c1 AS (SELECT tok, COUNT(*) AS c FROM uni GROUP BY tok),
 t_uni AS (SELECT SUM(c) AS t_uni FROM c1),
 t_bg AS (SELECT SUM(c12) AS t_bg FROM c12)
 SELECT bigram, c12,
-       round(ln((c12 * t_uni * t_uni)::DOUBLE
-                / (t_bg * w1.c * w2.c)), 6) AS pmi
+       round(ln(c12::DOUBLE * t_uni * t_uni
+                / (t_bg::DOUBLE * w1.c * w2.c)), 6) AS pmi
 FROM c12
 JOIN c1 w1 ON string_split(c12.bigram, ' ')[1] = w1.tok
 JOIN c1 w2 ON string_split(c12.bigram, ' ')[2] = w2.tok

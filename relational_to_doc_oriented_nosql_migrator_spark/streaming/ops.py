@@ -463,23 +463,29 @@ def stream_cdc_upsert(events: DataFrame, state_base: str,
     n_versions; merging a batch is groupBy(key).agg(max(m),
     sum(n_versions)) over previous-state ∪ batch-partial — associative,
     so ANY batch split of the input converges to the batch answer
-    (proven by the oracle: a full recompute). State swap is
-    write-to-next + atomic rename, so a crashed batch never corrupts
-    current state. Scale shape per batch: one map-side-combined agg over
-    the batch + one |state|-sized merge — O(delta + |state|), never a
-    rescan of history.
-    """
-    import shutil
+    (proven by the oracle: a full recompute).
 
-    cur = os.path.join(state_base, "current")
+    Crash safety + idempotence: state lives in batch-id-stamped dirs
+    (`current_b{id}`). A batch writes the merged state to a temp dir,
+    atomically renames it to `current_b{batch_id}`, and only THEN
+    removes the predecessor — at every instant a complete state dir
+    exists, and readers take the max id. foreachBatch is at-least-once,
+    so a replayed batch (its id <= the stamped id) is skipped instead of
+    double-merged — the n_versions counter can't inflate. Scale shape
+    per batch: one map-side-combined agg over the batch + one
+    |state|-sized merge — O(delta + |state|), never a rescan of history.
+    """
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        latest = _latest_cdc_state(state_base)
+        if latest is not None and latest[0] >= batch_id:
+            return  # at-least-once replay of an applied batch
         part = batch_df.groupBy("user_id", "event_type").agg(
             F.max(F.struct("ts", "event_id", "value")).alias("m"),
             F.count(F.lit(1)).alias("n_versions"),
         )
-        if os.path.isdir(cur):
-            prev = batch_df.sparkSession.read.parquet(cur)
+        if latest is not None:
+            prev = batch_df.sparkSession.read.parquet(latest[1])
             part = (
                 prev.unionByName(part)
                 .groupBy("user_id", "event_type")
@@ -488,10 +494,13 @@ def stream_cdc_upsert(events: DataFrame, state_base: str,
                     F.sum("n_versions").alias("n_versions"),
                 )
             )
-        nxt = os.path.join(state_base, f"next_{batch_id}")
-        part.write.mode("overwrite").parquet(nxt)
-        shutil.rmtree(cur, ignore_errors=True)
-        os.rename(nxt, cur)
+        tmp = os.path.join(state_base, f"tmp_b{batch_id}")
+        part.write.mode("overwrite").parquet(tmp)
+        os.rename(tmp, os.path.join(state_base, f"current_b{batch_id}"))
+        if latest is not None:
+            import shutil
+
+            shutil.rmtree(latest[1], ignore_errors=True)
 
     query = (
         events.writeStream.foreachBatch(apply_batch)
@@ -500,6 +509,21 @@ def stream_cdc_upsert(events: DataFrame, state_base: str,
         .start()
     )
     query.awaitTermination()
+
+
+def _latest_cdc_state(state_base: str):
+    """(batch_id, path) of the highest-stamped complete state dir, or
+    None. Tolerates the transient two-dir window after a crash between
+    rename and predecessor cleanup."""
+    import re
+
+    best = None
+    if os.path.isdir(state_base):
+        for name in os.listdir(state_base):
+            m = re.fullmatch(r"current_b(\d+)", name)
+            if m and (best is None or int(m.group(1)) > best[0]):
+                best = (int(m.group(1)), os.path.join(state_base, name))
+    return best
 
 
 def q_ext_stream_cdc_upsert(spark, sf_dir):
@@ -520,8 +544,9 @@ def q_ext_stream_cdc_upsert(spark, sf_dir):
         path=os.path.join(src, "*.parquet"),
     )
     state = os.path.join(base, "state")
+    os.makedirs(state, exist_ok=True)
     stream_cdc_upsert(events, state, os.path.join(base, "ckpt"))
-    final = spark.read.parquet(os.path.join(state, "current"))
+    final = spark.read.parquet(_latest_cdc_state(state)[1])
     return final.select(
         "user_id",
         "event_type",

@@ -81,8 +81,10 @@ def test_pagerank_matches_exact_sequential_replica(spark, tmp_path):
 
 
 def test_chunk_edge_widths(spark, tmp_path):
-    """Docs at exactly W, W+1, and < S tokens: one full chunk, a full
-    chunk plus a short trailing chunk, and a single short chunk."""
+    """Docs at exactly W, W+1, and < S tokens: one full chunk (the
+    would-be trailing window at start S+1 adds no new tokens and is
+    suppressed), a full chunk plus a short trailing chunk that adds
+    exactly the extra token, and a single short chunk."""
     w, s = X.CHUNK_W, X.CHUNK_S
     docs = pd.DataFrame({
         "doc_id": [1, 2, 3],
@@ -103,10 +105,11 @@ def test_chunk_edge_widths(spark, tmp_path):
     by_doc = {}
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
-    # W tokens -> ceil(W / S) stride starts cover it; first chunk full.
+    # Exactly W tokens -> ONE chunk; the redundant trailing window
+    # (a strict subset of chunk 0) must be suppressed.
     d1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert len(d1) == 1
     assert d1[0].n_chunk_tokens == w
-    assert [r.chunk_idx for r in d1] == list(range(len(d1)))
     # W+1 tokens -> the second chunk holds the overlap + the extra token.
     d2 = sorted(by_doc[2], key=lambda r: r.chunk_idx)
     assert d2[0].n_chunk_tokens == w
@@ -115,6 +118,57 @@ def test_chunk_edge_widths(spark, tmp_path):
     assert d2[0].chunk_text.split()[s:] == d2[1].chunk_text.split()[: w - s]
     # Tiny doc -> exactly one chunk with all tokens.
     assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 2
+
+
+def test_stream_cdc_upsert_replay_is_idempotent(spark, tmp_path):
+    """Re-running the whole stream with a FRESH checkpoint (the
+    worst-case at-least-once replay: every batch re-delivered) against
+    the existing state must change nothing — the batch-id stamp guard,
+    not the checkpoint, is what makes the sink idempotent."""
+    from relational_to_doc_oriented_nosql_migrator_spark.streaming import ops as S
+
+    src = os.path.join(str(tmp_path), "events.parquet")
+    rows = [
+        (1, "2024-08-07 10:00:00", 7, "click", 1.0, "{}"),
+        (2, "2024-08-07 11:00:00", 7, "click", 2.0, "{}"),
+        (3, "2024-08-07 12:00:00", 8, "view", 3.0, "{}"),
+    ]
+    df = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type",
+                       "value", "props"]
+    )
+    df["ts"] = pd.to_datetime(df["ts"])
+    schema = pa.schema([
+        ("event_id", pa.int64()), ("ts", pa.timestamp("us")),
+        ("user_id", pa.int64()), ("event_type", pa.string()),
+        ("value", pa.float64()), ("props", pa.string()),
+    ])
+    pq.write_table(pa.Table.from_pandas(df, schema=schema), src)
+
+    state = os.path.join(str(tmp_path), "state")
+    os.makedirs(state)
+
+    def run(ckpt):
+        # Glob form: the file-stream source requires a directory basePath.
+        events = S.read_events_stream(
+            spark, str(tmp_path),
+            path=os.path.join(str(tmp_path), "events.*"),
+        )
+        S.stream_cdc_upsert(events, state,
+                            os.path.join(str(tmp_path), ckpt))
+
+    run("ckpt1")
+    first = sorted(
+        (r.user_id, r.event_type, r.n_versions, r["m"]["event_id"])
+        for r in spark.read.parquet(S._latest_cdc_state(state)[1]).collect()
+    )
+    assert first == [(7, "click", 2, 2), (8, "view", 1, 3)]
+    run("ckpt2")  # full replay
+    second = sorted(
+        (r.user_id, r.event_type, r.n_versions, r["m"]["event_id"])
+        for r in spark.read.parquet(S._latest_cdc_state(state)[1]).collect()
+    )
+    assert second == first
 
 
 def test_incremental_agg_empty_delta(spark, tmp_path):
