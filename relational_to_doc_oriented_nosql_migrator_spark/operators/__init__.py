@@ -34,7 +34,7 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_embed_centroids). Round 4 leads with those 5 (first hard-signal row
 # each), then the ids whose code changed this round (similarity broadcast
 # fix + recall tuning; dedup stats refactor; ext_embed_pq's internals
-# refactored for IVF-PQ reuse), then the FORTY round-4-new
+# refactored for IVF-PQ reuse), then the FORTY-TWO round-4-new
 # operators,
 # then backfills with r02-era ids oldest-row-first. Deferred to round 5
 # (still green under the local all-ids suite every run), with their
@@ -84,14 +84,15 @@ DRIVER_WINDOW_FIRST = (
     "ext_text_chunk", "ext_text_pmi", "ext_dedup_dup_rate",
     "ext_window_ntile", "ext_corr_stats",
     "ext_graph_pagerank", "ext_incremental_agg", "ext_stream_cdc_upsert",
-    "ext_text_quality_score",
-    # r02-era backfill (latest green row is round 2; agg_collect_children,
-    # fn_split_trim, ext_approx_distinct, ext_text_quality,
-    # ext_dedup_exact, sink_json_collections, join_nest_one_to_many,
-    # join_nest_salted and src_indexed_lookup were displaced by the nine
-    # newest first-proofs — all stay green under the local all-ids suite
-    # every run)
-    "src_full_scan", "src_sql_dump_import",
+    "ext_text_quality_score", "sink_parquet_sorted",
+    "src_parquet_mergeschema",
+    # No r02-era backfill slots remain: the round-4 window is exactly the
+    # 50 ids that are new, materially changed, or never driver-proven.
+    # Displaced (all r02-green and re-proven by the local all-ids suite
+    # every run): agg_collect_children, fn_split_trim,
+    # ext_approx_distinct, ext_text_quality, ext_dedup_exact,
+    # sink_json_collections, join_nest_one_to_many, join_nest_salted,
+    # src_indexed_lookup, src_full_scan, src_sql_dump_import.
 )
 
 

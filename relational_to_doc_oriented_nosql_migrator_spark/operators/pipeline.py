@@ -420,6 +420,39 @@ def q_sink_parquet_compacted(spark, sf_dir):
     return spark.read.schema(docs.schema).parquet(compacted)
 
 
+SORT_TARGET_FILES = 8
+
+
+def q_sink_parquet_sorted(spark, sf_dir):
+    """Range-sorted parquet layout for data skipping, verified round
+    trip: repartitionByRange + sortWithinPartitions on l_shipdate, so
+    every output file carries a DISJOINT shipdate min/max range and a
+    date-predicate scan prunes all but the matching files from their
+    footer stats alone — the layout-maintenance job that turns a
+    time-filtered 100 TB scan into a few-file read.
+
+    Scale shape: one range-sampling pass (repartitionByRange samples
+    partition bounds) + one shuffle into the target layout + a local
+    per-partition sort that also tightens parquet page/row-group stats.
+    tests/test_sink_sorted.py asserts the disjoint-ranges contract from
+    the parquet footers.
+    """
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sg_sorted_")
+    out = os.path.join(base, "sorted")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"
+    )
+    (
+        li.repartitionByRange(SORT_TARGET_FILES, "l_shipdate")
+        .sortWithinPartitions("l_shipdate")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.schema(li.schema).parquet(out)
+
+
 def q_ext_curation_pipeline(spark, sf_dir):
     """The end-to-end curation pipeline as ONE composed plan: a doc
     survives iff it passes the quality filter, the repetition filter,
@@ -553,6 +586,7 @@ def q_ext_curation_pipeline(spark, sf_dir):
 QUERIES = {
     "sink_parquet_partitioned": q_sink_parquet_partitioned,
     "sink_parquet_compacted": q_sink_parquet_compacted,
+    "sink_parquet_sorted": q_sink_parquet_sorted,
     "ext_curation_pipeline": q_ext_curation_pipeline,
     "ext_text_pii_scrub": q_ext_text_pii_scrub,
     "ext_decontaminate": q_ext_decontaminate,
@@ -576,6 +610,9 @@ _SQL_BUCKET = (
 ORACLES = {
     # Lossless fragment->compact->read round trip returns the base table.
     "sink_parquet_compacted": "SELECT * FROM documents",
+    "sink_parquet_sorted":
+        "SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity"
+        " FROM lineitem",
     "sink_parquet_partitioned": """
 SELECT doc_id,
        CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT

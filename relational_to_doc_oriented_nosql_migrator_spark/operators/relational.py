@@ -463,6 +463,36 @@ def q_src_csv_import(spark, sf_dir):
     return spark.read.schema(cust.schema).option("header", True).csv(out)
 
 
+def q_src_parquet_mergeschema(spark, sf_dir):
+    """Schema-evolution read, verified value-for-value: batch 1 is
+    written under the OLD schema (no n_regionkey), batch 2 under the
+    evolved schema; `mergeSchema` reads the mixed directory as the union
+    schema with NULLs for the missing column — the additive-column lake
+    pattern that avoids rewriting history when a field is introduced
+    mid-stream.
+
+    Scale shape: mergeSchema pays one footer read per file at planning
+    time (why it's off by default); data movement is unchanged. Rows
+    keep a `batch` marker so the oracle can pin exactly which rows got
+    NULL-filled.
+    """
+    import tempfile
+
+    out = os.path.join(tempfile.mkdtemp(prefix="sg_evolve_"), "nation")
+    nat = t(spark, sf_dir, "nation")
+    old = nat.select(
+        "n_nationkey", "n_name", F.lit(1).cast("int").alias("batch")
+    )
+    new = nat.select(
+        "n_nationkey", "n_name", "n_regionkey",
+        F.lit(2).cast("int").alias("batch"),
+    )
+    old.write.mode("overwrite").parquet(out)
+    new.write.mode("append").parquet(out)
+    merged = spark.read.option("mergeSchema", True).parquet(out)
+    return merged.select("n_nationkey", "n_name", "n_regionkey", "batch")
+
+
 def q_src_jsonl_import(spark, sf_dir):
     """JSON-Lines interchange source, verified round trip: export
     `documents` to JSONL and read it back with the explicit schema —
@@ -883,6 +913,7 @@ QUERIES = {
     "src_indexed_lookup": q_src_indexed_lookup,
     "src_csv_import": q_src_csv_import,
     "src_jsonl_import": q_src_jsonl_import,
+    "src_parquet_mergeschema": q_src_parquet_mergeschema,
     "ext_fk_orphan_audit": q_ext_fk_orphan_audit,
     "ext_migrate_reconcile": q_ext_migrate_reconcile,
     "ext_fuzzy_join_names": q_ext_fuzzy_join_names,
@@ -940,6 +971,12 @@ def _oracles() -> dict[str, str]:
         # back exactly the base relation.
         "src_csv_import": "SELECT * FROM customer",
         "src_jsonl_import": "SELECT * FROM documents",
+        # Old-schema rows surface with a NULL for the evolved column.
+        "src_parquet_mergeschema":
+            "SELECT n_nationkey, n_name, CAST(NULL AS INTEGER)"
+            " AS n_regionkey, 1 AS batch FROM nation"
+            " UNION ALL SELECT n_nationkey, n_name, n_regionkey, 2"
+            " FROM nation",
         "ext_skew_report": f"""
 WITH per_key AS (
   SELECT o_custkey, COUNT(*) AS n_rows FROM orders GROUP BY o_custkey

@@ -61,6 +61,7 @@ EAGER = {
     # materialized-state maintenance: base summary / merged state round-
     # trip through parquet; the returned plan is the read-back + merge
     "ext_incremental_agg", "ext_stream_cdc_upsert",
+    "sink_parquet_sorted", "src_parquet_mergeschema",
 }
 
 BAD = ("CartesianProduct", "BroadcastNestedLoopJoin")

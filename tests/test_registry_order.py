@@ -4,7 +4,7 @@ the 5 ids that have never had a driver row (ext_mm_decode_dims,
 ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
 ext_embed_centroids), the ids whose code materially changed in round 4
 (ext_similarity_lsh/_ivf broadcast+recall, ext_dedup_minhash stats
-refactor, ext_embed_pq internals shared with ivfpq), the FORTY
+refactor, ext_embed_pq internals shared with ivfpq), the FORTY-TWO
 round-4-new operators (events_attribution, dedup_canonical,
 embed_quantize, embed_pq, similarity_ivfpq, dedup_embedding_lsh,
 events_sessionize, events_anomaly, text_perplexity_bucket,
@@ -16,7 +16,8 @@ similarity_ivfpq_indexed, events_transitions, profile_table,
 dedup_minhash_incremental, sink_parquet_compacted, skew_report,
 text_chunk, text_pmi, dedup_dup_rate, window_ntile, corr_stats,
 graph_pagerank, incremental_agg, stream_cdc_upsert,
-text_quality_score), then r02-era backfill.
+text_quality_score, sink_parquet_sorted, src_parquet_mergeschema) —
+which fills the window exactly: no backfill slots remain.
 Deferred to round 5 with green r02 rows and full local coverage: the
 seven curation-pipeline ids (curation_pipeline, text_pii_scrub,
 decontaminate, repetition_filter, domain_mix, sample_stratified,
@@ -27,12 +28,13 @@ brute-force baselines (ngram_jaccard, embedding, simhash_pairs),
 ext_similarity_topk (recall suite re-pins it every run; restore first
 in round 5), ext_dedup_simhash (soundness suite value-pins its
 fingerprints), ext_mm_resize, ext_stream_sliding_agg, ext_text_langid,
-ext_text_stats, ext_text_fingerprint, and — displaced by the nine
+ext_text_stats, ext_text_fingerprint, and — displaced by the eleven
 newest first-proofs (chunk/pmi/dup_rate/ntile/corr/pagerank/
-incremental_agg/stream_cdc_upsert/quality_score) —
-agg_collect_children, fn_split_trim, ext_approx_distinct,
-ext_text_quality, ext_dedup_exact, sink_json_collections,
-join_nest_one_to_many, join_nest_salted, src_indexed_lookup."""
+incremental_agg/stream_cdc_upsert/quality_score/sorted-sink/
+mergeschema) — agg_collect_children, fn_split_trim,
+ext_approx_distinct, ext_text_quality, ext_dedup_exact,
+sink_json_collections, join_nest_one_to_many, join_nest_salted,
+src_indexed_lookup, src_full_scan, src_sql_dump_import."""
 
 import __spark_entry__ as entrymod
 
@@ -52,7 +54,7 @@ def test_priority_block_leads_registry():
 
 def test_registry_complete_and_oracle_backed():
     qs, ors = all_queries(), all_oracles()
-    # 91 as of round 2 + 12 round-3 adds + 40 round-4 adds:
+    # 91 as of round 2 + 12 round-3 adds + 42 round-4 adds:
     # events_attribution, dedup_canonical, embed_quantize, embed_pq,
     # similarity_ivfpq, dedup_embedding_lsh, events_sessionize,
     # events_anomaly, text_perplexity_bucket, src_csv_import,
@@ -64,8 +66,8 @@ def test_registry_complete_and_oracle_backed():
     # dedup_minhash_incremental, sink_parquet_compacted, skew_report,
     # text_chunk, text_pmi, dedup_dup_rate, window_ntile, corr_stats,
     # graph_pagerank, incremental_agg, stream_cdc_upsert,
-    # text_quality_score
-    assert len(qs) == 143
+    # text_quality_score, sink_parquet_sorted, src_parquet_mergeschema
+    assert len(qs) == 145
     assert set(ors) == set(qs)  # every query oracle-checked as of round 2
     # entry module passes through the same ordering
     assert list(entrymod.queries()) == list(qs)
