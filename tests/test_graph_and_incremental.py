@@ -120,6 +120,44 @@ def test_chunk_edge_widths(spark, tmp_path):
     assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 2
 
 
+def test_chunk_matches_replica_for_all_small_lengths(spark, tmp_path):
+    """Every token count 1..40 (covering all stride/remainder classes,
+    including each suppressed-trailing-window case) must produce exactly
+    the chunks of a sequential Python replica of the stride semantics."""
+    w, s = X.CHUNK_W, X.CHUNK_S
+
+    def replica(tokens):
+        out = []
+        n = len(tokens)
+        for start in range(1, n + 1, s):
+            if start != 1 and start + (w - s) > n:
+                continue  # window adds nothing beyond the previous one
+            piece = tokens[start - 1: start - 1 + w]
+            out.append(((start - 1) // s, len(piece), " ".join(piece)))
+        return out
+
+    docs = pd.DataFrame({
+        "doc_id": list(range(1, 41)),
+        "text": [" ".join(f"w{i}t{j}" for j in range(i))
+                 or "x" for i in range(1, 41)],
+        "lang": ["en"] * 40,
+        "source": ["src0"] * 40,
+        "n_chars": [0] * 40,
+    })
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        os.path.join(str(tmp_path), "documents.parquet"),
+    )
+    got = {}
+    for r in X.q_ext_text_chunk(spark, str(tmp_path)).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.n_chunk_tokens, r.chunk_text)
+        )
+    for _, row in docs.iterrows():
+        toks = row.text.split(" ")
+        assert sorted(got[row.doc_id]) == replica(toks), row.doc_id
+
+
 def test_stream_cdc_upsert_replay_is_idempotent(spark, tmp_path):
     """Re-running the whole stream with a FRESH checkpoint (the
     worst-case at-least-once replay: every batch re-delivered) against
