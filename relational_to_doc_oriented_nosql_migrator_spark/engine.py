@@ -162,10 +162,13 @@ def migrate_from_jdbc(
                     num_partitions=num_partitions,
                 )
         if df is None:
+            # Quoted like the bounds probe above: an unquoted reserved-
+            # word or mixed-case table name would introspect fine and
+            # then break (or case-fold to a different relation) here.
             df = (
                 spark.read.format("jdbc")
                 .option("url", url)
-                .option("dbtable", t.name)
+                .option("dbtable", quote_ident(t.name, url))
                 .load()
             )
         tables[t.name] = df

@@ -12,6 +12,22 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def scratch_dir(prefix: str) -> str:
+    """mkdtemp whose removal is registered at process exit: round-trip
+    sink/source operators materialize real files per invocation (that IS
+    the operator), and the returned frames read them lazily — so cleanup
+    can't happen in-operator, but an un-registered mkdtemp accumulates a
+    table copy per call across a driver run. atexit bounds the leak to
+    the process lifetime."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, True)
+    return d
+
+
 def dec_sum(col: str | Column, scale: int = 6) -> Column:
     """Deterministic double sum: route through exact decimal arithmetic so
     Spark's partial-aggregation order and the DuckDB oracle's sequential sum

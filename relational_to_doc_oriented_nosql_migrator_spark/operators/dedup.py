@@ -578,12 +578,19 @@ def q_ext_dedup_minhash_incremental(spark, sf_dir):
             ).alias("sh_b"),
         )
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = F.round(inter.cast("double") / union, 6)
-    out = (
-        per_pair.select("old_id", "new_id", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    # Same verify expression as the batch path — _pair_jaccard is the
+    # ONE definition of the threshold test, so batch and incremental
+    # cannot drift (the soundness test compares them).
+    out = _pair_jaccard(
+        per_pair.select(
+            F.col("old_id").alias("doc_a"),
+            F.col("new_id").alias("doc_b"),
+            "sh_a", "sh_b",
+        )
+    ).select(
+        F.col("doc_a").alias("old_id"),
+        F.col("doc_b").alias("new_id"),
+        "jaccard",
     )
     out.minhash_audit = stats
     return out

@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    scratch_dir,
     t,
 )
 from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
@@ -368,7 +369,6 @@ def q_sink_parquet_partitioned(spark, sf_dir):
     back, return (doc_id, split). Downstream readers filtering one split
     prune to that directory (partition pruning — the layout that makes a
     100 TB corpus scannable per-split; tests assert the pruning)."""
-    import tempfile
 
     docs = t(spark, sf_dir, "documents")
     bucket = F.expr(
@@ -380,7 +380,7 @@ def q_sink_parquet_partitioned(spark, sf_dir):
         .when(bucket < 95, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="sg_part_sink_"), "docs")
+    out = os.path.join(scratch_dir("sg_part_sink_"), "docs")
     docs.select("doc_id", split.alias("split")).write.partitionBy(
         "split"
     ).mode("overwrite").parquet(out)
@@ -404,9 +404,8 @@ def q_sink_parquet_compacted(spark, sf_dir):
     every byte exactly twice (in, out), nothing through the driver.
     tests/test_sink_compaction.py asserts the file-count contract.
     """
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="sg_compact_")
+    base = scratch_dir("sg_compact_")
     fragmented = os.path.join(base, "fragmented")
     compacted = os.path.join(base, "compacted")
     docs = t(spark, sf_dir, "documents")
@@ -437,9 +436,8 @@ def q_sink_parquet_sorted(spark, sf_dir):
     tests/test_sink_sorted.py asserts the disjoint-ranges contract from
     the parquet footers.
     """
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="sg_sorted_")
+    base = scratch_dir("sg_sorted_")
     out = os.path.join(base, "sorted")
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity"

@@ -23,6 +23,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.functions.scalar import (
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_avg,
     dec_sum,
+    scratch_dir,
     sql_dec_avg,
     sql_dec_sum,
     t,
@@ -231,11 +232,21 @@ def q_ext_profile_table(spark, sf_dir):
     cust = t(spark, sf_dir, "customer")
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in PROFILE_COLUMNS:
+        # DOUBLE min/max are stringified via a fixed-scale decimal:
+        # raw double->string formatting diverges between engines outside
+        # [1e-3, 1e7) (Java switches to scientific notation, DuckDB
+        # doesn't), while decimal rendering is plain fixed-point on both
+        # at any magnitude the data reaches.
+        def _s(agg_col, dtype=str(cust.schema[c].dataType)):
+            if dtype == "DoubleType()":
+                agg_col = agg_col.cast("decimal(28,6)")
+            return agg_col.cast("string")
+
         aggs += [
             F.sum(F.col(c).isNull().cast("long")).alias(f"{c}__nulls"),
             F.countDistinct(c).alias(f"{c}__distinct"),
-            F.min(F.col(c)).cast("string").alias(f"{c}__min"),
-            F.max(F.col(c)).cast("string").alias(f"{c}__max"),
+            _s(F.min(F.col(c))).alias(f"{c}__min"),
+            _s(F.max(F.col(c))).alias(f"{c}__max"),
         ]
     wide = cust.agg(*aggs)
     stack = ", ".join(
@@ -428,19 +439,26 @@ def q_ext_fk_orphan_audit(spark, sf_dir):
     return out
 
 
-_INTERCHANGE_DIR: list[str] = []
+_INTERCHANGE_DIRS: dict[str, str] = {}
 
 
-def _interchange_dir() -> str:
-    """One cached scratch dir per process for the round-trip interchange
-    sources — repeated builds (driver run, oracle audit, plan lint,
-    registry sweeps) overwrite in place instead of leaking a fresh
-    mkdtemp table copy per invocation."""
+def _interchange_dir(sf_dir: str) -> str:
+    """One cached scratch dir per (process, sf_dir) for the round-trip
+    interchange sources — repeated builds (driver run, oracle audit,
+    plan lint, registry sweeps) overwrite in place instead of leaking a
+    fresh mkdtemp table copy per invocation. Keyed by sf_dir: a shared
+    dir would let a build for one scale factor overwrite the files a
+    STILL-LAZY frame returned for another scale factor reads at action
+    time (silent wrong rows, same schema)."""
+    import hashlib
     import tempfile
 
-    if not _INTERCHANGE_DIR:
-        _INTERCHANGE_DIR.append(tempfile.mkdtemp(prefix="sg_interchange_"))
-    return _INTERCHANGE_DIR[0]
+    if sf_dir not in _INTERCHANGE_DIRS:
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        _INTERCHANGE_DIRS[sf_dir] = tempfile.mkdtemp(
+            prefix=f"sg_interchange_{tag}_"
+        )
+    return _INTERCHANGE_DIRS[sf_dir]
 
 
 def q_src_csv_import(spark, sf_dir):
@@ -458,7 +476,7 @@ def q_src_csv_import(spark, sf_dir):
     below.
     """
     cust = t(spark, sf_dir, "customer")
-    out = os.path.join(_interchange_dir(), "customer_csv")
+    out = os.path.join(_interchange_dir(sf_dir), "customer_csv")
     cust.write.option("header", True).mode("overwrite").csv(out)
     return spark.read.schema(cust.schema).option("header", True).csv(out)
 
@@ -476,9 +494,8 @@ def q_src_parquet_mergeschema(spark, sf_dir):
     keep a `batch` marker so the oracle can pin exactly which rows got
     NULL-filled.
     """
-    import tempfile
 
-    out = os.path.join(tempfile.mkdtemp(prefix="sg_evolve_"), "nation")
+    out = os.path.join(scratch_dir("sg_evolve_"), "nation")
     nat = t(spark, sf_dir, "nation")
     old = nat.select(
         "n_nationkey", "n_name", F.lit(1).cast("int").alias("batch")
@@ -506,7 +523,7 @@ def q_src_jsonl_import(spark, sf_dir):
     read schema is what keeps absent keys typed as nulls.
     """
     docs = t(spark, sf_dir, "documents")
-    out = os.path.join(_interchange_dir(), "documents_jsonl")
+    out = os.path.join(_interchange_dir(sf_dir), "documents_jsonl")
     docs.write.mode("overwrite").json(out)
     return spark.read.schema(docs.schema).json(out)
 
@@ -582,14 +599,13 @@ def q_sink_json_collections(spark, sf_dir):
     is COUNT(*) per root collection straight from the base tables (the
     root set is pinned by the plan golden, operators/plan_golden.json)."""
     import shutil
-    import tempfile
 
     from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate
     from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
         write_json_collections,
     )
 
-    out_dir = tempfile.mkdtemp(prefix="sink_json_")
+    out_dir = scratch_dir("sink_json_")
     try:
         collections = migrate(spark, sf_dir)
         written = write_json_collections(collections, out_dir)
@@ -993,14 +1009,24 @@ WHERE rank <= {SKEW_TOP_K}
 """,
         # TYPED min/max then stringify (a VARCHAR-typed MIN would be
         # lexicographic — numerically wrong for key/balance columns).
+        # Doubles route through DECIMAL(28,6) to pin a fixed-point
+        # rendering on both engines (raw double->string goes scientific
+        # at different magnitudes per engine).
         "ext_profile_table": " UNION ALL ".join(
             f"SELECT '{c}' AS column_name, COUNT(*) AS n_rows,"
             f" SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT"
             f" AS n_nulls,"
             f" COUNT(DISTINCT {c}) AS n_distinct,"
-            f" CAST(MIN({c}) AS VARCHAR) AS min_value,"
-            f" CAST(MAX({c}) AS VARCHAR) AS max_value"
-            f" FROM customer"
+            + (
+                f" CAST(CAST(MIN({c}) AS DECIMAL(28,6)) AS VARCHAR)"
+                f" AS min_value,"
+                f" CAST(CAST(MAX({c}) AS DECIMAL(28,6)) AS VARCHAR)"
+                f" AS max_value"
+                if c == "c_acctbal" else
+                f" CAST(MIN({c}) AS VARCHAR) AS min_value,"
+                f" CAST(MAX({c}) AS VARCHAR) AS max_value"
+            )
+            + f" FROM customer"
             for c in PROFILE_COLUMNS
         ),
         "ext_basket_pairs": f"""

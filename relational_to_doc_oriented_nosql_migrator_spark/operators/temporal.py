@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    scratch_dir,
     sql_dec_sum,
     t,
 )
@@ -169,7 +170,6 @@ def q_ext_incremental_agg(spark, sf_dir):
     delta) + a merge groupBy over two |summary|-sized frames.
     """
     import os
-    import tempfile
 
     ev = t(spark, sf_dir, "events")
     day = F.col("ts").cast("date").alias("day")
@@ -182,7 +182,7 @@ def q_ext_incremental_agg(spark, sf_dir):
         )
 
     base_dir = os.path.join(
-        tempfile.mkdtemp(prefix="sg_incr_agg_"), "base_summary"
+        scratch_dir("sg_incr_agg_"), "base_summary"
     )
     partial(ev.filter(~is_delta)).write.mode("overwrite").parquet(base_dir)
     base = spark.read.parquet(base_dir)

@@ -92,16 +92,25 @@ def read_partitioned(
     """Partitioned JDBC read: range split when bounds are given, hash
     predicates otherwise."""
     props = dict(properties or {})
+    # Identifiers are quoted on the way into SQL text: dbtable lands in
+    # `SELECT * FROM <dbtable>` and partitionColumn in generated WHERE
+    # clauses, so reserved words / mixed case break unquoted (the
+    # introspection probes already quote — reads must match).
+    qtable = quote_ident(table, url)
     if column is not None and lower is not None and upper is not None:
-        opts = range_options(column, lower, upper, num_partitions)
+        opts = range_options(
+            quote_ident(column, url), lower, upper, num_partitions
+        )
         reader = spark.read.format("jdbc").option("url", url).option(
-            "dbtable", table
+            "dbtable", qtable
         )
         for k, v in {**props, **opts}.items():
             reader = reader.option(k, v)
         return reader.load()
     if column is None:
         raise ValueError("a split column is required")
-    predicates = hash_predicates(column, num_partitions, dialect)
-    return spark.read.jdbc(url, table, predicates=predicates,
+    predicates = hash_predicates(
+        quote_ident(column, url), num_partitions, dialect
+    )
+    return spark.read.jdbc(url, qtable, predicates=predicates,
                            properties=props)

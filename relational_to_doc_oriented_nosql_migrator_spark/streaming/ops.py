@@ -34,6 +34,7 @@ from pyspark.sql import types as T
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_sum,
+    scratch_dir,
 )
 from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
     _nanos_timestamp_columns,
@@ -437,9 +438,8 @@ def q_stream_to_json_files(spark, sf_dir):
     events table through the file sink, read the files back, hash-compare
     against the source. Integer/string projection only — the JSON text
     round-trip is then exact by construction."""
-    import tempfile
 
-    base = tempfile.mkdtemp(prefix="sg_stream_sink_")
+    base = scratch_dir("sg_stream_sink_")
     out = os.path.join(base, "out")
     ckpt = os.path.join(base, "ckpt")
     events = read_events_stream(spark, sf_dir).select(
@@ -530,13 +530,12 @@ def q_ext_stream_cdc_upsert(spark, sf_dir):
     """Streaming upsert driven over a 3-file split of the events table
     (maxFilesPerTrigger=1 -> three real micro-batches), then the final
     state read back — value-identical to the batch CDC compaction."""
-    import tempfile
 
     from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
         load_table,
     )
 
-    base = tempfile.mkdtemp(prefix="sg_stream_cdc_")
+    base = scratch_dir("sg_stream_cdc_")
     src = os.path.join(base, "src")
     load_table(spark, sf_dir, "events").repartition(3).write.parquet(src)
     events = read_events_stream(

@@ -73,8 +73,12 @@ def test_metadata_catalog_from_live_db(spark, derby_url):
 
 
 def test_partitioned_read_moves_real_rows(spark, derby_url):
+    # Catalog-exact (stored-case) names, as introspection returns them:
+    # read_partitioned quotes identifiers, which makes them
+    # case-SENSITIVE — quoting "nation" would miss Derby's folded
+    # NATION, exactly as it would miss a mixed-case production table.
     df = read_partitioned(
-        spark, derby_url, "nation", column="n_id",
+        spark, derby_url, "NATION", column="N_ID",
         lower=0, upper=10, num_partitions=4,
     )
     assert df.rdd.getNumPartitions() == 4
