@@ -116,7 +116,7 @@ def q_ext_graph_pagerank(spark, sf_dir):
     )
     # Materialize the |nodes|-sized result, then RELEASE the edge cache —
     # the dedup label-propagation pattern (dedup.py) — so repeated
-    # invocations (oracle suites run all 143 ids in one session) don't
+    # invocations (oracle suites run the whole registry in one session) don't
     # accumulate ~|edges| cache entries until an external clearCache.
     out = out.localCheckpoint(eager=True)
     e.unpersist()

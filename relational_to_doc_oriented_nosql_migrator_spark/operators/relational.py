@@ -451,13 +451,10 @@ def _interchange_dir(sf_dir: str) -> str:
     STILL-LAZY frame returned for another scale factor reads at action
     time (silent wrong rows, same schema)."""
     import hashlib
-    import tempfile
 
     if sf_dir not in _INTERCHANGE_DIRS:
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        _INTERCHANGE_DIRS[sf_dir] = tempfile.mkdtemp(
-            prefix=f"sg_interchange_{tag}_"
-        )
+        _INTERCHANGE_DIRS[sf_dir] = scratch_dir(f"sg_interchange_{tag}_")
     return _INTERCHANGE_DIRS[sf_dir]
 
 
@@ -605,7 +602,7 @@ def q_sink_json_collections(spark, sf_dir):
         write_json_collections,
     )
 
-    out_dir = scratch_dir("sink_json_")
+    out_dir = __import__("tempfile").mkdtemp(prefix="sink_json_")
     try:
         collections = migrate(spark, sf_dir)
         written = write_json_collections(collections, out_dir)

@@ -769,6 +769,8 @@ JOIN c1 w2 ON string_split(c12.bigram, ' ')[2] = w2.tok
 CROSS JOIN t_uni CROSS JOIN t_bg
 WHERE c12 >= {PMI_MIN_COUNT}
 """,
+    # keep is derived FROM keep_prob (one sigmoid, computed once) so the
+    # two can never diverge at the 0.5 boundary.
     "ext_text_quality_score": f"""
 WITH feats AS (
   SELECT doc_id,
@@ -780,19 +782,21 @@ WITH feats AS (
            / length(text) AS pr,
          len({SQL_TOKENS}) AS nt
   FROM documents
+),
+scored AS (
+  SELECT doc_id, sr, pr, nt,
+         round(1.0 / (1.0 + exp(-({QSCORE_BIAS} + {QSCORE_W_STOP} * sr
+                                 + {QSCORE_W_PUNCT} * pr
+                                 + {QSCORE_W_LNTOK} * ln(nt::DOUBLE)))), 6)
+           AS keep_prob
+  FROM feats
 )
 SELECT doc_id,
        round(sr, 6) AS stop_ratio,
        round(pr, 6) AS punct_ratio,
        nt::BIGINT AS n_tokens,
-       round(1.0 / (1.0 + exp(-({QSCORE_BIAS} + {QSCORE_W_STOP} * sr
-                               + {QSCORE_W_PUNCT} * pr
-                               + {QSCORE_W_LNTOK} * ln(nt::DOUBLE)))), 6)
-         AS keep_prob,
-       round(1.0 / (1.0 + exp(-({QSCORE_BIAS} + {QSCORE_W_STOP} * sr
-                               + {QSCORE_W_PUNCT} * pr
-                               + {QSCORE_W_LNTOK} * ln(nt::DOUBLE)))), 6)
-         >= 0.5 AS keep
-FROM feats
+       keep_prob,
+       keep_prob >= 0.5 AS keep
+FROM scored
 """,
 }

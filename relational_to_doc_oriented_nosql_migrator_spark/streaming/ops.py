@@ -452,7 +452,8 @@ def q_stream_to_json_files(spark, sf_dir):
 
 
 def stream_cdc_upsert(events: DataFrame, state_base: str,
-                      checkpoint_dir: str) -> None:
+                      checkpoint_dir: str,
+                      app_id: str | None = None) -> None:
     """foreachBatch streaming SCD-1 upsert: every micro-batch MERGEs into
     a parquet current-state table (latest version per (user_id,
     event_type) + version count) — the streaming twin of
@@ -465,27 +466,47 @@ def stream_cdc_upsert(events: DataFrame, state_base: str,
     so ANY batch split of the input converges to the batch answer
     (proven by the oracle: a full recompute).
 
-    Crash safety + idempotence: state lives in batch-id-stamped dirs
-    (`current_b{id}`). A batch writes the merged state to a temp dir,
-    atomically renames it to `current_b{batch_id}`, and only THEN
-    removes the predecessor — at every instant a complete state dir
-    exists, and readers take the max id. foreachBatch is at-least-once,
-    so a replayed batch (its id <= the stamped id) is skipped instead of
-    double-merged — the n_versions counter can't inflate. Scale shape
-    per batch: one map-side-combined agg over the batch + one
-    |state|-sized merge — O(delta + |state|), never a rescan of history.
+    Crash safety + idempotence: state lives in (app, batch)-stamped dirs
+    (`current_{app_id}_b{id}`). A batch writes the merged state to a
+    temp dir, atomically renames it into place, and only THEN removes
+    older stamps — at every instant a complete state dir exists, and
+    readers take the max batch id. foreachBatch is at-least-once, so a
+    replayed batch (its id <= the stamp FOR THE SAME app_id) is skipped
+    instead of double-merged — the n_versions counter can't inflate.
+    The skip guard is scoped to app_id because Spark batch ids are only
+    comparable within one checkpoint lineage (Delta's txnAppId/
+    txnVersion contract): app_id defaults to a hash of checkpoint_dir,
+    so a FRESH checkpoint over kept state never skips genuinely-new
+    batches (it re-merges instead — pass the same app_id explicitly when
+    re-delivering identical input and exact skip semantics are wanted).
+    Stale stamps from a crash between rename and cleanup are swept on
+    the next batch (every stamp below the latest is removed, not just
+    the immediate predecessor). Scale shape per batch: one map-side-
+    combined agg over the batch + one |state|-sized merge — O(delta +
+    |state|), never a rescan of history.
     """
+    import hashlib
+    import shutil
+
+    if app_id is None:
+        app_id = hashlib.md5(checkpoint_dir.encode()).hexdigest()[:8]
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        latest = _latest_cdc_state(state_base)
-        if latest is not None and latest[0] >= batch_id:
-            return  # at-least-once replay of an applied batch
+        latest, stale = _latest_cdc_state(state_base, app_id)
+        for path in stale:  # crash leftovers below the latest stamp
+            shutil.rmtree(path, ignore_errors=True)
+        if (
+            latest is not None
+            and latest[0] == app_id
+            and latest[1] >= batch_id
+        ):
+            return  # at-least-once replay of an applied batch (same app)
         part = batch_df.groupBy("user_id", "event_type").agg(
             F.max(F.struct("ts", "event_id", "value")).alias("m"),
             F.count(F.lit(1)).alias("n_versions"),
         )
         if latest is not None:
-            prev = batch_df.sparkSession.read.parquet(latest[1])
+            prev = batch_df.sparkSession.read.parquet(latest[2])
             part = (
                 prev.unionByName(part)
                 .groupBy("user_id", "event_type")
@@ -494,13 +515,13 @@ def stream_cdc_upsert(events: DataFrame, state_base: str,
                     F.sum("n_versions").alias("n_versions"),
                 )
             )
-        tmp = os.path.join(state_base, f"tmp_b{batch_id}")
+        tmp = os.path.join(state_base, f"tmp_{app_id}_b{batch_id}")
         part.write.mode("overwrite").parquet(tmp)
-        os.rename(tmp, os.path.join(state_base, f"current_b{batch_id}"))
+        os.rename(
+            tmp, os.path.join(state_base, f"current_{app_id}_b{batch_id}")
+        )
         if latest is not None:
-            import shutil
-
-            shutil.rmtree(latest[1], ignore_errors=True)
+            shutil.rmtree(latest[2], ignore_errors=True)
 
     query = (
         events.writeStream.foreachBatch(apply_batch)
@@ -511,19 +532,31 @@ def stream_cdc_upsert(events: DataFrame, state_base: str,
     query.awaitTermination()
 
 
-def _latest_cdc_state(state_base: str):
-    """(batch_id, path) of the highest-stamped complete state dir, or
-    None. Tolerates the transient two-dir window after a crash between
-    rename and predecessor cleanup."""
+def _latest_cdc_state(state_base: str, app_id: str | None = None):
+    """((app, batch_id, path) of the newest complete state dir or None,
+    [stale dir paths below it]). "Newest" prefers the caller's app_id
+    stamps, then falls back to the highest batch id of any app (the
+    kept-state-new-checkpoint takeover case); every other stamp is
+    returned as stale so callers can sweep crash leftovers."""
     import re
 
-    best = None
+    stamps = []
     if os.path.isdir(state_base):
         for name in os.listdir(state_base):
-            m = re.fullmatch(r"current_b(\d+)", name)
-            if m and (best is None or int(m.group(1)) > best[0]):
-                best = (int(m.group(1)), os.path.join(state_base, name))
-    return best
+            # Greedy group: app ids may contain '_' — the final '_b<N>'
+            # is the stamp delimiter.
+            m = re.fullmatch(r"current_(.+)_b(\d+)", name)
+            if m:
+                stamps.append(
+                    (m.group(1), int(m.group(2)),
+                     os.path.join(state_base, name))
+                )
+    if not stamps:
+        return None, []
+    mine = [st for st in stamps if st[0] == app_id]
+    pool = mine if mine else stamps
+    best = max(pool, key=lambda st: st[1])
+    return best, [st[2] for st in stamps if st[2] != best[2]]
 
 
 def q_ext_stream_cdc_upsert(spark, sf_dir):
@@ -545,7 +578,7 @@ def q_ext_stream_cdc_upsert(spark, sf_dir):
     state = os.path.join(base, "state")
     os.makedirs(state, exist_ok=True)
     stream_cdc_upsert(events, state, os.path.join(base, "ckpt"))
-    final = spark.read.parquet(_latest_cdc_state(state)[1])
+    final = spark.read.parquet(_latest_cdc_state(state)[0][2])
     return final.select(
         "user_id",
         "event_type",

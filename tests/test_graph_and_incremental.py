@@ -159,10 +159,12 @@ def test_chunk_matches_replica_for_all_small_lengths(spark, tmp_path):
 
 
 def test_stream_cdc_upsert_replay_is_idempotent(spark, tmp_path):
-    """Re-running the whole stream with a FRESH checkpoint (the
-    worst-case at-least-once replay: every batch re-delivered) against
-    the existing state must change nothing — the batch-id stamp guard,
-    not the checkpoint, is what makes the sink idempotent."""
+    """Re-running the whole stream with a FRESH checkpoint but the SAME
+    app identity (the worst-case at-least-once replay: every batch
+    re-delivered under one txnAppId, Delta's idempotent-sink contract)
+    against the existing state must change nothing — the (app, batch)
+    stamp guard, not the checkpoint, is what makes the sink
+    idempotent."""
     from relational_to_doc_oriented_nosql_migrator_spark.streaming import ops as S
 
     src = os.path.join(str(tmp_path), "events.parquet")
@@ -193,20 +195,27 @@ def test_stream_cdc_upsert_replay_is_idempotent(spark, tmp_path):
             path=os.path.join(str(tmp_path), "events.*"),
         )
         S.stream_cdc_upsert(events, state,
-                            os.path.join(str(tmp_path), ckpt))
+                            os.path.join(str(tmp_path), ckpt),
+                            app_id="replaytest")
 
     run("ckpt1")
     first = sorted(
         (r.user_id, r.event_type, r.n_versions, r["m"]["event_id"])
-        for r in spark.read.parquet(S._latest_cdc_state(state)[1]).collect()
+        for r in spark.read.parquet(
+            S._latest_cdc_state(state, "replaytest")[0][2]
+        ).collect()
     )
     assert first == [(7, "click", 2, 2), (8, "view", 1, 3)]
     run("ckpt2")  # full replay
     second = sorted(
         (r.user_id, r.event_type, r.n_versions, r["m"]["event_id"])
-        for r in spark.read.parquet(S._latest_cdc_state(state)[1]).collect()
+        for r in spark.read.parquet(
+            S._latest_cdc_state(state, "replaytest")[0][2]
+        ).collect()
     )
     assert second == first
+    # Exactly one stamp survives: the stale-sweep removed crash leftovers.
+    assert len(os.listdir(state)) == 1
 
 
 def test_incremental_agg_empty_delta(spark, tmp_path):
