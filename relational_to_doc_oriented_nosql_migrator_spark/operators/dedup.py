@@ -878,15 +878,21 @@ def q_ext_dedup_dup_rate(spark, sf_dir):
     Scale shape: per-doc shingle sets are distinct, so document frequency
     is one explode + one map-side-combined groupBy; the freq frame joins
     back shingle-keyed (both sides already hashed on shingle from the agg,
-    so the join reuses that partitioning). The per-doc ratio is one double
-    division of exact integers — engine-identical.
+    so the join reuses that partitioning). The join carries an explicit
+    MERGE hint: the frequency relation is SHINGLE-keyed — it grows with
+    the corpus, not a vocabulary — so letting the optimizer broadcast it
+    (post-aggregation size estimates run low) OOMs exactly like the
+    banned raw-corpus broadcasts (reproduced at the 10x dataset on a
+    vanilla 1g-driver session; the sort-merge join is the plan that
+    survives 100 TB). The per-doc ratio is one double division of exact
+    integers — engine-identical.
     """
     sh = _shingle_df(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
     counts = (
-        sh.join(dfreq, "shingle")
+        sh.join(dfreq.hint("merge"), "shingle")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

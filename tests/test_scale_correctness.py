@@ -55,6 +55,11 @@ def _cell(v):
     # 480k-edge fixed-point PageRank: the integer formulation is exact at
     # ANY volume, so the 10x run uses the same string-exact gate
     "ext_graph_pagerank",
+    # newest text/dedup/window ops: chunking a 50k-doc corpus, the
+    # 7.5M-shingle dup-rate merge join (this is the volume where its
+    # would-be broadcast plan OOMed — the merge hint is what this gate
+    # proves), and 15k-customer deciles
+    "ext_text_chunk", "ext_dedup_dup_rate", "ext_window_ntile",
 ])
 def test_oracle_parity_at_sf1(spark, qid):
     sdf = entrymod.queries()[qid](spark, SCALE_DIR)
