@@ -622,15 +622,22 @@ def q_ext_dedup_containment(spark, sf_dir):
         .select("doc_id", F.explode("sh").alias("s"))
         .distinct()
     )
+    # Every join below pairs two SHINGLE- or DOC-keyed relations — both
+    # grow linearly with the corpus, but Spark's post-Generate size
+    # estimates never do (explode output is costed at pre-explode size),
+    # so the optimizer keeps electing broadcast at ANY data volume — the
+    # exact OOM class reproduced for ext_dedup_dup_rate at the 10x
+    # dataset on a vanilla 1g driver. MERGE hints pin the only plan that
+    # survives 100 TB.
     df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
     rare = sh.join(
-        df_counts.filter(F.col("df") <= CONTAIN_DF_CAP), "s"
+        df_counts.filter(F.col("df") <= CONTAIN_DF_CAP).hint("merge"), "s"
     ).select("doc_id", "s")
     sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     pa = rare.select(F.col("doc_id").alias("doc_a"), "s")
     pb = rare.select(F.col("doc_id").alias("doc_b"), "s")
     overlap = (
-        pa.join(pb, "s")
+        pa.join(pb.hint("merge"), "s")
         .filter(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("shared"))
@@ -640,8 +647,8 @@ def q_ext_dedup_containment(spark, sf_dir):
     sb = sizes.select(F.col("doc_id").alias("doc_b"),
                       F.col("n_sh").alias("n_b"))
     return (
-        overlap.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        overlap.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
         .select(
             "doc_a", "doc_b", "shared",
             F.round(
@@ -685,8 +692,13 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
     )
     ka = keys.select(F.col("vec_id").alias("vec_a"), "bkey")
     kb = keys.select(F.col("vec_id").alias("vec_b"), "bkey")
+    # MERGE hint: both collision sides are the corpus's exploded bucket
+    # keys; post-Generate size estimates stay at pre-explode size, so the
+    # optimizer would broadcast a corpus-scale relation at any volume
+    # (the dup_rate OOM class). The bucket-keyed shuffle join IS the LSH
+    # scale plan.
     cand = (
-        ka.join(kb, "bkey")
+        ka.join(kb.hint("merge"), "bkey")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select("vec_a", "vec_b")
         .distinct()

@@ -110,8 +110,13 @@ def decontaminate_from(docs_tk):
     # One left join + one groupBy: count(in_train) counts only matched
     # shingles, so the contaminated flag falls out of the same aggregation
     # — no second scan of the held-out branch, no semi-join + re-join.
+    # MERGE hint: the train-shingle index is 90% of the corpus's distinct
+    # shingles — corpus-scale, not a vocabulary — but its plan cost stays
+    # at pre-explode size (Generate stats don't multiply), so without the
+    # hint Spark broadcasts it at any data volume (the dup_rate OOM
+    # class). Shuffle-on-shingle is the plan that survives 100 TB.
     return (
-        heldout.join(train, "shingle", "left")
+        heldout.join(train.hint("merge"), "shingle", "left")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),

@@ -60,6 +60,11 @@ def _cell(v):
     # would-be broadcast plan OOMed — the merge hint is what this gate
     # proves), and 15k-customer deciles
     "ext_text_chunk", "ext_dedup_dup_rate", "ext_window_ntile",
+    # merge-hinted train-shingle join (same OOM class as dup_rate; its
+    # hint-fixed siblings ext_dedup_containment / ext_dedup_embedding_lsh
+    # are proven at sf1.0 too — 39 s / 170 s on a 1g vanilla driver — but
+    # are too slow for the per-run gate)
+    "ext_decontaminate",
 ])
 def test_oracle_parity_at_sf1(spark, qid):
     sdf = entrymod.queries()[qid](spark, SCALE_DIR)
