@@ -114,7 +114,14 @@ def q_ext_dedup_exact(spark, sf_dir):
 # Input-size ceiling for the brute-force all-pairs baselines: above this
 # the O(n^2) self-join is a scale-killer by construction — refuse loudly
 # instead of silently running as the scale path.
-ALL_PAIRS_CEILING = 100_000
+# Refusal threshold for the O(n^2) oracle baselines. 10k rows ~ 5e7
+# candidate pairs — the top of what the interpreted zip_with/aggregate
+# cosine grinds through in tens of seconds locally. The previous 100k
+# ceiling let the 10x scale dataset (20k vectors = 2e8 pairs on a 2-task
+# nested-loop join) run for tens of minutes while looking "guarded";
+# refusing it with a pointer at the LSH/MinHash scale path is the
+# behavior the guard exists for. sf0.1 (2k vectors / 5k docs) passes.
+ALL_PAIRS_CEILING = 10_000
 
 
 def _guard_all_pairs(df, op: str, alternative: str):
