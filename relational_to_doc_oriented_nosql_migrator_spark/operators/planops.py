@@ -60,9 +60,13 @@ def _testdata_catalog(sf_dir: str) -> Catalog:
     counts: dict[str, int] = {}
     for name in TPCH_FOREIGN_KEYS:
         pattern = os.path.join(sf_dir, f"{name}.parquet")
-        paths = glob.glob(pattern) or glob.glob(
-            os.path.join(pattern, "*.parquet")
-        )
+        # Single-file layout (driver testdata) or a part-file directory
+        # (the production layout the scale generator writes): a bare
+        # glob matches the DIRECTORY itself, so branch on isdir first.
+        if os.path.isdir(pattern):
+            paths = sorted(glob.glob(os.path.join(pattern, "*.parquet")))
+        else:
+            paths = glob.glob(pattern)
         columns[name] = pq.read_schema(paths[0]).names
         counts[name] = sum(pq.read_metadata(p).num_rows for p in paths)
     tables = [
