@@ -1,0 +1,86 @@
+#!/usr/bin/env python
+"""Execute EVERY registered query at the 10x scale dataset on a
+deliberately tiny vanilla session (local[8], 1 GB driver) — the
+environment that exposes plan defects correctness suites can't see:
+
+  - the explode-class broadcast OOM (Spark costs a Generate's output at
+    its PRE-explode size, so corpus-keyed aggregates read as
+    broadcastable at any volume — caught ext_dedup_dup_rate, then
+    containment / decontaminate / embedding_lsh, round 4);
+  - the planner's footer reader failing on part-file parquet
+    directories (single-file driver testdata never trips it);
+  - runaway guards (the O(n^2) baselines must REFUSE, not grind).
+
+Usage:
+  python tools/scale_sweep.py [sf_dir]        # default the bench scale dir
+
+Checkpointing: completed ids append to <sf_dir>/.sweep_done (delete the
+file for a fresh sweep). One query OOMing the JVM kills the process —
+rerun; finished ids are skipped, so the sweep resumes after the victim.
+A handful of ids need special handling, annotated in SKIP/NOTES below.
+
+Round-4 result: 142/145 complete on the 1 GB driver (fuzzy_join_names
+verifies 26.9M true edit-distance pairs in ~530 s; embedding_lsh 88k
+planted dup pairs in ~170 s), 2 GUARDED refusals by design, and
+sink_json_collections needs a 2 GB heap for 8 concurrent nested-JSON
+write tasks (GC-thrash at 1 GB; sizing, not a leak).
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SKIP = {
+    # needs ~2 GB heap: 8 concurrent nested-document JSON write tasks
+    # GC-thrash a 1 GB combined heap; passes at 2 GB in ~30 s.
+    "sink_json_collections",
+}
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale/sf1.0"
+    done_path = os.path.join(sf, ".sweep_done")
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "1g")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    done = set()
+    if os.path.exists(done_path):
+        done = set(open(done_path).read().split())
+    qs = e.queries()
+    n_fail = 0
+    for qid in sorted(qs):
+        if qid in SKIP or qid in done:
+            continue
+        t0 = time.time()
+        try:
+            n = qs[qid](spark, sf).count()
+            print(f"OK {qid} rows={n} t={round(time.time() - t0, 1)}",
+                  flush=True)
+        except ValueError as ex:
+            if "refuses" in str(ex):
+                print(f"GUARDED {qid} (expected at 10x)", flush=True)
+            else:
+                n_fail += 1
+                print(f"FAIL {qid} ValueError {str(ex)[:150]}", flush=True)
+        except Exception as ex:  # noqa: BLE001 — sweep must keep going
+            n_fail += 1
+            print(f"FAIL {qid} {type(ex).__name__} {str(ex)[:150]}",
+                  flush=True)
+        with open(done_path, "a") as f:
+            f.write(qid + "\n")
+    print(f"SWEEP COMPLETE failures={n_fail}", flush=True)
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
