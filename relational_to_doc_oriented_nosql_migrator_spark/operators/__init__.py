@@ -26,73 +26,53 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 
 # The external correctness driver records rows for only the FIRST 50
 # registry entries (dict insertion order). Round 1 proved the relational/
-# workload/window block (CORRECTNESS_r01); round 2 led with the 47 then-
-# unproven ids (CORRECTNESS_r02); round 3 re-proved the 41 r01-era ids,
-# the 2 materially-changed dedup ids, and 7 round-3-new operators — which
-# left exactly 5 ids with no driver row ever (ext_mm_decode_dims,
-# ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
-# ext_embed_centroids). Round 4 leads with those 5 (first hard-signal row
-# each), then the ids whose code changed this round (similarity broadcast
-# fix + recall tuning; dedup stats refactor; ext_embed_pq's internals
-# refactored for IVF-PQ reuse), then the FORTY-TWO round-4-new
-# operators,
-# then backfills with r02-era ids oldest-row-first. Deferred to round 5
-# (still green under the local all-ids suite every run), with their
-# siblings staying in-window: the seven r02-proven curation-pipeline ids
-# (ext_curation_pipeline, ext_text_pii_scrub, ext_decontaminate,
-# ext_repetition_filter, ext_domain_mix, ext_sample_stratified,
-# ext_pack_sequences), all six plan ids + sink_http_response +
-# sink_parquet_partitioned + ext_asof_join + ext_range_join (displaced
-# by the round-4-new first-proofs; the plan ids are golden-value-checked
-# locally every run), the three guarded-small brute-force baselines
-# ext_dedup_ngram_jaccard / ext_dedup_embedding / ext_dedup_simhash_pairs,
-# ext_mm_resize + ext_mm_decode_features + ext_mm_frame_sample +
-# ext_mm_attach_meta (mm_dedup_exact and mm_decode_dims stay in-window),
-# ext_stream_sliding_agg + ext_stream_dedup + ext_stream_stateful +
-# ext_stream_session_agg + ext_stream_tumbling_agg + stream_to_json_files
-# (the new ext_stream_sessionize carries the streaming family's
-# in-window slot), ext_dedup_simhash (simhash_pairs' sibling; its
-# fingerprints are value-pinned by tests/test_dedup_soundness.py every
-# run), ext_similarity_topk (displaced late; its semantics
-# are pinned every run by the ANN recall suite, which measures every
-# approximate path against it — round 5 should restore it first among
-# backfills), and ext_text_langid + ext_text_stats +
-# ext_text_fingerprint (four text-analysis siblings stay in-window:
-# quality, bigram_logprob, perplexity_bucket, entropy).
+# workload/window block; round 2 led with the 47 then-unproven ids;
+# round 3 re-proved the 41 r01-era ids + 2 changed dedup ids + 7 new
+# operators; round 4's window was exactly the 50 new/changed/never-
+# proven ids — after r04, EVERY one of the 145 ids has a green driver
+# row, and every id's LATEST row is green (r04: 50, r03: 49, r02: 46).
+#
+# Round 5 is the freshness rotation the r04 verdict ordered: the window
+# is exactly the 46 ids whose latest hard-signal row is r02 (two rounds
+# of registry churn old, though all re-proven by the local all-ids
+# suite and tools/driver_audit.py every run), led by ext_similarity_topk
+# (every ANN recall floor is measured against it), then the curation-
+# pipeline family, the six plan ids, the multimodal kernels, the six
+# stream ops, the guarded brute-force baselines, and the remaining
+# r02-era relational/source/sink/text ids. The 4 remaining slots carry
+# the ids whose code materially changed in round 5: the two global-
+# ntile scale fixes (ext_text_perplexity_bucket, ext_window_ntile —
+# approx-quantile cut points replace the single-partition window), the
+# PageRank broadcast gate (ext_graph_pagerank), and the type-driven
+# profile refactor (ext_profile_table, r04 ADVICE). Displaced to the
+# tail (all r03/r04-green, latest row green, unchanged this round):
+# the entire r03 and r04 window contents.
 DRIVER_WINDOW_FIRST = (
-    # never driver-proven before round 4 — first hard-signal rows
-    "ext_mm_decode_dims", "ext_events_funnel", "ext_events_retention",
-    "ext_text_bigram_logprob", "ext_embed_centroids",
-    # code materially changed in round 4 (similarity: stride filter
-    # before the re-rank broadcast + recall tuning; dedup: bucket-stats
-    # refactor; embed_pq: internals shared with ivfpq) -> re-prove
-    "ext_similarity_lsh", "ext_similarity_ivf", "ext_dedup_minhash",
-    # new in round 4 — first driver row each
-    "ext_events_attribution", "ext_dedup_canonical", "ext_embed_quantize",
-    "ext_embed_pq",
-    "ext_similarity_ivfpq", "ext_dedup_embedding_lsh",
-    "ext_events_sessionize", "ext_events_anomaly",
-    "ext_text_perplexity_bucket", "src_csv_import", "src_jsonl_import",
-    "ext_cdc_merge_latest", "ext_mm_dedup_exact", "ext_fk_orphan_audit",
-    "ext_stream_sessionize",
-    "ext_pivot", "ext_unpivot", "ext_histogram", "ext_migrate_reconcile",
-    "ext_fuzzy_join_names", "ext_moving_avg", "ext_text_entropy",
-    "ext_session_paths", "ext_basket_pairs", "ext_dedup_containment",
-    "ext_similarity_ivfpq_indexed", "ext_events_transitions",
-    "ext_profile_table", "ext_dedup_minhash_incremental",
-    "sink_parquet_compacted", "ext_skew_report",
-    "ext_text_chunk", "ext_text_pmi", "ext_dedup_dup_rate",
-    "ext_window_ntile", "ext_corr_stats",
-    "ext_graph_pagerank", "ext_incremental_agg", "ext_stream_cdc_upsert",
-    "ext_text_quality_score", "sink_parquet_sorted",
-    "src_parquet_mergeschema",
-    # No r02-era backfill slots remain: the round-4 window is exactly the
-    # 50 ids that are new, materially changed, or never driver-proven.
-    # Displaced (all r02-green and re-proven by the local all-ids suite
-    # every run): agg_collect_children, fn_split_trim,
-    # ext_approx_distinct, ext_text_quality, ext_dedup_exact,
-    # sink_json_collections, join_nest_one_to_many, join_nest_salted,
-    # src_indexed_lookup, src_full_scan, src_sql_dump_import.
+    # latest driver row is r02 — freshness rotation (46 ids)
+    "ext_similarity_topk",
+    "ext_curation_pipeline", "ext_text_pii_scrub", "ext_decontaminate",
+    "ext_repetition_filter", "ext_domain_mix", "ext_sample_stratified",
+    "ext_pack_sequences",
+    "plan_topo_order", "plan_self_ref_detect", "plan_embed_or_reference",
+    "plan_one_way_embed", "plan_two_way_embed", "plan_referencing",
+    "ext_mm_attach_meta", "ext_mm_decode_features", "ext_mm_resize",
+    "ext_mm_frame_sample",
+    "stream_to_json_files", "ext_stream_tumbling_agg",
+    "ext_stream_sliding_agg", "ext_stream_session_agg",
+    "ext_stream_dedup", "ext_stream_stateful",
+    "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
+    "ext_dedup_simhash", "ext_dedup_simhash_pairs",
+    "ext_asof_join", "ext_range_join",
+    "sink_http_response", "sink_parquet_partitioned",
+    "sink_json_collections",
+    "src_full_scan", "src_sql_dump_import", "src_indexed_lookup",
+    "join_nest_one_to_many", "join_nest_salted", "agg_collect_children",
+    "fn_split_trim", "ext_approx_distinct", "ext_dedup_exact",
+    "ext_text_stats", "ext_text_quality", "ext_text_langid",
+    "ext_text_fingerprint",
+    # code materially changed in round 5 -> re-prove
+    "ext_text_perplexity_bucket", "ext_window_ntile",
+    "ext_graph_pagerank", "ext_profile_table",
 )
 
 

@@ -1,40 +1,23 @@
 """The external driver records correctness rows for only the first 50
-registry entries (insertion order) — pin the round-4 ordering contract:
-the 5 ids that have never had a driver row (ext_mm_decode_dims,
-ext_events_funnel, ext_events_retention, ext_text_bigram_logprob,
-ext_embed_centroids), the ids whose code materially changed in round 4
-(ext_similarity_lsh/_ivf broadcast+recall, ext_dedup_minhash stats
-refactor, ext_embed_pq internals shared with ivfpq), the FORTY-TWO
-round-4-new operators (events_attribution, dedup_canonical,
-embed_quantize, embed_pq, similarity_ivfpq, dedup_embedding_lsh,
-events_sessionize, events_anomaly, text_perplexity_bucket,
-src_csv_import, src_jsonl_import, cdc_merge_latest, mm_dedup_exact,
-fk_orphan_audit, stream_sessionize, pivot, unpivot, histogram,
-migrate_reconcile, fuzzy_join_names, moving_avg, text_entropy,
-session_paths, basket_pairs, dedup_containment,
-similarity_ivfpq_indexed, events_transitions, profile_table,
-dedup_minhash_incremental, sink_parquet_compacted, skew_report,
-text_chunk, text_pmi, dedup_dup_rate, window_ntile, corr_stats,
-graph_pagerank, incremental_agg, stream_cdc_upsert,
-text_quality_score, sink_parquet_sorted, src_parquet_mergeschema) —
-which fills the window exactly: no backfill slots remain.
-Deferred to round 5 with green r02 rows and full local coverage: the
-seven curation-pipeline ids (curation_pipeline, text_pii_scrub,
-decontaminate, repetition_filter, domain_mix, sample_stratified,
-pack_sequences), all six plan ids (golden-value-checked locally),
-sink_http_response, sink_parquet_partitioned, ext_asof_join,
-ext_range_join (displaced by the round-4-new first-proofs), the three
-brute-force baselines (ngram_jaccard, embedding, simhash_pairs),
-ext_similarity_topk (recall suite re-pins it every run; restore first
-in round 5), ext_dedup_simhash (soundness suite value-pins its
-fingerprints), ext_mm_resize, ext_stream_sliding_agg, ext_text_langid,
-ext_text_stats, ext_text_fingerprint, and — displaced by the eleven
-newest first-proofs (chunk/pmi/dup_rate/ntile/corr/pagerank/
-incremental_agg/stream_cdc_upsert/quality_score/sorted-sink/
-mergeschema) — agg_collect_children, fn_split_trim,
-ext_approx_distinct, ext_text_quality, ext_dedup_exact,
-sink_json_collections, join_nest_one_to_many, join_nest_salted,
-src_indexed_lookup, src_full_scan, src_sql_dump_import."""
+registry entries (insertion order) — pin the round-5 ordering contract.
+
+After round 4, every one of the 145 ids has a green driver row and
+every id's LATEST row is green (r04: 50, r03: 49, r02: 46). Round 5 is
+the freshness rotation the r04 verdict ordered: the window is exactly
+the 46 ids whose latest hard-signal row is r02, led by
+ext_similarity_topk (the exact baseline every ANN recall floor is
+measured against), then the seven curation-pipeline ids, the six plan
+ids, the four multimodal kernels, the six stream ops, the four guarded
+brute-force/pairs baselines, asof/range joins, the three sinks +
+sink_json_collections, and the remaining r02-era relational/source/
+text ids. The 4 remaining slots carry the ids whose code materially
+changed in round 5: ext_text_perplexity_bucket and ext_window_ntile
+(global single-partition ntile replaced with approx-quantile cut
+points), ext_graph_pagerank (size-gated broadcast hints), and
+ext_profile_table (type-driven decimal rendering, r04 ADVICE).
+Displaced to the tail: the full r03 and r04 window contents — all with
+green latest rows and unchanged this round, still re-proven by the
+local all-ids suite and tools/driver_audit.py every run."""
 
 import __spark_entry__ as entrymod
 
