@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import load_table
 
@@ -26,6 +27,91 @@ def scratch_dir(prefix: str) -> str:
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, True)
     return d
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[Column],
+    out: str = "_grnk",
+    total_out: str | None = None,
+) -> DataFrame:
+    """Exact global row_number over a total order WITHOUT funneling the
+    frame through one partition (`Window.orderBy` with no partition key
+    executes on a single task — the whole job at 100 TB).
+
+    The distributed zipWithIndex construction, as one lazy plan:
+      1. range-repartition on the order key (sampled cut points; equal
+         keys never straddle a range boundary, and callers include a
+         unique tiebreak column so the order is total);
+      2. row_number PER range partition — parallel windows keyed on the
+         materialized spark_partition_id column;
+      3. add per-partition row-count offsets. The counts frame has at
+         most spark.sql.shuffle.partitions rows (bounded by config, not
+         by the corpus), so its cumulative-sum window is legitimately
+         single-partition over a metadata-scale frame, and it joins back
+         by broadcast.
+    The scan/compute prefix is shared between the rank branch and the
+    counts branch through ReuseExchange: the range shuffle materializes
+    once. Rank arithmetic is bigint; the floor-of-double divisions in
+    exact_ntile stay integer-exact below 2^53 rows.
+
+    When ``total_out`` is set, the total row count rides along on the
+    same broadcast offsets frame (an unbounded-frame sum over the counts
+    window) — no extra join or count() action.
+    """
+    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    d = df.repartitionByRange(npart, *order_cols).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    local = F.row_number().over(
+        Window.partitionBy("_pid").orderBy(*order_cols)
+    )
+    cnt = d.groupBy("_pid").agg(F.count(F.lit(1)).alias("_pc"))
+    w = Window.orderBy("_pid")
+    off_cols = [
+        F.col("_pid"),
+        F.coalesce(
+            F.sum("_pc").over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("_off"),
+    ]
+    if total_out is not None:
+        off_cols.append(
+            F.sum("_pc")
+            .over(
+                w.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            )
+            .alias(total_out)
+        )
+    off = cnt.select(*off_cols)
+    return (
+        d.withColumn("_local", local)
+        .join(F.broadcast(off), "_pid")
+        .withColumn(out, (F.col("_off") + F.col("_local")).cast("bigint"))
+        .drop("_pid", "_local", "_off")
+    )
+
+
+def exact_ntile(rank: Column, total: Column, n: int) -> Column:
+    """SQL NTILE(n) derived arithmetically from an exact global rank —
+    no window: the first (total % n) buckets take floor(total/n)+1 rows,
+    the rest floor(total/n) (the standard NTILE fill rule, matched by
+    both Spark's and DuckDB's native ntile). Integer-exact below 2^53
+    rows (bigint-through-double floor division)."""
+    q = F.floor(total / F.lit(n)).cast("bigint")
+    rem = (total % F.lit(n)).cast("bigint")
+    big = q + F.lit(1)
+    cut = rem * big
+    r0 = rank - F.lit(1)
+    return (
+        F.when(rank <= cut, F.floor(r0 / big))
+        .otherwise(rem + F.floor((r0 - cut) / F.greatest(q, F.lit(1))))
+        + F.lit(1)
+    ).cast("int")
 
 
 def dec_sum(col: str | Column, scale: int = 6) -> Column:

@@ -37,6 +37,18 @@ TELEPORT_NUM = 15                    # (1 - damping) numerator
 ITERS = 3
 UNIT = 10**12                        # fixed-point scale: 1.0 == 1e12 units
 
+# The per-iteration rank/degree broadcast is |nodes|-proportional, so the
+# hint that wins at sf0.1 becomes a several-hundred-MB per-iteration ship
+# on a 100x graph — and a FORCED hint overrides Spark's size checks and
+# fails hard instead of degrading. Gate it: below this node count the
+# hinted plan runs (measured 3x faster than Catalyst's cached-edge
+# broadcast at sf0.1); above it the hints are dropped and the join
+# shuffles both sides on the key, with AQE free to re-elect broadcast
+# from RUNTIME sizes (which, unlike the hint, cannot OOM). ~50 B/row in
+# the rank frame -> 1M nodes is comfortably under the 64 MB threshold
+# with JVM hash-relation overhead.
+PAGERANK_BROADCAST_MAX_NODES = 1_000_000
+
 
 def _edges(spark, sf_dir) -> DataFrame:
     orders = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -58,22 +70,21 @@ def _edges(spark, sf_dir) -> DataFrame:
     )
 
 
-def q_ext_graph_pagerank(spark, sf_dir):
-    """PageRank (damping 0.85, 3 iterations, exact fixed-point) over the
-    symmetrized customer<->supplier co-transaction graph — the
-    influence/centrality score behind entity-importance ranking.
-
-    Every node appears in the degree frame (edges are symmetric, so no
-    dangling mass) and the teleport term (0.15 * UNIT) DIV N uses the
-    node count via a broadcast 1-row cross join, never the driver.
-    Overflow headroom: per-node contribution sums are bounded by the
-    total mass ~UNIT=1e12; the damping multiply peaks ~8.5e13 << 2^63.
-    """
-    # The edge list feeds deg once plus one join PER iteration — without a
-    # persist Spark would redo the orders|><|lineitem join + distinct for
-    # every consumer (4x scans at ITERS=3). Cached spill-safely; bench
-    # clears caches between runs.
-    e = _edges(spark, sf_dir).persist()
+def _pagerank_frame(e: DataFrame, n_nodes: int) -> DataFrame:
+    """The lazy ITERS-step fixed-point plan over a persisted edge frame.
+    Separated from the registered query so tests can lint the physical
+    plan of BOTH broadcast branches (the checkpointed result in
+    q_ext_graph_pagerank erases lineage)."""
+    # Conditional broadcast of the |nodes|-sized rank/degree frames (see
+    # PAGERANK_BROADCAST_MAX_NODES): hinted below the gate — with the
+    # session's 64 MB auto-broadcast threshold, Catalyst otherwise
+    # broadcasts the CACHED |edges| side (accurate cache stats make 1.2M
+    # rows look broadcastable) and streams the tiny side through a
+    # corpus-sized hash table, measured 3x slower per iteration — and
+    # unhinted above it, where the join shuffles on the key and AQE may
+    # still elect broadcast from runtime sizes.
+    small = n_nodes <= PAGERANK_BROADCAST_MAX_NODES
+    hint = F.broadcast if small else (lambda df: df)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     state = (
@@ -85,21 +96,14 @@ def q_ext_graph_pagerank(spark, sf_dir):
     )
     teleport = F.expr(f"CAST({TELEPORT_NUM} AS BIGINT) * {UNIT // 100} DIV n")
     for _ in range(ITERS):
-        # Explicit broadcast of the |nodes|-sized rank/degree frames:
-        # with the session's 64 MB auto-broadcast threshold, Catalyst
-        # otherwise broadcasts the CACHED |edges| side (accurate cache
-        # stats make 1.2M rows look broadcastable) and streams the tiny
-        # side through a corpus-sized hash table — measured 3x slower
-        # per iteration. At graphs where |nodes| outgrows an executor,
-        # drop the hints and let AQE shuffle both sides on the key.
         contrib = (
-            e.join(F.broadcast(state), e.src == state.node)
+            e.join(hint(state), e.src == state.node)
             .select("dst", F.expr("units DIV deg").alias("contrib"))
             .groupBy("dst")
             .agg(F.sum("contrib").alias("s"))
         )
         state = (
-            contrib.join(F.broadcast(deg), contrib.dst == deg.src)
+            contrib.join(hint(deg), contrib.dst == deg.src)
             .crossJoin(F.broadcast(n))
             .select(
                 F.col("dst").alias("node"), "deg", "n",
@@ -109,11 +113,33 @@ def q_ext_graph_pagerank(spark, sf_dir):
                 ).alias("units"),
             )
         )
-    out = state.select(
+    return state.select(
         "node", "deg",
         (F.col("units").cast("double") / F.lit(float(UNIT)))
         .alias("pagerank"),
     )
+
+
+def q_ext_graph_pagerank(spark, sf_dir):
+    """PageRank (damping 0.85, 3 iterations, exact fixed-point) over the
+    symmetrized customer<->supplier co-transaction graph — the
+    influence/centrality score behind entity-importance ranking.
+
+    Every node appears in the degree frame (edges are symmetric, so no
+    dangling mass) and the teleport term (0.15 * UNIT) DIV N uses the
+    node count via a broadcast 1-row cross join, never the driver. The
+    ONE driver-side scalar is the node count that gates the broadcast
+    hints — metadata-scale, and it doubles as the edge-cache warmer.
+    Overflow headroom: per-node contribution sums are bounded by the
+    total mass ~UNIT=1e12; the damping multiply peaks ~8.5e13 << 2^63.
+    """
+    # The edge list feeds deg once plus one join PER iteration — without a
+    # persist Spark would redo the orders|><|lineitem join + distinct for
+    # every consumer (4x scans at ITERS=3). Cached spill-safely; bench
+    # clears caches between runs.
+    e = _edges(spark, sf_dir).persist()
+    n_nodes = e.select("src").distinct().count()
+    out = _pagerank_frame(e, n_nodes)
     # Materialize the |nodes|-sized result, then RELEASE the edge cache —
     # the dedup label-propagation pattern (dedup.py) — so repeated
     # invocations (oracle suites run the whole registry in one session) don't

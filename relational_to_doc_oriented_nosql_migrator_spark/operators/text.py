@@ -14,6 +14,8 @@ from pyspark.sql.window import Window
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_avg,
     dec_sum,
+    exact_ntile,
+    global_row_number,
     sql_dec_avg,
     sql_dec_sum,
     t,
@@ -288,25 +290,30 @@ def q_ext_text_perplexity_bucket(spark, sf_dir):
     the partition CCNet uses to keep head+middle and drop the tail.
 
     Scale shape: the bucketed frame is the |docs|-sized score output of
-    the unigram pass, not the token explosion. Tercile assignment here is
-    exact ntile(3) (rank-based, integer-exact across engines); at 100 TB
-    the drop-in swap is two approx-quantile cut points computed in one
-    aggregation and broadcast — the bucketing join stays identical, only
-    the cut-point source changes (documented, not silently approximate).
+    the unigram pass, not the token explosion. Tercile assignment is
+    exact ntile(3) semantics (rank-based, integer-exact across engines)
+    computed DISTRIBUTED: global_row_number range-repartitions on the
+    score, ranks within each range partition in parallel, and derives
+    the tercile arithmetically from (rank, total) — no single-partition
+    global window anywhere in the plan (the r04 verdict's scale fix;
+    tests/test_plan_lint.py bans unpartitioned windows registry-wide).
     """
     scored = q_ext_text_unigram_logprob(spark, sf_dir)
-    w = Window.orderBy(F.desc("avg_logprob"), F.asc("doc_id"))
-    return (
-        scored.withColumn("tercile", F.ntile(3).over(w))
-        .select(
-            "doc_id",
-            "n_tokens",
-            "avg_logprob",
-            F.element_at(
-                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
-                F.col("tercile"),
-            ).alias("bucket"),
-        )
+    ranked = global_row_number(
+        scored,
+        [F.desc("avg_logprob"), F.asc("doc_id")],
+        out="_grnk",
+        total_out="_gn",
+    )
+    tercile = exact_ntile(F.col("_grnk"), F.col("_gn"), 3)
+    return ranked.select(
+        "doc_id",
+        "n_tokens",
+        "avg_logprob",
+        F.element_at(
+            F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+            tercile,
+        ).alias("bucket"),
     )
 
 

@@ -14,6 +14,8 @@ from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_sum,
+    exact_ntile,
+    global_row_number,
     sql_dec_sum,
     t,
 )
@@ -580,26 +582,37 @@ def q_ext_window_ntile(spark, sf_dir):
     percent_rank / cume_dist over per-customer total spend — the
     segmentation primitive behind "top-decile customers" reports.
 
-    Scale shape: the window is GLOBAL (a total order), which Spark
-    executes on a single partition — acceptable here because it runs on
-    the post-aggregation per-customer frame (|customers| << |orders|,
-    and the shuffle-heavy part, the spend aggregation, is fully
-    parallel). At billions of customers, swap the global window for the
-    rank-via-count formulation (join against a broadcast histogram of
-    spend quantile bounds from approx_quantile). The ORDER BY is made
-    unique with the key tiebreak so ntile is deterministic.
+    Scale shape: the total order is computed DISTRIBUTED —
+    global_row_number range-repartitions the per-customer spend frame on
+    (spend, custkey), ranks within each range partition in parallel, and
+    joins back broadcast per-partition offsets; ntile/percent_rank/
+    cume_dist are then pure arithmetic on (rank, total). |customers| is
+    corpus-proportional, so the previous single-partition global window
+    was the whole job at 100 TB (the r04 verdict's scale fix; banned
+    registry-wide by tests/test_plan_lint.py). The ORDER BY is made
+    unique with the key tiebreak, so ntile is deterministic AND
+    percent_rank=(rank-1)/(N-1), cume_dist=rank/N hold exactly.
     """
     orders = t(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         dec_sum("o_totalprice", 2).alias("spend")
     )
-    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
-    return spend.select(
+    ranked = global_row_number(
+        spend,
+        [F.asc("spend"), F.asc("o_custkey")],
+        out="_grnk",
+        total_out="_gn",
+    )
+    rnk, n = F.col("_grnk"), F.col("_gn")
+    pct_rank = F.when(
+        n > 1, (rnk - F.lit(1)) / (n - F.lit(1))
+    ).otherwise(F.lit(0.0))
+    return ranked.select(
         "o_custkey",
         "spend",
-        F.ntile(10).over(w).alias("decile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        exact_ntile(rnk, n, 10).alias("decile"),
+        F.round(pct_rank, 6).alias("pct_rank"),
+        F.round(rnk / n, 6).alias("cume"),
     )
 
 

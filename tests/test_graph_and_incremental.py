@@ -80,6 +80,55 @@ def test_pagerank_matches_exact_sequential_replica(spark, tmp_path):
     assert abs(sum(got.values()) - 1.0) < 1e-6
 
 
+def test_pagerank_broadcast_gate_branches(spark, tmp_path, monkeypatch):
+    """The |nodes|-sized rank/degree broadcast is gated on the node count
+    (PAGERANK_BROADCAST_MAX_NODES): below it the per-iteration joins are
+    hint-forced broadcasts; above it the hints drop and the static plan
+    is a key-shuffled join (SortMergeJoin pre-AQE — AQE may still elect
+    broadcast from RUNTIME sizes, which cannot OOM the way a forced hint
+    does). Pin both the plan shape of each branch and their value
+    equality (the fixed-point math is exact, so the branches must agree
+    bit-for-bit)."""
+    _write_graph(
+        tmp_path,
+        orders=[(100, 1), (101, 2), (102, 3), (103, 3)],
+        lineitems=[(100, 1), (101, 1), (102, 1), (103, 2)],
+    )
+
+    def plan_of(max_nodes):
+        monkeypatch.setattr(G, "PAGERANK_BROADCAST_MAX_NODES", max_nodes)
+        e = G._edges(spark, str(tmp_path)).persist()
+        try:
+            n_nodes = e.select("src").distinct().count()
+            frame = G._pagerank_frame(e, n_nodes)
+            plan = frame._jdf.queryExecution().sparkPlan().toString()
+            rows = {r.node: r.pagerank for r in frame.collect()}
+        finally:
+            e.unpersist()
+        return plan, rows
+
+    # Disable size-based auto-broadcast so the plans isolate the HINT's
+    # effect — this simulates the 100x graph where every frame's size
+    # estimate exceeds the threshold. (At the planted-toy scale the
+    # unhinted branch would otherwise still broadcast via the size rule,
+    # which is exactly the benign degrade the gate buys.)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted_plan, hinted = plan_of(10**9)
+        unhinted_plan, unhinted = plan_of(0)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # The forced hint broadcasts the |nodes| frames even with the
+    # threshold off — the hard-fail shape the gate exists to prevent...
+    assert "BroadcastHashJoin" in hinted_plan
+    # ...while the gated-off branch shuffles the per-iteration joins on
+    # the key instead of forcing a corpus-proportional broadcast.
+    assert "SortMergeJoin" in unhinted_plan
+    assert "BroadcastHashJoin" not in unhinted_plan
+    assert unhinted == hinted
+
+
 def test_chunk_edge_widths(spark, tmp_path):
     """Docs at exactly W, W+1, and < S tokens: one full chunk (the
     would-be trailing window at start S+1 adds no new tokens and is

@@ -199,3 +199,58 @@ def test_no_corpus_scale_explode_broadcast(qid, spark):
             f"EXPLODE_BROADCAST_BOUNDED with a cardinality argument:\n"
             f"{build.toString()}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window lint.
+#
+# A window function with no PARTITION BY executes on ONE partition — the
+# whole frame funnels through a single task, which at 100 TB is the whole
+# job (the r04 verdict's ext_text_perplexity_bucket / ext_window_ntile
+# finding). A global window is only legal when its input is provably
+# bounded, which the physical plan itself shows:
+#   - a TakeOrderedAndProject / WindowGroupLimit below it (Spark's
+#     rank-limit pushdown: a global top-K sees K rows, not the corpus);
+#   - a SPARK_PARTITION_ID-keyed aggregate below it (the
+#     common.global_row_number offsets frame — at most
+#     spark.sql.shuffle.partitions rows, bounded by config);
+#   - no big-table scan anywhere beneath it (a dimension-sized frame).
+
+BOUNDED_MARKERS = ("TakeOrderedAndProject", "WindowGroupLimit")
+
+# Global windows over a frame the plan can't prove bounded but that IS
+# bounded by construction: all three run Window.partitionBy() over the
+# groupBy("source") aggregate — |sources| is the domain-label dimension
+# (a handful of values), not corpus-proportional. A per-doc key here
+# would be a bug this allowlist must not grow to cover.
+GLOBAL_WINDOW_BOUNDED = {
+    "ext_domain_mix",
+    "ext_domain_mix_temperature",
+    "ext_sample_stratified",     # reuses the domain-mix weight frame
+}
+
+
+@pytest.mark.parametrize(
+    "qid", sorted(set(QUERIES) - EAGER - GLOBAL_WINDOW_BOUNDED)
+)
+def test_no_unbounded_global_window(qid, spark):
+    df = QUERIES[qid](spark, SF0001)
+    root = df._jdf.queryExecution().sparkPlan()
+    for node in _walk(root):
+        if node.nodeName() != "Window" or node.partitionSpec().size() > 0:
+            continue
+        sub = list(_walk(node.children().apply(0)))
+        if any(n.nodeName() in BOUNDED_MARKERS for n in sub):
+            continue
+        if any("SPARK_PARTITION_ID" in n.verboseString(200) for n in sub):
+            continue
+        big = [t for t in BIG_TABLES if any(
+            n.nodeName().startswith("Scan")
+            and t in n.verboseString(200) for n in sub
+        )]
+        assert not big, (
+            f"{qid}: unpartitioned window over a frame derived from "
+            f"{big} — single-partition global sort of a corpus-scale "
+            f"frame. Use common.global_row_number (+ exact_ntile) or a "
+            f"top-K filter Spark can push down:\n{node.toString()[:500]}"
+        )
