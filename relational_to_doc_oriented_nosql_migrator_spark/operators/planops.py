@@ -67,6 +67,12 @@ def _testdata_catalog(sf_dir: str) -> Catalog:
             paths = sorted(glob.glob(os.path.join(pattern, "*.parquet")))
         else:
             paths = glob.glob(pattern)
+        if not paths:
+            raise FileNotFoundError(
+                f"planner catalog: no parquet for table {name!r} at"
+                f" {pattern} (expected a file, or a directory of"
+                f" part-*.parquet files)"
+            )
         columns[name] = pq.read_schema(paths[0]).names
         counts[name] = sum(pq.read_metadata(p).num_rows for p in paths)
     tables = [

@@ -12,6 +12,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType
 from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.functions.scalar import (
@@ -216,6 +217,15 @@ def q_ext_skew_report(spark, sf_dir):
 
 PROFILE_COLUMNS = ("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
 
+# Columns whose min/max render through DECIMAL(28,6): exactly the
+# double-typed profile columns. ONE declaration consumed by BOTH the
+# engine (which verifies it against the actual schema type and fails
+# loudly on drift) and the static oracle SQL (which cannot inspect the
+# parquet schema at import time) — so adding a double column to
+# PROFILE_COLUMNS without extending this tuple raises instead of
+# silently diverging engine vs oracle.
+PROFILE_DECIMAL_RENDERED = ("c_acctbal",)
+
 
 def q_ext_profile_table(spark, sf_dir):
     """Column profile of `customer` — per-column row/null/distinct
@@ -236,9 +246,21 @@ def q_ext_profile_table(spark, sf_dir):
         # raw double->string formatting diverges between engines outside
         # [1e-3, 1e7) (Java switches to scientific notation, DuckDB
         # doesn't), while decimal rendering is plain fixed-point on both
-        # at any magnitude the data reaches.
-        def _s(agg_col, dtype=str(cust.schema[c].dataType)):
-            if dtype == "DoubleType()":
+        # at any magnitude the data reaches. The type check is on the
+        # dataType instance (not its repr, which changed across PySpark
+        # majors) and must agree with the PROFILE_DECIMAL_RENDERED
+        # declaration the oracle SQL is generated from.
+        is_double = isinstance(cust.schema[c].dataType, DoubleType)
+        if is_double != (c in PROFILE_DECIMAL_RENDERED):
+            raise TypeError(
+                f"profile_table: column {c!r} is"
+                f" {cust.schema[c].dataType}; update"
+                f" PROFILE_DECIMAL_RENDERED so the oracle's rendering"
+                f" branch matches the engine's"
+            )
+
+        def _s(agg_col, dec=is_double):
+            if dec:
                 agg_col = agg_col.cast("decimal(28,6)")
             return agg_col.cast("string")
 
@@ -1019,7 +1041,7 @@ WHERE rank <= {SKEW_TOP_K}
                 f" AS min_value,"
                 f" CAST(CAST(MAX({c}) AS DECIMAL(28,6)) AS VARCHAR)"
                 f" AS max_value"
-                if c == "c_acctbal" else
+                if c in PROFILE_DECIMAL_RENDERED else
                 f" CAST(MIN({c}) AS VARCHAR) AS min_value,"
                 f" CAST(MAX({c}) AS VARCHAR) AS max_value"
             )

@@ -90,7 +90,16 @@ def read_partitioned(
     properties: dict[str, str] | None = None,
 ) -> DataFrame:
     """Partitioned JDBC read: range split when bounds are given, hash
-    predicates otherwise."""
+    predicates otherwise.
+
+    Identifier contract: ``table`` and ``column`` are quoted into the
+    generated SQL, which makes them CASE-SENSITIVE — pass the exact
+    stored case the catalog reports (what ``sources.introspect``
+    returns), not a case-folded convenience spelling. E.g. Derby stores
+    unquoted DDL names uppercase, so ``NATION``, not ``nation``.
+    Quoting is required because dbtable lands in ``SELECT * FROM
+    <dbtable>`` and the split column in generated WHERE clauses, where
+    reserved words / mixed case break unquoted."""
     props = dict(properties or {})
     # Identifiers are quoted on the way into SQL text: dbtable lands in
     # `SELECT * FROM <dbtable>` and partitionColumn in generated WHERE

@@ -62,6 +62,7 @@ def main() -> int:
         if qid in SKIP or qid in done:
             continue
         t0 = time.time()
+        ok = True
         try:
             n = qs[qid](spark, sf).count()
             print(f"OK {qid} rows={n} t={round(time.time() - t0, 1)}",
@@ -70,14 +71,22 @@ def main() -> int:
             if "refuses" in str(ex):
                 print(f"GUARDED {qid} (expected at 10x)", flush=True)
             else:
+                ok = False
                 n_fail += 1
                 print(f"FAIL {qid} ValueError {str(ex)[:150]}", flush=True)
         except Exception as ex:  # noqa: BLE001 — sweep must keep going
+            ok = False
             n_fail += 1
             print(f"FAIL {qid} {type(ex).__name__} {str(ex)[:150]}",
                   flush=True)
-        with open(done_path, "a") as f:
-            f.write(qid + "\n")
+        # Checkpoint only OK/GUARDED outcomes: a soft FAIL must be
+        # retried on rerun, not permanently skipped (a checkpointed FAIL
+        # would let a resumed sweep finish "complete" without ever
+        # re-testing the failed id). A hard JVM death can't reach this
+        # line, so the OOM victim also reruns — as intended.
+        if ok:
+            with open(done_path, "a") as f:
+                f.write(qid + "\n")
     print(f"SWEEP COMPLETE failures={n_fail}", flush=True)
     return 1 if n_fail else 0
 
