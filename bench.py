@@ -110,12 +110,13 @@ def main() -> None:
             "text_bigram_logprob": lambda: force(
                 text.q_ext_text_bigram_logprob(spark, sf_dir)
             ),
-            "similarity_ivfpq": lambda: force(
-                similarity.q_ext_similarity_ivfpq(spark, sf_dir)
-            ),
             # Amortized production shape: run 1 builds the parquet index
             # (cached per process), later runs measure search-only — the
-            # MEDIAN over n_runs is therefore the search cost.
+            # MEDIAN over n_runs is therefore the search cost. This is
+            # the HEADLINE IVF-PQ number; the train-every-call sibling is
+            # tracked separately in aux (r04 verdict item 5) so a
+            # regression in either training or search stays visible
+            # without the training cost dominating the suite total.
             "similarity_ivfpq_indexed": lambda: force(
                 similarity.q_ext_similarity_ivfpq_indexed(spark, sf_dir)
             ),
@@ -127,6 +128,22 @@ def main() -> None:
         }
 
     headline = make_suite(SF_DIR)
+
+    # Off-headline queries: timed with the same interleaving and
+    # statistics but excluded from the suite total. similarity_ivfpq is
+    # the self-contained train-every-call IVF-PQ spec — its per-call
+    # Lloyd training is not the production shape (ivfpq_indexed is), but
+    # a training-cost regression should still show up here.
+    def make_aux(sf_dir: str) -> dict:
+        from relational_to_doc_oriented_nosql_migrator_spark.operators import similarity
+
+        return {
+            "similarity_ivfpq_train_full": lambda: force(
+                similarity.q_ext_similarity_ivfpq(spark, sf_dir)
+            ),
+        }
+
+    aux = make_aux(SF_DIR)
 
     # Warm the JVM/session and the Python worker pool so query timings
     # measure queries, not interpreter startup.
@@ -146,9 +163,11 @@ def main() -> None:
     # 3-run median still let one quiet+two noisy runs read as a
     # regression (round-3 postmortem); 5 runs keeps the median stable.
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5")))
-    samples: dict[str, list[float]] = {name: [] for name in headline}
+    samples: dict[str, list[float]] = {
+        name: [] for name in list(headline) + list(aux)
+    }
     for _ in range(n_runs):
-        for name, fn in headline.items():
+        for name, fn in {**headline, **aux}.items():
             t0 = time.time()
             fn()
             samples[name].append(round(time.time() - t0, 3))
@@ -156,10 +175,18 @@ def main() -> None:
         # previous run's caches (and cached RDDs don't accumulate x n).
         spark.catalog.clearCache()
 
-    timings = {
-        name: round(statistics.median(ts), 3)
-        for name, ts in samples.items()
-    }
+    def median_of(ts: list[float]) -> float:
+        return round(statistics.median(ts), 3)
+
+    def trimmed_of(ts: list[float]) -> float:
+        # Spread-robust companion statistic (r04 verdict item 8: the
+        # shared host shows up-to-4x spreads): drop the single worst run
+        # and average the rest, so one noisy outlier can't drag the
+        # round-over-round comparison. With n_runs=1 it's the run itself.
+        kept = sorted(ts)[:-1] if len(ts) > 1 else ts
+        return round(statistics.fmean(kept), 3)
+
+    timings = {name: median_of(samples[name]) for name in headline}
     out = {
         "metric": "headline_suite_sec",
         "value": round(sum(timings.values()), 3),
@@ -167,9 +194,16 @@ def main() -> None:
         "queries": timings,
         "sf": _sf_of(SF_DIR),
         "n_runs": n_runs,
+        "trimmed": {
+            name: trimmed_of(ts) for name, ts in samples.items()
+        },
         "spread": {
             name: [min(ts), max(ts)] for name, ts in samples.items()
         },
+        # Off-total timings (same discipline, excluded from `value`):
+        # the train-every-call IVF-PQ spec vs the indexed headline — the
+        # explicit train-vs-indexed split the r04 verdict asked for.
+        "aux_queries": {name: median_of(samples[name]) for name in aux},
     }
 
     # Scale-curve datapoint: the five most expensive headliners once each

@@ -36,6 +36,19 @@ from relational_to_doc_oriented_nosql_migrator_spark.plans.planner import (
 
 BANGKOK_TZ = "Asia/Bangkok"
 
+# When the parent table has only a handful of rows, each nesting group is
+# a corpus-share-sized document (5 regions -> ~1/5 of everything under
+# each), so every concurrently-running aggregation task pins one
+# document-sized buffer in its heap. Packing >= this many groups per
+# task caps the number of simultaneously-materialized giant documents at
+# parent_rows / HEAVY_GROUPS_PER_TASK per executor heap (the sink's
+# sort-based aggregation streams the groups within a task one at a
+# time), which is what lets the full 10x migrate+sink run inside the
+# sweep's 1 GB local-mode heap. Parents bigger than SMALL_PARENT_ROWS
+# have proportionally small per-group documents and keep full fan-out.
+HEAVY_GROUPS_PER_TASK = 4
+SMALL_PARENT_ROWS = 256
+
 
 def normalize_date_columns(df: DataFrame) -> DataFrame:
     """`fn_date_normalize`: date/timestamp columns -> 'yyyy-MM-dd' strings in
@@ -165,10 +178,32 @@ def _attach_embedded(
     )
     fk = _find_fk(catalog, emb.name, parent_table)
 
-    grouped = child_df.groupBy(F.col(fk_col).alias("__nest_key")).agg(
-        F.array_sort(
-            F.collect_list(F.struct(*[F.col(f_) for f_ in fields]))
-        ).alias(emb.name)
+    # Repartition on the FK BEFORE aggregating: map-side partial
+    # collect_list gives zero reduction (it's a list append), but it
+    # makes every mapper hold its whole input as aggregation buffers and
+    # then serialize them as document-sized rows into the shuffle — the
+    # allocation that OOMed the 10x sweep's 1 GB heap (BufferHolder.grow
+    # inside Collect.serialize during shuffle write). With the explicit
+    # hash distribution already satisfied, partial+final run back-to-back
+    # AFTER the exchange, so the shuffle carries raw spillable child rows
+    # and document-sized buffers exist only where the output inherently
+    # needs them: one partition's groups at a time. For tiny parents the
+    # partition count additionally caps concurrent giant-group buffers
+    # (HEAVY_GROUPS_PER_TASK above) — the row-count metadata is already
+    # in the catalog, no extra job.
+    parent_rows = catalog.get_table(parent_table).num_rows or 0
+    spark = child_df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if 0 < parent_rows <= SMALL_PARENT_ROWS:
+        npart = min(npart, max(1, parent_rows // HEAVY_GROUPS_PER_TASK))
+    grouped = (
+        child_df.repartition(npart, F.col(fk_col))
+        .groupBy(F.col(fk_col).alias("__nest_key"))
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(*[F.col(f_) for f_ in fields]))
+            ).alias(emb.name)
+        )
     )
     out = parent_df.join(
         grouped,

@@ -12,11 +12,50 @@ reference's key-absent semantics for unmatched attributes / empty embeds.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import os
 import zipfile
 
 from pyspark.sql import DataFrame
+
+# Hash aggregation holds EVERY group's collect_list buffer of a partition
+# in memory before emitting; for the top nesting levels a group is a
+# document-sized object graph (a region document at the 10x dataset is
+# ~42 MB of nested structs), so a partition with a handful of heavy
+# groups peaks at sum-of-groups x object overhead — the allocation
+# profile that OOMed the 10x sweep's shared 1 GB local-mode heap. Sort
+# aggregation streams ONE group at a time over a spillable sort, so the
+# per-task peak drops to the largest single document (the inherent floor
+# for materializing a document as a row). Scoped to this sink's actions:
+# Spark plans aggregates at action time, so flipping the conf here
+# covers the lazily-built migrate() frames without touching the session
+# for other operators.
+_OBJ_HASH_CONF = "spark.sql.execution.useObjectHashAggregateExec"
+# Sort-merge join SORTS both sides, and sorting copies every row into
+# the sorter's pages — for the upper nesting joins the streamed side is
+# document-sized rows, so the copies are multi-MB humongous allocations
+# (the UnsafeRow.copy OOM in the 10x sweep). A shuffled-hash join builds
+# its hash table on the metadata-scale PARENT side and streams the
+# document rows through untouched.
+_PREFER_SMJ_CONF = "spark.sql.join.preferSortMergeJoin"
+
+_SINK_CONFS = {_OBJ_HASH_CONF: "false", _PREFER_SMJ_CONF: "false"}
+
+
+@contextlib.contextmanager
+def _sort_based_collects(spark):
+    prev = {k: spark.conf.get(k, None) for k in _SINK_CONFS}
+    for k, v in _SINK_CONFS.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
 
 
 def write_json_collections(
@@ -46,10 +85,11 @@ def write_json_collections(
             with open(f"{target}.json", "w") as fh:
                 json.dump(docs, fh, default=str)
         else:
-            if df.isEmpty():
-                continue
-            written.append(name)
-            df.write.mode("overwrite").json(target)
+            with _sort_based_collects(df.sparkSession):
+                if df.isEmpty():
+                    continue
+                written.append(name)
+                df.write.mode("overwrite").json(target)
     if zip_path:
         zip_abs = os.path.abspath(zip_path)
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:

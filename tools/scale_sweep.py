@@ -21,9 +21,14 @@ A handful of ids need special handling, annotated in SKIP/NOTES below.
 
 Round-4 result: 142/145 complete on the 1 GB driver (fuzzy_join_names
 verifies 26.9M true edit-distance pairs in ~530 s; embedding_lsh 88k
-planted dup pairs in ~170 s), 2 GUARDED refusals by design, and
-sink_json_collections needs a 2 GB heap for 8 concurrent nested-JSON
-write tasks (GC-thrash at 1 GB; sizing, not a leak).
+planted dup pairs in ~170 s), 2 GUARDED refusals by design.
+sink_json_collections previously needed a 2 GB heap; round 5 profiling
+showed the memory was document-sized aggregation buffers, not driver
+accumulation — fixed by shuffling raw child rows before the nesting
+collect, streaming groups through sort-based aggregation in the sink,
+and capping concurrent giant-group tasks for tiny parents
+(plans/nesting.py, sinks/json_collections.py); it now passes here at
+1 GB in ~30 s.
 """
 import os
 import sys
@@ -31,11 +36,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SKIP = {
-    # needs ~2 GB heap: 8 concurrent nested-document JSON write tasks
-    # GC-thrash a 1 GB combined heap; passes at 2 GB in ~30 s.
-    "sink_json_collections",
-}
+SKIP: set[str] = set()
 
 def main() -> int:
     from pyspark.sql import SparkSession
