@@ -19,3 +19,29 @@ def test_guard_passes_small_corpus(spark):
     assert dedup.q_ext_dedup_ngram_jaccard(spark, SF001).columns == [
         "doc_a", "doc_b", "jaccard",
     ]
+
+
+def test_similarity_query_set_guard(spark, monkeypatch):
+    """The ANN ops broadcast their query side, so a corpus-strided query
+    set must refuse loudly once it exceeds the bounded-workload ceiling
+    (the production seam takes an external bounded query set). The check
+    is parquet-footer metadata only — no Spark job."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import similarity
+
+    monkeypatch.setattr(similarity, "QUERY_SET_CEILING", 0)
+    for op in (
+        similarity.q_ext_similarity_lsh,
+        similarity.q_ext_similarity_ivf,
+        similarity.q_ext_similarity_ivfpq,
+        similarity.q_ext_similarity_ivfpq_indexed,
+    ):
+        with pytest.raises(ValueError, match="BOUNDED workload"):
+            op(spark, SF001)
+
+
+def test_similarity_query_set_guard_passes_bench_scales(spark):
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import similarity
+
+    # sf0.001 (200 vectors -> 4 queries) sits far under the ceiling.
+    df = similarity.q_ext_similarity_lsh(spark, SF001)
+    assert "query_id" in df.columns
