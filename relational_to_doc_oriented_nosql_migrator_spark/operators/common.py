@@ -29,6 +29,29 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
+def footer_rows(sf_dir: str, name: str) -> int:
+    """Table row count from parquet FOOTER metadata only — no Spark job
+    (the planner's catalog trick). Handles both the single-file driver
+    layout and part-file directories; raises FileNotFoundError naming
+    the table when neither exists."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    pattern = os.path.join(sf_dir, f"{name}.parquet")
+    paths = (
+        sorted(glob.glob(os.path.join(pattern, "*.parquet")))
+        if os.path.isdir(pattern)
+        else glob.glob(pattern)
+    )
+    if not paths:
+        raise FileNotFoundError(
+            f"no parquet for table {name!r} at {pattern}"
+        )
+    return sum(pq.read_metadata(p).num_rows for p in paths)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],

@@ -30,7 +30,10 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
-from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    footer_rows,
+    t,
+)
 
 DAMPING_NUM, DAMPING_DEN = 85, 100   # damping 0.85 as an exact ratio
 TELEPORT_NUM = 15                    # (1 - damping) numerator
@@ -128,8 +131,10 @@ def q_ext_graph_pagerank(spark, sf_dir):
     Every node appears in the degree frame (edges are symmetric, so no
     dangling mass) and the teleport term (0.15 * UNIT) DIV N uses the
     node count via a broadcast 1-row cross join, never the driver. The
-    ONE driver-side scalar is the node count that gates the broadcast
-    hints — metadata-scale, and it doubles as the edge-cache warmer.
+    broadcast gate needs only an UPPER BOUND on the node count, and
+    |customers| + |suppliers| bounds it by construction — read from
+    parquet footer metadata, zero Spark jobs (erring toward the unhinted
+    branch slightly early is the safe direction).
     Overflow headroom: per-node contribution sums are bounded by the
     total mass ~UNIT=1e12; the damping multiply peaks ~8.5e13 << 2^63.
     """
@@ -138,7 +143,15 @@ def q_ext_graph_pagerank(spark, sf_dir):
     # every consumer (4x scans at ITERS=3). Cached spill-safely; bench
     # clears caches between runs.
     e = _edges(spark, sf_dir).persist()
-    n_nodes = e.select("src").distinct().count()
+    try:
+        n_nodes = footer_rows(sf_dir, "customer") + footer_rows(
+            sf_dir, "supplier"
+        )
+    except FileNotFoundError:
+        # Planted graphs (tests) ship only orders/lineitem: fall back to
+        # the exact metadata-scale count, which doubles as the
+        # edge-cache warmer.
+        n_nodes = e.select("src").distinct().count()
     out = _pagerank_frame(e, n_nodes)
     # Materialize the |nodes|-sized result, then RELEASE the edge cache —
     # the dedup label-propagation pattern (dedup.py) — so repeated

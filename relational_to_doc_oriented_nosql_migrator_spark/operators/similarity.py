@@ -24,7 +24,7 @@ import os
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import footer_rows, t
 
 TOP_K = 5
 QUERY_STRIDE = 50  # vec_id % stride == 0 -> query vector
@@ -45,19 +45,7 @@ QUERY_SET_CEILING = 50_000
 
 
 def _guard_query_set(sf_dir: str, op: str) -> None:
-    import glob
-    import os as _os
-
-    import pyarrow.parquet as pq
-
-    pattern = _os.path.join(sf_dir, "embeddings.parquet")
-    paths = (
-        sorted(glob.glob(_os.path.join(pattern, "*.parquet")))
-        if _os.path.isdir(pattern)
-        else glob.glob(pattern)
-    )
-    n = sum(pq.read_metadata(p).num_rows for p in paths)
-    n_queries = n // QUERY_STRIDE
+    n_queries = footer_rows(sf_dir, "embeddings") // QUERY_STRIDE
     if n_queries > QUERY_SET_CEILING:
         raise ValueError(
             f"{op} refuses a corpus-strided query set of ~{n_queries}"
