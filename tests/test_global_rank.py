@@ -1,0 +1,83 @@
+"""common.global_row_number / exact_ntile vs Spark's native global
+window — the distributed exact-rank construction must agree with the
+single-partition reference bit-for-bit on every frame shape: ties in the
+leading sort column (broken by the unique tiebreak), totals below the
+bucket count, a single row, skewed value distributions, and totals not
+divisible by the bucket count."""
+
+import random
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    exact_ntile,
+    global_row_number,
+)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "id long, score double")
+
+
+def _reference(df, n_buckets):
+    w = Window.orderBy(F.desc("score"), F.asc("id"))
+    return {
+        r["id"]: (r["rnk"], r["tile"])
+        for r in df.select(
+            "id",
+            F.row_number().over(w).alias("rnk"),
+            F.ntile(n_buckets).over(w).alias("tile"),
+        ).collect()
+    }
+
+
+def _distributed(df, n_buckets):
+    ranked = global_row_number(
+        df, [F.desc("score"), F.asc("id")], out="rnk", total_out="n"
+    )
+    return {
+        r["id"]: (r["rnk"], r["tile"])
+        for r in ranked.select(
+            "id",
+            "rnk",
+            exact_ntile(F.col("rnk"), F.col("n"), n_buckets).alias("tile"),
+        ).collect()
+    }
+
+
+def test_matches_native_window_across_shapes(spark):
+    rng = random.Random(7)
+    shapes = [
+        # (n_rows, n_distinct_scores, n_buckets)
+        (1, 1, 3),      # single row
+        (2, 1, 3),      # total < buckets, all scores tied
+        (7, 3, 3),      # ties + non-divisible total
+        (10, 10, 10),   # total == buckets
+        (97, 5, 3),     # heavy ties, prime total
+        (100, 100, 7),  # unique scores, non-divisible
+    ]
+    for n_rows, n_scores, n_buckets in shapes:
+        rows = [
+            (i, float(rng.randrange(n_scores)))
+            for i in rng.sample(range(10 * n_rows), n_rows)
+        ]
+        df = _frame(spark, rows)
+        assert _distributed(df, n_buckets) == _reference(df, n_buckets), (
+            n_rows, n_scores, n_buckets,
+        )
+
+
+def test_skewed_single_score(spark):
+    # Every row identical in the sort key except the tiebreak: all rows
+    # land in ONE range partition; ranks must still be a permutation of
+    # 1..n and ntile sizes must follow the SQL fill rule.
+    df = _frame(spark, [(i, 1.0) for i in range(50)])
+    got = _distributed(df, 4)
+    assert sorted(r for r, _ in got.values()) == list(range(1, 51))
+    sizes = {}
+    for _, tile in got.values():
+        sizes[tile] = sizes.get(tile, 0) + 1
+    # 50 = 2 buckets of 13 + 2 of 12.
+    assert sizes == {1: 13, 2: 13, 3: 12, 4: 12}
+    assert got == _reference(df, 4)
