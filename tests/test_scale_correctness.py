@@ -59,6 +59,12 @@ def _cell(v):
     # 7.5M-shingle dup-rate merge join (this is the volume where its
     # would-be broadcast plan OOMed — the merge hint is what this gate
     # proves), and 15k-customer deciles
+    # 15k-customer deciles also prove the round-5 distributed-exact-rank
+    # construction at 10x, where the range partitioner actually spreads
+    # the frame. (Its sibling rewrite ext_text_perplexity_bucket runs on
+    # the unigram-LM score, which at 50k docs carries the same
+    # int128->double conversion ulp as corr_stats — string-exact only at
+    # the sf0.01 driver gate; the 10x sweep still executes it.)
     "ext_text_chunk", "ext_dedup_dup_rate", "ext_window_ntile",
     # merge-hinted train-shingle join (same OOM class as dup_rate; its
     # hint-fixed siblings ext_dedup_containment / ext_dedup_embedding_lsh
