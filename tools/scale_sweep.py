@@ -59,9 +59,22 @@ def main() -> int:
         done = set(open(done_path).read().split())
     qs = e.queries()
     n_fail = 0
+    # Self-healing JVM rotation: ~145 queries through ONE 1 GB JVM
+    # accumulate enough heap fragmentation/metaspace that the heaviest
+    # queries (fuzzy_join_names' 26.9M-pair verify) die mid-sweep even
+    # though they pass in a fresh JVM. After this many completed ids the
+    # process re-execs itself and resumes from the checkpoint — the same
+    # resume path a hard OOM death takes, just taken proactively.
+    restart_every = int(os.environ.get("SWEEP_RESTART_EVERY", "25"))
+    n_this_process = 0
     for qid in sorted(qs):
         if qid in SKIP or qid in done:
             continue
+        if n_this_process >= restart_every:
+            print(f"RESTART after {n_this_process} ids (fresh JVM)",
+                  flush=True)
+            spark.stop()
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         t0 = time.time()
         ok = True
         try:
@@ -86,6 +99,7 @@ def main() -> int:
         # re-testing the failed id). A hard JVM death can't reach this
         # line, so the OOM victim also reruns — as intended.
         if ok:
+            n_this_process += 1
             with open(done_path, "a") as f:
                 f.write(qid + "\n")
     print(f"SWEEP COMPLETE failures={n_fail}", flush=True)
