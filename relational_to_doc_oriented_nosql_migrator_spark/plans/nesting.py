@@ -205,8 +205,26 @@ def _attach_embedded(
             ).alias(emb.name)
         )
     )
-    out = parent_df.join(
-        grouped,
+    # The nest join must neither SORT document rows (SMJ copies each row
+    # into sorter pages — multi-MB humongous allocations per document)
+    # nor BROADCAST either side (a parent that already carries arrays
+    # from a previous attach is document-scale: nation-with-customers is
+    # ~350 MB at the 10x dataset, and Catalyst's post-aggregate size
+    # estimates make doc frames look broadcastable forever — the same
+    # estimate blindness as the Generate class). Hint a shuffled-hash
+    # join built on the provably LIGHT side: the parent while it is
+    # still raw (no array columns yet), otherwise the freshly-grouped
+    # side, which carries exactly one child's arrays vs the parent's
+    # accumulated ones. The grouped side keeps its aggregation
+    # partitioning, so document rows move at most once per nesting edge.
+    parent_is_raw = not any(
+        isinstance(f_.dataType, T.ArrayType)
+        for f_ in parent_df.schema.fields
+    )
+    left = parent_df.hint("shuffle_hash") if parent_is_raw else parent_df
+    right = grouped if parent_is_raw else grouped.hint("shuffle_hash")
+    out = left.join(
+        right,
         parent_df[fk.referenced_column] == grouped["__nest_key"],
         "left",
     ).drop("__nest_key")
