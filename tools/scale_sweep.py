@@ -19,16 +19,12 @@ file for a fresh sweep). One query OOMing the JVM kills the process —
 rerun; finished ids are skipped, so the sweep resumes after the victim.
 A handful of ids need special handling, annotated in SKIP/NOTES below.
 
-Round-4 result: 142/145 complete on the 1 GB driver (fuzzy_join_names
-verifies 26.9M true edit-distance pairs in ~530 s; embedding_lsh 88k
-planted dup pairs in ~170 s), 2 GUARDED refusals by design.
-sink_json_collections previously needed a 2 GB heap; round 5 profiling
-showed the memory was document-sized aggregation buffers, not driver
-accumulation — fixed by shuffling raw child rows before the nesting
-collect, streaming groups through sort-based aggregation in the sink,
-and capping concurrent giant-group tasks for tiny parents
-(plans/nesting.py, sinks/json_collections.py); it now passes here at
-1 GB in ~30 s.
+Round-5 result: 143 OK + 2 GUARDED refusals by design = all 145 ids on
+the 1 GB driver, zero failures (fuzzy_join_names verifies 26.9M true
+edit-distance pairs in ~530 s; sink_json_collections ~30 s — it
+previously needed a 2 GB heap until profiling traced the memory to
+document-sized aggregation buffers, fixed in plans/nesting.py +
+sinks/json_collections.py).
 """
 import os
 import sys
