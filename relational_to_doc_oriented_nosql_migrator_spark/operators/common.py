@@ -29,15 +29,14 @@ def scratch_dir(prefix: str) -> str:
     return d
 
 
-def footer_rows(sf_dir: str, name: str) -> int:
-    """Table row count from parquet FOOTER metadata only — no Spark job
-    (the planner's catalog trick). Handles both the single-file driver
-    layout and part-file directories; raises FileNotFoundError naming
-    the table when neither exists."""
+def parquet_paths(sf_dir: str, name: str) -> list[str]:
+    """Resolve a table's parquet file paths: single-file driver layout
+    (<name>.parquet) or a part-file directory (the production layout the
+    scale generator writes). The ONE copy of this layout rule — the
+    planner catalog and the footer-metadata guards/gates both use it.
+    Raises FileNotFoundError naming the table when neither exists."""
     import glob
     import os
-
-    import pyarrow.parquet as pq
 
     pattern = os.path.join(sf_dir, f"{name}.parquet")
     paths = (
@@ -48,8 +47,19 @@ def footer_rows(sf_dir: str, name: str) -> int:
     if not paths:
         raise FileNotFoundError(
             f"no parquet for table {name!r} at {pattern}"
+            " (expected a file, or a directory of part-*.parquet files)"
         )
-    return sum(pq.read_metadata(p).num_rows for p in paths)
+    return paths
+
+
+def footer_rows(sf_dir: str, name: str) -> int:
+    """Table row count from parquet FOOTER metadata only — no Spark job
+    (the planner's catalog trick)."""
+    import pyarrow.parquet as pq
+
+    return sum(
+        pq.read_metadata(p).num_rows for p in parquet_paths(sf_dir, name)
+    )
 
 
 def global_row_number(

@@ -24,7 +24,6 @@ payload — relational-table summaries plus document-template skeletons
 
 from __future__ import annotations
 
-import glob
 import json
 import os
 
@@ -56,23 +55,16 @@ def _testdata_catalog(sf_dir: str) -> Catalog:
     planner is metadata-scale and must not scan data)."""
     import pyarrow.parquet as pq
 
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        parquet_paths,
+    )
+
     columns: dict[str, list[str]] = {}
     counts: dict[str, int] = {}
     for name in TPCH_FOREIGN_KEYS:
-        pattern = os.path.join(sf_dir, f"{name}.parquet")
-        # Single-file layout (driver testdata) or a part-file directory
-        # (the production layout the scale generator writes): a bare
-        # glob matches the DIRECTORY itself, so branch on isdir first.
-        if os.path.isdir(pattern):
-            paths = sorted(glob.glob(os.path.join(pattern, "*.parquet")))
-        else:
-            paths = glob.glob(pattern)
-        if not paths:
-            raise FileNotFoundError(
-                f"planner catalog: no parquet for table {name!r} at"
-                f" {pattern} (expected a file, or a directory of"
-                f" part-*.parquet files)"
-            )
+        # Layout resolution (single file vs part-file directory) is the
+        # shared common.parquet_paths rule.
+        paths = parquet_paths(sf_dir, name)
         columns[name] = pq.read_schema(paths[0]).names
         counts[name] = sum(pq.read_metadata(p).num_rows for p in paths)
     tables = [

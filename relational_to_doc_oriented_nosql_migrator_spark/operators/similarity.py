@@ -96,7 +96,12 @@ def _cosine_expr():
 
 
 def q_ext_similarity_topk(spark, sf_dir):
-    """Brute-force cosine top-k for a fixed query set."""
+    """Brute-force cosine top-k for a fixed query set. Guarded like the
+    dedup all-pairs baselines: it broadcasts the corpus-strided query
+    frame and scores |corpus| x |queries| pairs, so it refuses past the
+    bounded-query-set ceiling (ext_similarity_lsh / _ivf are the scale
+    paths; knn_classify inherits the guard through this builder)."""
+    _guard_query_set(sf_dir, "ext_similarity_topk")
     emb = _emb(spark, sf_dir, spread=True)
     queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("qv")

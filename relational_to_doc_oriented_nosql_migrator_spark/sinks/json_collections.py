@@ -69,23 +69,27 @@ def write_json_collections(
     os.makedirs(out_dir, exist_ok=True)
     for name, df in collections.items():
         target = os.path.join(out_dir, name)
-        if single_file:
-            # Parity mode: one JSON array per collection file, like the
-            # reference's JSON.stringify of the whole collection. One action
-            # per collection; the empty check falls out of the collect.
-            # NOT a scale path: this collects the entire collection to the
-            # driver — byte-parity testing on small outputs only. The
-            # default distributed mode is the one to point at a real corpus.
-            docs = [json.loads(r) for r in df.toJSON().collect()]
-            if not docs:
-                # `filter_nonempty_collection` (reference
-                # server/WriteToFile.js:9-11): empty collections dropped.
-                continue
-            written.append(name)
-            with open(f"{target}.json", "w") as fh:
-                json.dump(docs, fh, default=str)
-        else:
-            with _sort_based_collects(df.sparkSession):
+        with _sort_based_collects(df.sparkSession):
+            if single_file:
+                # Parity mode: one JSON array per collection file, like
+                # the reference's JSON.stringify of the whole collection.
+                # One action per collection; the empty check falls out of
+                # the collect. NOT a scale path: this collects the entire
+                # collection to the driver — byte-parity testing on small
+                # outputs only. The default distributed mode is the one to
+                # point at a real corpus. (It still runs under the
+                # streaming-aggregation confs: the nesting plan executes
+                # inside the collect, with the same allocation profile.)
+                docs = [json.loads(r) for r in df.toJSON().collect()]
+                if not docs:
+                    # `filter_nonempty_collection` (reference
+                    # server/WriteToFile.js:9-11): empty collections
+                    # dropped.
+                    continue
+                written.append(name)
+                with open(f"{target}.json", "w") as fh:
+                    json.dump(docs, fh, default=str)
+            else:
                 if df.isEmpty():
                     continue
                 written.append(name)

@@ -30,6 +30,7 @@ def test_similarity_query_set_guard(spark, monkeypatch):
 
     monkeypatch.setattr(similarity, "QUERY_SET_CEILING", 0)
     for op in (
+        similarity.q_ext_similarity_topk,
         similarity.q_ext_similarity_lsh,
         similarity.q_ext_similarity_ivf,
         similarity.q_ext_similarity_ivfpq,

@@ -15,9 +15,11 @@ tests close that gap when one is available:
     pytest tests/test_jdbc_live_servers.py
 
 Requirements when opted in: the matching JDBC driver jar on the Spark
-classpath (e.g. spark.jars / SPARK_CLASSPATH) and DDL rights in the
-target schema — each test creates two throwaway `spark_graft_live_*`
-tables with a PK/FK pair, introspects, migrates, and drops them.
+classpath (e.g. spark.jars / SPARK_CLASSPATH), DDL rights, and a
+DEDICATED scratch database/schema — each test creates two throwaway
+`spark_graft_live_*` tables with a PK/FK pair, introspects, migrates,
+and drops them, and `migrate_from_jdbc` migrates EVERY table it finds
+in the schema, so unrelated tables would slow or fail the run.
 Without the env vars the module skips cleanly.
 """
 
@@ -62,10 +64,16 @@ def _setup_tables(conn):
         f"CREATE TABLE {PARENT} (r_id INT PRIMARY KEY,"
         f" r_name VARCHAR(32) NOT NULL)"
     )
+    # Table-level FOREIGN KEY, not an inline column REFERENCES: MySQL
+    # PARSES but silently IGNORES inline references specifications (no
+    # FK is created), while the table-level clause is honored by MySQL,
+    # Postgres, and Derby alike.
     st.execute(
         f"CREATE TABLE {CHILD} (n_id INT PRIMARY KEY,"
-        f" r_id INT NOT NULL REFERENCES {PARENT} (r_id),"
-        f" n_name VARCHAR(32) NOT NULL)"
+        f" r_id INT NOT NULL,"
+        f" n_name VARCHAR(32) NOT NULL,"
+        f" CONSTRAINT fk_spark_graft_live FOREIGN KEY (r_id)"
+        f" REFERENCES {PARENT} (r_id))"
     )
     for i, name in enumerate(["americas", "emea"]):
         st.execute(f"INSERT INTO {PARENT} VALUES ({i}, '{name}')")
@@ -130,8 +138,8 @@ def test_mysql_information_schema_catalog_and_migration(spark):
     server/MySQLDBManager.js:99-111,152-159,176-226) against a real
     server, then runs the full migrate_from_jdbc path."""
     conn = _connect(spark, MYSQL_URL)
-    _setup_tables(conn)
     try:
+        _setup_tables(conn)
         cat = jdbc_catalog(spark, MYSQL_URL, MYSQL_DB)
         # Schema-wide introspection may see unrelated tables; assert on
         # ours only (stored case per dialect — MySQL preserves it).
@@ -152,8 +160,8 @@ def test_postgres_catalog_reference_sql_and_migration(spark):
     real server and reports our planted FK edge, then introspects via
     DatabaseMetaData and runs the full migrate_from_jdbc path."""
     conn = _connect(spark, PG_URL)
-    _setup_tables(conn)
     try:
+        _setup_tables(conn)
         st = conn.createStatement()
         # The reference's own catalog SQL, verbatim shape: the planted
         # child table must report exactly one FK and the parent must

@@ -66,7 +66,9 @@ def main() -> int:
     for qid in sorted(qs):
         if qid in SKIP or qid in done:
             continue
-        if n_this_process >= restart_every:
+        # restart_every <= 0 disables rotation (it would otherwise
+        # re-exec before completing a single id — an infinite loop).
+        if restart_every > 0 and n_this_process >= restart_every:
             print(f"RESTART after {n_this_process} ids (fresh JVM)",
                   flush=True)
             spark.stop()
