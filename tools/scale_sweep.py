@@ -27,12 +27,61 @@ document-sized aggregation buffers, fixed in plans/nesting.py +
 sinks/json_collections.py).
 """
 import os
+import signal
 import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+
+class _QueryTimeout(Exception):
+    """A query exceeded SWEEP_QUERY_TIMEOUT — the JVM is likely wedged
+    (an OOM inside the scheduler thread hangs rather than crashes)."""
+
+
+def _kill_child_jvms() -> None:
+    """SIGKILL any java child of THIS process (pure /proc, no Py4J — the
+    whole point is that the gateway may be wedged). Without this, an
+    os.execv would orphan the hung 1 GB JVM, which keeps running and
+    starves every later restart."""
+    me = os.getpid()
+    for pid in os.listdir("/proc"):
+        if not pid.isdigit():
+            continue
+        try:
+            stat = open(f"/proc/{pid}/stat").read()
+            comm = stat[stat.index("(") + 1:stat.rindex(")")]
+            ppid = int(stat[stat.rindex(")") + 2:].split()[1])
+            if ppid == me and "java" in comm:
+                os.kill(int(pid), signal.SIGKILL)
+        except (OSError, ValueError):
+            pass
+
+
+def _restart(spark) -> None:
+    """Fresh-process resume: graceful stop if the JVM still answers,
+    hard child kill either way, then re-exec (ledgers carry the state)."""
+    try:
+        signal.alarm(10)
+        spark.stop()
+    except Exception:  # noqa: BLE001 — already dead or wedged
+        pass
+    finally:
+        signal.alarm(0)
+    _kill_child_jvms()
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 SKIP: set[str] = set()
+
+# Ids whose 10x working set sits near the 1 GB ceiling on its own: they
+# pass when they LEAD a fresh JVM and OOM after even a handful of other
+# queries' heap fragmentation. The sweep re-execs before each of these
+# unless the process is pristine.
+HEAVY_FRESH_JVM = {
+    "ext_dedup_embedding_lsh",   # 88k-pair exact verify, ~170 s
+    "ext_fuzzy_join_names",      # 26.9M-pair edit-distance verify, ~530 s
+    "sink_json_collections",     # full migrate + nested-JSON write
+}
 
 def main() -> int:
     from pyspark.sql import SparkSession
@@ -50,56 +99,128 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
 
+    # Per-query watchdog: a wedged JVM (scheduler-thread OOM) HANGS the
+    # Py4J call instead of raising — SIGALRM turns that into a FAIL that
+    # the retry/restart machinery can handle. The budget comfortably
+    # clears the slowest known query (fuzzy_join_names ~530 s).
+    signal.signal(
+        signal.SIGALRM,
+        lambda _sig, _frm: (_ for _ in ()).throw(_QueryTimeout()),
+    )
+    query_timeout = int(os.environ.get("SWEEP_QUERY_TIMEOUT", "900"))
+
     done = set()
+    retries_path = done_path + ".retries"
+    failed_path = done_path + ".failed"
     if os.path.exists(done_path):
         done = set(open(done_path).read().split())
+    else:
+        # Fresh sweep (checkpoint deleted): reset the side ledgers too.
+        for p in (retries_path, failed_path):
+            if os.path.exists(p):
+                os.remove(p)
+    retried = set()
+    if os.path.exists(retries_path):
+        retried = set(open(retries_path).read().split())
+    failed = set()
+    if os.path.exists(failed_path):
+        failed = set(open(failed_path).read().split())
     qs = e.queries()
-    n_fail = 0
-    # Self-healing JVM rotation: ~145 queries through ONE 1 GB JVM
+    # Self-healing JVM rotation: queries run through ONE 1 GB JVM
     # accumulate enough heap fragmentation/metaspace that the heaviest
-    # queries (fuzzy_join_names' 26.9M-pair verify) die mid-sweep even
-    # though they pass in a fresh JVM. After this many completed ids the
-    # process re-execs itself and resumes from the checkpoint — the same
-    # resume path a hard OOM death takes, just taken proactively.
-    restart_every = int(os.environ.get("SWEEP_RESTART_EVERY", "25"))
+    # queries (ext_dedup_embedding_lsh's 88k-pair verify,
+    # fuzzy_join_names' 26.9M-pair verify) die mid-sweep even though
+    # they pass in a fresh JVM — measured: embedding_lsh OOMs ~21 light
+    # queries into a fresh process, so the rotation period must be well
+    # below that. After this many completed ids the process re-execs
+    # itself and resumes from the checkpoint — the same resume path a
+    # hard OOM death takes, just taken proactively. <= 0 disables.
+    restart_every = int(os.environ.get("SWEEP_RESTART_EVERY", "12"))
     n_this_process = 0
     for qid in sorted(qs):
-        if qid in SKIP or qid in done:
+        if qid in SKIP or qid in done or qid in failed:
             continue
-        # restart_every <= 0 disables rotation (it would otherwise
-        # re-exec before completing a single id — an infinite loop).
-        if restart_every > 0 and n_this_process >= restart_every:
-            print(f"RESTART after {n_this_process} ids (fresh JVM)",
+        # Restart BEFORE a known heap-hungry id unless the JVM is
+        # pristine (measured: embedding_lsh OOMs even ~9 light queries
+        # into a fresh 1 GB process, but passes when it leads one), and
+        # periodically otherwise. restart_every <= 0 disables the
+        # periodic rotation; the n_this_process > 0 condition guarantees
+        # progress (never re-exec twice without completing an id).
+        need_fresh = qid in HEAVY_FRESH_JVM and n_this_process > 0
+        if need_fresh or (
+            restart_every > 0 and n_this_process >= restart_every
+        ):
+            print(f"RESTART after {n_this_process} ids"
+                  f" ({'for ' + qid if need_fresh else 'periodic'})",
                   flush=True)
-            spark.stop()
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+            _restart(spark)
         t0 = time.time()
         ok = True
+        wedged = False
         try:
-            n = qs[qid](spark, sf).count()
+            signal.alarm(query_timeout)
+            try:
+                n = qs[qid](spark, sf).count()
+            finally:
+                signal.alarm(0)
             print(f"OK {qid} rows={n} t={round(time.time() - t0, 1)}",
                   flush=True)
+        except _QueryTimeout:
+            ok = False
+            wedged = True
+            print(f"FAIL {qid} TIMEOUT after {query_timeout}s (wedged"
+                  f" JVM)", flush=True)
         except ValueError as ex:
             if "refuses" in str(ex):
                 print(f"GUARDED {qid} (expected at 10x)", flush=True)
             else:
                 ok = False
-                n_fail += 1
                 print(f"FAIL {qid} ValueError {str(ex)[:150]}", flush=True)
         except Exception as ex:  # noqa: BLE001 — sweep must keep going
             ok = False
-            n_fail += 1
             print(f"FAIL {qid} {type(ex).__name__} {str(ex)[:150]}",
                   flush=True)
         # Checkpoint only OK/GUARDED outcomes: a soft FAIL must be
         # retried on rerun, not permanently skipped (a checkpointed FAIL
         # would let a resumed sweep finish "complete" without ever
-        # re-testing the failed id). A hard JVM death can't reach this
-        # line, so the OOM victim also reruns — as intended.
+        # re-testing the failed id).
         if ok:
             n_this_process += 1
             with open(done_path, "a") as f:
                 f.write(qid + "\n")
+            continue
+        # A failed query may also have KILLED the JVM (executor OOM in
+        # local mode) — every later call would then report
+        # ConnectionRefused garbage, so probe the session.
+        try:
+            spark.conf.get("spark.app.id")
+            # A wedged scheduler can still answer driver-side conf calls
+            # — a timed-out query always forces the fresh-process path.
+            alive = not wedged
+        except Exception:  # noqa: BLE001
+            alive = False
+        if qid not in retried:
+            # One bounded in-place retry on a fresh process: the heavy
+            # ids sit at the 1 GB ceiling and pass-or-OOM by GC timing
+            # even in a pristine JVM (.retries persists across execv, so
+            # a genuinely-broken id can't loop).
+            with open(retries_path, "a") as f:
+                f.write(qid + "\n")
+            print(f"RETRY {qid} once on a fresh JVM", flush=True)
+        else:
+            # Second failure: record permanently for this sweep so the
+            # resumed process skips it and the sweep still completes.
+            with open(failed_path, "a") as f:
+                f.write(qid + "\n")
+            print(f"FAILPERM {qid}", flush=True)
+            if alive:
+                continue
+        _restart(spark)
+    # A FAIL retried to OK is not a failure; the one source of truth is
+    # the FAILPERM ledger (re-read: this process may have appended).
+    n_fail = 0
+    if os.path.exists(failed_path):
+        n_fail = len(set(open(failed_path).read().split()))
     print(f"SWEEP COMPLETE failures={n_fail}", flush=True)
     return 1 if n_fail else 0
 
