@@ -235,7 +235,14 @@ def main() -> None:
             spec.loader.exec_module(mod)
             tmp_dir = scale_dir.rstrip("/") + ".tmp"
             shutil.rmtree(tmp_dir, ignore_errors=True)
-            mod.generate(out_dir=tmp_dir, spark=spark, verbose=False)
+            # Factor follows the dir names (sf0.1 base -> sf1.0 = 10x,
+            # sf10 = 100x) so an env-pointed 100x dir can't silently
+            # receive 10x data under a 100x name.
+            base_sf, target_sf = _sf_of(SF_DIR), _sf_of(scale_dir)
+            factor = (round(target_sf / base_sf)
+                      if base_sf > 0 and target_sf > 0 else 10)
+            mod.generate(base_dir=SF_DIR, factor=factor, out_dir=tmp_dir,
+                         spark=spark, verbose=False)
             os.rename(tmp_dir, scale_dir)
         except Exception as exc:
             print(f"scale data generation failed: {exc}", file=sys.stderr)
