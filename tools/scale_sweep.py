@@ -19,12 +19,15 @@ file for a fresh sweep). One query OOMing the JVM kills the process —
 rerun; finished ids are skipped, so the sweep resumes after the victim.
 A handful of ids need special handling, annotated in SKIP/NOTES below.
 
-Round-5 result: 143 OK + 2 GUARDED refusals by design = all 145 ids on
-the 1 GB driver, zero failures (fuzzy_join_names verifies 26.9M true
-edit-distance pairs in ~530 s; sink_json_collections ~30 s — it
+Round-5 result (rerun end-to-end with the watchdog machinery below):
+143 OK + 2 GUARDED refusals by design = all 145 ids on the 1 GB
+driver, zero failures (fuzzy_join_names verifies 26.9M true
+edit-distance pairs in ~545 s; sink_json_collections ~30 s — it
 previously needed a 2 GB heap until profiling traced the memory to
 document-sized aggregation buffers, fixed in plans/nesting.py +
-sinks/json_collections.py).
+sinks/json_collections.py). The rerun also exercised the self-heal
+live: one dispatcher-thread OOM (ext_stream_session_agg) was caught,
+retried on a fresh JVM, and passed.
 """
 import os
 import signal
@@ -78,9 +81,12 @@ SKIP: set[str] = set()
 # queries' heap fragmentation. The sweep re-execs before each of these
 # unless the process is pristine.
 HEAVY_FRESH_JVM = {
-    "ext_dedup_embedding_lsh",   # 88k-pair exact verify, ~170 s
-    "ext_fuzzy_join_names",      # 26.9M-pair edit-distance verify, ~530 s
+    "ext_dedup_embedding_lsh",   # 88k-pair exact verify, ~190 s
+    "ext_fuzzy_join_names",      # 26.9M-pair edit-distance verify, ~545 s
     "sink_json_collections",     # full migrate + nested-JSON write
+    "ext_stream_session_agg",    # 950k interval-union session state; OOMed
+                                 # a few stream queries into a shared JVM,
+                                 # passed on its retry's fresh one
 }
 
 def main() -> int:
