@@ -49,6 +49,19 @@ BANGKOK_TZ = "Asia/Bangkok"
 HEAVY_GROUPS_PER_TASK = 4
 SMALL_PARENT_ROWS = 256
 
+# The nest aggregation holds one partition's document buffers in memory
+# at a time, so per-task memory is (child rows per partition) x (bytes
+# per row). A FIXED partition count therefore scales per-task memory
+# linearly with the data — the 100x dataset OOMed an 8 GB local[32]
+# heap with spark.sql.shuffle.partitions=32 (60M lineitem rows / 32 =
+# 1.9M rows of struct buffers per task). Size the FK repartition by the
+# child's catalog row count instead, counting the whole embedded
+# subtree (an orders row attaching to customer already carries its
+# lineitem array, so its true width is the subtree's, not the row's).
+# At or below ~200k subtree rows per task the buffers stay tens of MB;
+# small inputs keep the configured partition count unchanged.
+TARGET_NEST_ROWS_PER_TASK = 200_000
+
 
 def normalize_date_columns(df: DataFrame) -> DataFrame:
     """`fn_date_normalize`: date/timestamp columns -> 'yyyy-MM-dd' strings in
@@ -82,6 +95,16 @@ def _dedupe(names: list[str]) -> list[str]:
             seen.add(n)
             out.append(n)
     return out
+
+
+def _subtree_rows(catalog: Catalog, emb: Collection) -> int:
+    """Catalog row count of an embedded collection plus everything nested
+    under it — the true payload volume of the child frame being
+    repartitioned, since earlier attaches fold descendants into arrays."""
+    rows = catalog.get_table(emb.name).num_rows or 0
+    for nested in emb.embedded:
+        rows += _subtree_rows(catalog, nested)
+    return rows
 
 
 def _find_fk(catalog: Catalog, child: str, parent: str):
@@ -194,6 +217,14 @@ def _attach_embedded(
     parent_rows = catalog.get_table(parent_table).num_rows or 0
     spark = child_df.sparkSession
     npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    subtree_rows = _subtree_rows(catalog, emb)
+    if subtree_rows > TARGET_NEST_ROWS_PER_TASK * npart:
+        # Volume-scaled fan-out (see TARGET_NEST_ROWS_PER_TASK): more
+        # partitions, same per-task memory, at any scale factor. The
+        # shuffled-hash nest join below co-partitions to this count (the
+        # aggregation's alias-aware output partitioning carries through),
+        # so the join's per-task hash build shrinks proportionally too.
+        npart = -(-subtree_rows // TARGET_NEST_ROWS_PER_TASK)
     if 0 < parent_rows <= SMALL_PARENT_ROWS:
         npart = min(npart, max(1, parent_rows // HEAVY_GROUPS_PER_TASK))
     grouped = (
