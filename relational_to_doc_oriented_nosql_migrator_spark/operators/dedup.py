@@ -682,20 +682,28 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
 
     Scale shape: the cross product never materializes — only same-bucket
     collisions do (bucket-key equi-join, shuffle keyed by bucket).
-    Bucket population ~ N/2^K per table, so K grows ~log2(N) with corpus
-    size to hold per-bucket cost flat (the same dial the MinHash path
-    caps with MINHASH_BUCKET_CAP).
+    Bucket population ~ N/2^K per table, and K genuinely grows
+    ~log2(N/target) with the corpus row count (similarity.lsh_k over
+    footer metadata — no job): with K fixed at 4, the 100x dataset left
+    12.5k vectors per bucket ~ 15e9 in-bucket candidate pairs and the
+    join never finished. Adaptive K holds per-bucket cost flat (the same
+    dial the MinHash path caps with MINHASH_BUCKET_CAP); the DuckDB
+    oracle runs at sf0.01 where lsh_k(500) == 4 == the oracle's static K.
     """
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         similarity as _sim,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
     )
 
     emb = t(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
+    k = _sim.lsh_k(footer_rows(sf_dir, "embeddings"))
     keys = emb.select(
-        "vec_id", F.explode(F.expr(_sim._TABLES_EXPR)).alias("bkey")
+        "vec_id", F.explode(F.expr(_sim.tables_expr(k))).alias("bkey")
     )
     ka = keys.select(F.col("vec_id").alias("vec_a"), "bkey")
     kb = keys.select(F.col("vec_id").alias("vec_b"), "bkey")

@@ -122,34 +122,126 @@ def q_ext_similarity_topk(spark, sf_dir):
     )
 
 
-# Multi-table sign LSH: L tables of K sign bits each (table t hashes dims
-# t*K+1 .. t*K+K). For neighbors at angle θ the per-table collision
-# probability is (1-θ/π)^K; the L-table union lifts recall to
-# 1-(1-(1-θ/π)^K)^L while random pairs stay near L/2^K of the corpus —
-# the classic recall/candidate dial (K up = fewer candidates, L up = more
-# recall). One table of many bits (the naive choice) collapses recall on
-# weakly-clustered embeddings. K*L consumes K*L of the 64 dims (table t
-# hashes dims t*K+1..t*K+K). 4x12 measures recall@3 0.90 on the isotropic
-# testdata (4x8: 0.73) at a ~1.3x candidate-set cost — see
-# tests/test_ann_recall.py.
-LSH_K = 4
+# Multi-table sign LSH: L tables of K sign bits each. For neighbors at
+# angle θ the per-table collision probability is (1-θ/π)^K; the L-table
+# union lifts recall to 1-(1-(1-θ/π)^K)^L while random pairs stay near
+# L/2^K of the corpus — the classic recall/candidate dial (K up = fewer
+# candidates, L up = more recall). One table of many bits (the naive
+# choice) collapses recall on weakly-clustered embeddings. 4x12 measures
+# recall@3 0.90 on the isotropic testdata (4x8: 0.73) at a ~1.3x
+# candidate-set cost — see tests/test_ann_recall.py.
+#
+# K is ADAPTIVE in the corpus size (from parquet footer metadata, no
+# job): a fixed K makes per-bucket population N/2^K — and in-bucket
+# candidate pairs N^2/2^(K+1) — grow quadratically with the corpus (at
+# the 100x dataset a fixed K=4 left 12.5k vectors per bucket ~ 15e9
+# candidate pairs; the job never finished). lsh_k() holds the bucket
+# population near LSH_TARGET_POP, so candidate work stays ~linear:
+# K(500)=K(2k)=4 (driver/bench scales — oracles and measured recall
+# unchanged), K(20k)=8, K(200k)=11. Past N = TARGET << K_MAX (~2e9
+# vectors) the remaining dials are LSH_K_MAX and LSH_TABLES.
+LSH_K = 4          # floor (and the K at oracle/bench scale)
 LSH_TABLES = 12
+LSH_TARGET_POP = 128
+# At cos 0.99 (θ=8.1°) the per-bit collision prob is 1-θ/π = 0.9856:
+# even at the K=24 cap a table collides at 0.9856^24 = 0.71 and the
+# 12-table union misses a true pair with prob 0.29^12 ~ 4e-7.
+LSH_K_MAX = 24
 
-_TABLES_EXPR = (
-    f"transform(sequence(0, {LSH_TABLES - 1}), t -> t * {2 ** LSH_K} +"
-    f" aggregate(sequence(1, {LSH_K}), 0, (acc, i) -> acc +"
-    f" IF(element_at(v, t * {LSH_K} + i) >= CAST(0 AS DOUBLE),"
-    " shiftleft(1, i - 1), 0)))"
-)
+
+def lsh_k(n_vectors: int) -> int:
+    """Sign bits per table for a corpus of n_vectors (bucket population
+    ~ LSH_TARGET_POP), clamped to [LSH_K, LSH_K_MAX]."""
+    import math
+
+    if n_vectors <= LSH_TARGET_POP * (2 ** LSH_K):
+        return LSH_K
+    return min(LSH_K_MAX, math.ceil(math.log2(n_vectors / LSH_TARGET_POP)))
+
+
+def _bit_plane(j: int) -> tuple[int, int | None]:
+    """Hyperplane for GLOBAL bit j (1-based, j = t*K + i): the first DIMS
+    bits are axis planes sign(v[j]) — for K=4 that reproduces the
+    original fixed layout (table t hashed dims t*4+1..t*4+4) bit for
+    bit — and bits past the coordinate budget are deterministic
+    coordinate-DIFFERENCE planes sign(v[a]-v[b]) (normals e_a - e_b),
+    which extend the family to K*L >> DIMS without an RNG: both engines
+    see the same literal (a, b) indices, so oracle parity holds by
+    construction."""
+    if j <= DIMS:
+        return j, None
+    a = (j * 2654435761) % DIMS + 1
+    b = (j * 40503 + 13) % DIMS + 1
+    if b == a:
+        b = a % DIMS + 1
+    return a, b
+
+
+def tables_expr(k: int, col: str = "v") -> str:
+    """Spark SQL array of LSH_TABLES bucket keys (table id in the high
+    bits, k sign bits in the low).
+
+    Deliberately a COMPACT higher-order-function expression, not an
+    unrolled sum: the plane indices ride as constant-folded literal int
+    arrays (data, not code), so the key computation adds O(1) generated
+    code to whatever stage it fuses into. An unrolled version measured
+    slightly faster in isolation but blew janino's 64 KB method limit
+    when the sf0.01 broadcast plan fused both exploded key sides with
+    the 192-term unrolled cosine into one whole-stage method — dropping
+    the ENTIRE stage to interpreted mode. Bit values are independent
+    integer comparisons summed as ints, so HOF-vs-unrolled parity is
+    exact (pinned against the original k=4 layout by test)."""
+    a_idx, b_idx = [], []
+    for j in range(1, LSH_TABLES * k + 1):
+        a, b = _bit_plane(j)
+        a_idx.append(a)
+        b_idx.append(b or 0)  # 0 = axis plane sign(v[a])
+    a_lit = "array(" + ", ".join(map(str, a_idx)) + ")"
+    b_lit = "array(" + ", ".join(map(str, b_idx)) + ")"
+    plane = (
+        f"element_at({col}, element_at({a_lit}, t * {k} + i))"
+        f" - IF(element_at({b_lit}, t * {k} + i) = 0, CAST(0 AS DOUBLE),"
+        f" element_at({col}, element_at({b_lit}, t * {k} + i)))"
+    )
+    return (
+        f"transform(sequence(0, {LSH_TABLES - 1}), t -> t * {2 ** k} +"
+        f" aggregate(sequence(1, {k}), 0, (acc, i) -> acc +"
+        f" IF({plane} >= CAST(0 AS DOUBLE), shiftleft(1, i - 1), 0)))"
+    )
+
+
+def sql_table_keys(k: int, col: str = "e") -> str:
+    """DuckDB mirror of tables_expr (1-based list indexing, same literal
+    plane indices and bit weights)."""
+    keys = []
+    for t_ in range(LSH_TABLES):
+        bits = []
+        for i in range(1, k + 1):
+            a, b = _bit_plane(t_ * k + i)
+            lhs = f"{col}[{a}]" if b is None else f"({col}[{a}] - {col}[{b}])"
+            bits.append(
+                f"(CASE WHEN {lhs} >= 0 THEN {1 << (i - 1)} ELSE 0 END)"
+            )
+        keys.append("(" + " + ".join([str(t_ * (2 ** k))] + bits) + ")")
+    return "[" + ", ".join(keys) + "]"
+
+
+# The K-floor instances: what the sf0.01 oracles and the sf0.1 bench see.
+_TABLES_EXPR = tables_expr(LSH_K)
 
 
 def q_ext_similarity_lsh(spark, sf_dir):
     """Multi-table sign-projection LSH top-3: candidates = union of the
-    query's bucket across all tables, then exact cosine re-rank."""
+    query's bucket across all tables, then exact cosine re-rank.
+    K adapts to the corpus row count (footer metadata) so per-query
+    candidate sets stay ~LSH_TABLES * LSH_TARGET_POP, not N/16."""
     _guard_query_set(sf_dir, "ext_similarity_lsh")
     emb = _emb(spark, sf_dir)
     keys = emb.select(
-        "vec_id", "v", F.explode(F.expr(_TABLES_EXPR)).alias("bkey")
+        "vec_id", "v",
+        F.explode(
+            F.expr(tables_expr(lsh_k(footer_rows(sf_dir, "embeddings"))))
+        ).alias("bkey"),
     )
     queries = keys.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk")
@@ -791,12 +883,7 @@ _SQL_COS = (
     "round(list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) *"
     " sqrt(list_dot_product(c.v, c.v))), 6)"
 )
-_SQL_TABLE_KEYS = (
-    f"[t * {2 ** LSH_K} +"
-    f" list_sum([CASE WHEN e[t * {LSH_K} + i] >= 0 THEN (1 << (i - 1))"
-    f" ELSE 0 END for i in generate_series(1, {LSH_K})])"
-    f" for t in generate_series(0, {LSH_TABLES - 1})]"
-)
+_SQL_TABLE_KEYS = sql_table_keys(LSH_K)
 
 ORACLES = {
     "ext_similarity_topk": f"""

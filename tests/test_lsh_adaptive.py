@@ -1,0 +1,92 @@
+"""Adaptive-K sign LSH: the bucket-width dial that keeps the LSH
+candidate joins linear as the corpus grows (a fixed K=4 left 12.5k
+vectors per bucket — ~15e9 in-bucket pairs — at the 100x dataset).
+
+Pins: (1) the K schedule; (2) that the unrolled K=4 expression is
+value-identical to the original transform/aggregate construction (the
+sf0.01 oracles and measured recall depend on it); (3) Spark/DuckDB key
+parity at a K that exercises the coordinate-DIFFERENCE planes (bits past
+the 64-dim coordinate budget).
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from relational_to_doc_oriented_nosql_migrator_spark.operators import similarity as sim
+from tests.conftest import SF001
+
+# The original fixed-K construction (what shipped before the adaptive
+# dial): kept verbatim as the regression reference.
+_LEGACY_K4 = (
+    f"transform(sequence(0, {sim.LSH_TABLES - 1}), t -> t * {2 ** 4} +"
+    f" aggregate(sequence(1, 4), 0, (acc, i) -> acc +"
+    f" IF(element_at(v, t * 4 + i) >= CAST(0 AS DOUBLE),"
+    " shiftleft(1, i - 1), 0)))"
+)
+
+
+def test_k_schedule():
+    # driver (sf0.01) and bench (sf0.1) scales stay at the floor: the
+    # oracles' static K=4 SQL and the measured recall@3 remain valid
+    assert sim.lsh_k(500) == 4
+    assert sim.lsh_k(2000) == 4
+    # the scale sweep (sf1.0) and the 100x probe get wider tables
+    assert sim.lsh_k(20_000) == 8
+    assert sim.lsh_k(200_000) == 11
+    # monotone, and capped where the remaining dial is LSH_TABLES/K_MAX
+    assert sim.lsh_k(10**12) == sim.LSH_K_MAX
+    prev = 0
+    for n in (10, 10**3, 10**4, 10**5, 10**6, 10**9):
+        k = sim.lsh_k(n)
+        assert k >= prev
+        prev = k
+
+
+def test_unrolled_k4_matches_legacy(spark):
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    diff = emb.select(
+        F.expr(sim.tables_expr(4)).alias("new"),
+        F.expr(_LEGACY_K4).alias("old"),
+    ).filter("new <> old")
+    assert diff.count() == 0
+
+
+def test_bit_planes_are_valid_indices():
+    for k in (4, 8, 16, sim.LSH_K_MAX):
+        for t_ in range(sim.LSH_TABLES):
+            for i in range(1, k + 1):
+                a, b = sim._bit_plane(t_ * k + i)
+                assert 1 <= a <= sim.DIMS
+                if b is not None:
+                    assert 1 <= b <= sim.DIMS
+                    assert a != b
+
+
+@pytest.mark.parametrize("k", [8, sim.LSH_K_MAX])
+def test_spark_duckdb_key_parity_with_difference_planes(spark, k):
+    assert k * sim.LSH_TABLES > sim.DIMS  # difference planes in play
+    emb = spark.read.parquet(f"{SF001}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    got = {
+        (r["vec_id"], r["bkey"])
+        for r in emb.select(
+            "vec_id", F.explode(F.expr(sim.tables_expr(k))).alias("bkey")
+        ).collect()
+    }
+    want = {
+        (r[0], r[1])
+        for r in duckdb.sql(
+            f"""
+            SELECT vec_id, unnest({sim.sql_table_keys(k)}) AS bkey
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS e
+                  FROM '{SF001}/embeddings.parquet')
+            """
+        ).fetchall()
+    }
+    assert got == want
