@@ -47,6 +47,14 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # profile refactor (ext_profile_table, r04 ADVICE). Displaced to the
 # tail (all r03/r04-green, latest row green, unchanged this round):
 # the entire r03 and r04 window contents.
+#
+# ext_dedup_embedding_lsh (r04 row) and ext_similarity_lsh (r03 row)
+# also changed late in round 5 (adaptive LSH K) but do NOT take window
+# slots: at driver scale lsh_k(500) == 4 and the new key expression is
+# pinned VALUE-IDENTICAL to the shipped K=4 layout on the actual sf0.01
+# embeddings (tests/test_lsh_adaptive.py), so their existing rows stay
+# accurate; the behavior that changed only engages at sweep/probe
+# scales (K=8 at sf1.0, K=11 at the 100x dataset).
 DRIVER_WINDOW_FIRST = (
     # latest driver row is r02 — freshness rotation (46 ids)
     "ext_similarity_topk",
