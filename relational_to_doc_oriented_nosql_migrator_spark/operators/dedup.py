@@ -689,6 +689,22 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
     join never finished. Adaptive K holds per-bucket cost flat (the same
     dial the MinHash path caps with MINHASH_BUCKET_CAP); the DuckDB
     oracle runs at sf0.01 where lsh_k(500) == 4 == the oracle's static K.
+
+    The verify is BUCKET-LOCAL: vectors and their (once-per-row) norms
+    ride through the bucket-key shuffle — N*L rows, linear in the
+    corpus — and every collision is cosine-scored and threshold-filtered
+    INLINE on the join output, with distinct() applied only to the tiny
+    survivor set (a pair colliding in m tables is scored m times, same
+    rounded value each time). The earlier candidates-first plan
+    (distinct over ~N*L*pop/2 pairs, then two joins back to the vector
+    frame) OOMed at the 100x dataset: Spark elected broadcast-hash for
+    both vector fetches — the 50 MB float-compressed parquet estimate
+    sits under the session's 64 MB threshold while the in-memory
+    double-array relation is several hundred MB, twice — and the fix
+    that doesn't broadcast would shuffle candidate rows CARRYING a
+    512-byte vector each (~50 GB at sf10). Oracle (candidates-first,
+    verify-after) is unchanged: same pair set, same vectors, same
+    rounded cosines.
     """
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         similarity as _sim,
@@ -703,34 +719,35 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
     )
     k = _sim.lsh_k(footer_rows(sf_dir, "embeddings"))
     keys = emb.select(
-        "vec_id", F.explode(F.expr(_sim.tables_expr(k))).alias("bkey")
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(_sim._unrolled_dot("v", "v"))).alias("nrm"),
+        F.explode(F.expr(_sim.tables_expr(k))).alias("bkey"),
     )
-    ka = keys.select(F.col("vec_id").alias("vec_a"), "bkey")
-    kb = keys.select(F.col("vec_id").alias("vec_b"), "bkey")
+    ka = keys.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"), "bkey",
+    )
+    kb = keys.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"), "bkey",
+    )
     # MERGE hint: both collision sides are the corpus's exploded bucket
     # keys; post-Generate size estimates stay at pre-explode size, so the
     # optimizer would broadcast a corpus-scale relation at any volume
     # (the dup_rate OOM class). The bucket-keyed shuffle join IS the LSH
     # scale plan.
-    cand = (
+    dot = F.expr(_sim._unrolled_dot("va", "vb"))
+    return (
         ka.join(kb.hint("merge"), "bkey")
         .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    va = emb.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
-    vb = emb.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
-    # Unrolled (codegen-resident) dot/norms — identical fold order to the
-    # baseline's lambda aggregate; see similarity._unrolled_dot.
-    dot = F.expr(_sim._unrolled_dot("va", "vb"))
-    norm_a = F.sqrt(F.expr(_sim._unrolled_dot("va", "va")))
-    norm_b = F.sqrt(F.expr(_sim._unrolled_dot("vb", "vb")))
-    return (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
-        .select("vec_a", "vec_b",
-                F.round(dot / (norm_a * norm_b), 6).alias("cosine"))
+        .select(
+            "vec_a", "vec_b",
+            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+            .alias("cosine"),
+        )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
+        .distinct()
     )
 
 

@@ -131,32 +131,42 @@ def q_ext_similarity_topk(spark, sf_dir):
 # recall@3 0.90 on the isotropic testdata (4x8: 0.73) at a ~1.3x
 # candidate-set cost — see tests/test_ann_recall.py.
 #
-# K is ADAPTIVE in the corpus size (from parquet footer metadata, no
-# job): a fixed K makes per-bucket population N/2^K — and in-bucket
-# candidate pairs N^2/2^(K+1) — grow quadratically with the corpus (at
-# the 100x dataset a fixed K=4 left 12.5k vectors per bucket ~ 15e9
-# candidate pairs; the job never finished). lsh_k() holds the bucket
-# population near LSH_TARGET_POP, so candidate work stays ~linear:
-# K(500)=K(2k)=4 (driver/bench scales — oracles and measured recall
-# unchanged), K(20k)=8, K(200k)=11. Past N = TARGET << K_MAX (~2e9
-# vectors) the remaining dials are LSH_K_MAX and LSH_TABLES.
-LSH_K = 4          # floor (and the K at oracle/bench scale)
+# Two K regimes, because TOP-K SEARCH and THRESHOLD DEDUP sit at
+# opposite ends of the recall/candidate dial:
+#
+# - q_ext_similarity_lsh (top-k ANN, neighbor angle UNKNOWN — on the
+#   isotropic testdata nearest neighbors sit near cos ~ 0.5, per-plane
+#   collision ~ 0.6) keeps the FIXED 4x12 layout: K is a recall
+#   parameter there (0.6^11 ~ 0.4% per-table recall would silently
+#   return garbage at scale), candidate cost L*N/2^K is LINEAR in the
+#   corpus with a bounded query set, and the 100 TB path for top-k is
+#   IVF / IVF-PQ, not wider sign tables.
+# - threshold dedup at COSINE_THRESHOLD >= 0.99 (θ <= 8.1°, per-plane
+#   collision 0.9856) uses lsh_k(): at that angle even the K=24 cap
+#   keeps per-table collision at 0.9856^24 = 0.71 and the 12-table
+#   union misses a true pair with prob 0.29^12 ~ 4e-7 — so past the
+#   small-corpus floor the threshold math, not bucket arithmetic, sets
+#   K, and lsh_k jumps straight to LSH_K_MAX: candidates only FALL
+#   with K, and the uniform-bucket estimate N/2^K is the BEST case —
+#   real corpora are clustered (the 100x dataset packs 18k vectors
+#   into one K=11 bucket = 2.4e9 in-bucket pairs; K=24 measured 51e6,
+#   max bucket 1032 — the residue is true near-dup families, which no
+#   sign plane can or should split).
+LSH_K = 4          # fixed top-k layout; dedup floor at oracle/bench scale
 LSH_TABLES = 12
-LSH_TARGET_POP = 128
-# At cos 0.99 (θ=8.1°) the per-bit collision prob is 1-θ/π = 0.9856:
-# even at the K=24 cap a table collides at 0.9856^24 = 0.71 and the
-# 12-table union misses a true pair with prob 0.29^12 ~ 4e-7.
+LSH_TARGET_POP = 128   # floor region bound: N <= TARGET * 2^K keeps K=4
 LSH_K_MAX = 24
 
 
 def lsh_k(n_vectors: int) -> int:
-    """Sign bits per table for a corpus of n_vectors (bucket population
-    ~ LSH_TARGET_POP), clamped to [LSH_K, LSH_K_MAX]."""
-    import math
-
+    """Sign bits per table for THRESHOLD-dedup LSH over n_vectors.
+    LSH_K while the whole corpus fits LSH_TARGET_POP-sized buckets at
+    the floor width (driver sf0.01 = 500 and bench sf0.1 = 2000 both
+    do, keeping oracles and recorded results unchanged), LSH_K_MAX
+    beyond — see the regime note above for why no intermediate K."""
     if n_vectors <= LSH_TARGET_POP * (2 ** LSH_K):
         return LSH_K
-    return min(LSH_K_MAX, math.ceil(math.log2(n_vectors / LSH_TARGET_POP)))
+    return LSH_K_MAX
 
 
 def _bit_plane(j: int) -> tuple[int, int | None]:
@@ -233,15 +243,16 @@ _TABLES_EXPR = tables_expr(LSH_K)
 def q_ext_similarity_lsh(spark, sf_dir):
     """Multi-table sign-projection LSH top-3: candidates = union of the
     query's bucket across all tables, then exact cosine re-rank.
-    K adapts to the corpus row count (footer metadata) so per-query
-    candidate sets stay ~LSH_TABLES * LSH_TARGET_POP, not N/16."""
+
+    Deliberately FIXED 4x12 (not the dedup path's adaptive lsh_k):
+    top-k recall at unknown neighbor angles collapses with wide
+    tables, candidate cost L*N/2^K stays linear in the corpus under
+    the bounded-query-set guard, and the scale path for top-k ANN is
+    IVF / IVF-PQ (see the K-regime note at LSH_K)."""
     _guard_query_set(sf_dir, "ext_similarity_lsh")
     emb = _emb(spark, sf_dir)
     keys = emb.select(
-        "vec_id", "v",
-        F.explode(
-            F.expr(tables_expr(lsh_k(footer_rows(sf_dir, "embeddings"))))
-        ).alias("bkey"),
+        "vec_id", "v", F.explode(F.expr(_TABLES_EXPR)).alias("bkey")
     )
     queries = keys.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk")
