@@ -287,7 +287,7 @@ def q_ext_similarity_lsh(spark, sf_dir):
     )
 
 
-N_CENTROIDS = 64    # IVF coarse quantizer size (sampled, not iterated)
+N_CENTROIDS = 64    # IVF coarse quantizer floor (sampled, not iterated)
 N_PROBE = 16        # clusters probed per query
 N_ASSIGN = 2        # lists each corpus vector is indexed into (multi-
                     # assignment: 2x index size, and a candidate is found
@@ -296,20 +296,61 @@ N_ASSIGN = 2        # lists each corpus vector is indexed into (multi-
                     # (8/1: 0.53) — multi-assign buys far more recall per
                     # candidate than probing alone (8/2: 0.70 vs 16/1:
                     # 0.63 at the same scan fraction). Per-query scan
-                    # fraction ~= assign*probe/centroids of the corpus —
-                    # linear in corpus size, never all-pairs; at real
-                    # scale N_CENTROIDS grows ~sqrt(N) so the fraction
-                    # shrinks while this ratio logic holds.
+                    # fraction ~= assign*probe/centroids of the corpus.
 IVF_TOP_K = 3
+IVF_CENTROIDS_MAX = 4096
+
+
+def n_centroids(n_vectors: int) -> int:
+    """IVF coarse-quantizer size: the fixed floor at oracle/bench scale
+    (N_CENTROIDS while the corpus is at most the sf0.1 bench corpus, so
+    recorded results, recall measurements, and the static oracle SQL
+    are unchanged), FAISS-style 4*sqrt(N) beyond — with N_PROBE fixed,
+    the per-query scan fraction assign*probe/centroids then SHRINKS as
+    the corpus grows instead of each probed list growing linearly (a
+    fixed 64 left ~6.2k-vector lists at the 100x dataset: ~100k
+    candidates x 4k queries = 4e8 scored pairs, and the query timed
+    out). Assignment cost is the standard IVF add cost, N x centroids
+    cosines in one shuffle-free broadcast pass, capped by
+    IVF_CENTROIDS_MAX."""
+    import math
+
+    if n_vectors <= 2000:
+        return N_CENTROIDS
+    return min(IVF_CENTROIDS_MAX, 4 * math.isqrt(n_vectors))
 
 
 def _assign(emb, cents, id_col, out_rank, n_keep):
     """Nearest-centroid assignment by cosine (centroids broadcast; one
-    narrow pass over the corpus, no shuffle of the big side)."""
+    narrow pass over the corpus, no shuffle of the big side — the
+    partial WindowGroupLimit prunes to n_keep rows per vector before
+    the window exchange). Returns ONLY (id, cent_id): the window's
+    sort must stay on 24-byte rows — carrying the 512-byte vector
+    through it turned the assignment into a ~200 GB local sort at the
+    100x dataset; callers needing vectors re-attach them with one
+    id-keyed equi-join of index-sized frames.
+
+    Norms are factored out PER ROW (corpus side) and per centroid: the
+    cosine's operand tree per pair — round(dot / (nrm_q * nrm_c), 6) —
+    is unchanged, so values are bit-identical to the per-pair _cosine
+    _expr and to the oracles' sqrt(dot)*sqrt(dot) denominators, but the
+    N x n_centroids inner loop evaluates 64 element products instead
+    of 192 (~3x on the dominant assignment cost at scale)."""
+    cents_n = cents.withColumn(
+        "cnrm", F.sqrt(F.expr(_unrolled_dot("cv", "cv")))
+    )
     scored = emb.select(
-        F.col("vec_id").alias(id_col), F.col("v").alias("qv")
-    ).join(F.broadcast(cents), F.lit(True)).select(
-        id_col, "cent_id", _cosine_expr().alias("cent_cos")
+        F.col("vec_id").alias(id_col),
+        F.col("v").alias("qv"),
+        F.sqrt(F.expr(_unrolled_dot("v", "v"))).alias("nrm"),
+    ).join(F.broadcast(cents_n), F.lit(True)).select(
+        id_col,
+        "cent_id",
+        F.round(
+            F.expr(_unrolled_dot("qv", "cv"))
+            / (F.col("nrm") * F.col("cnrm")),
+            6,
+        ).alias("cent_cos"),
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("cent_cos"), F.asc("cent_id")
@@ -327,35 +368,60 @@ def q_ext_similarity_ivf(spark, sf_dir):
     re-rank of only the probed lists' members.
 
     At 100 TB the corpus is scanned once for assignment (centroids
-    broadcast), the inverted index is a partitioned table keyed by cent_id,
-    and each query touches N_PROBE lists instead of the full corpus.
+    broadcast, n_centroids grows ~4*sqrt(N)), the inverted index is a
+    partitioned table keyed by cent_id, and each query touches N_PROBE
+    lists instead of the full corpus.
+
+    Scoring is LIST-LOCAL: both the inverted lists and the probes carry
+    their vectors through the cent_id join (index-sized rows, one
+    bounded shuffle) and every probe-list collision is cosine-scored
+    inline on the join output, with distinct() deduping the scored
+    multi-assign/multi-probe repeats (same rounded value each time)
+    BEFORE ranking. The earlier candidates-first plan re-joined pairs
+    back to the vector frame — an exchange of every candidate row
+    CARRYING a 512-byte query vector (~200 GB at the 100x dataset; the
+    query never finished). Oracle (candidates-first) is unchanged: same
+    deduped pair set, same vectors, same rounded cosines, same ranks.
     """
     _guard_query_set(sf_dir, "ext_similarity_ivf")
     emb = _emb(spark, sf_dir, spread=True)
-    cents = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+    ncent = n_centroids(footer_rows(sf_dir, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < ncent).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    inverted = _assign(emb, cents, "cand_id", "arank", N_ASSIGN)
-    probes = _assign(
-        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0), cents,
-        "query_id", "prank", N_PROBE,
+    inverted = _assign(emb, cents, "cand_id", "arank", N_ASSIGN).join(
+        emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("v").alias("cv"),
+                   F.sqrt(F.expr(_unrolled_dot("v", "v"))).alias("cnrm")),
+        "cand_id",
     )
-    # Stride filter BEFORE the broadcast — see q_ext_similarity_lsh.
-    qv = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    queries = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
+    probes = _assign(queries, cents, "query_id", "prank", N_PROBE).join(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.sqrt(F.expr(_unrolled_dot("v", "v")))
+                       .alias("qnrm")),
+        "query_id",
     )
-    cv = emb.select(F.col("vec_id").alias("cand_id"),
-                    F.col("v").alias("cv"))
-    cand = (
+    # Unhinted on purpose: AQE broadcasts the probes side when the
+    # bounded query set is small (no shuffle of the index at all) and
+    # falls back to a cent_id-keyed SMJ when it isn't; the inverted
+    # side's cross-join lineage keeps its estimate far above the
+    # broadcast threshold at any corpus size. Norms ride as columns —
+    # same per-pair operand tree as _cosine_expr, a third of the
+    # element products.
+    scored = (
         probes.join(inverted, "cent_id")
         .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
+        .select(
+            "query_id", "cand_id",
+            F.round(
+                F.expr(_unrolled_dot("qv", "cv"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cosine"),
+        )
         .distinct()
-    )
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "cand_id")
-        .select("query_id", "cand_id", _cosine_expr().alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
@@ -415,7 +481,9 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     ).select(
         "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
     )
-    cents = embn.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cents = embn.filter(
+        F.col("vec_id") < n_centroids(footer_rows(sf_dir, "embeddings"))
+    ).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
@@ -462,22 +530,24 @@ def q_ext_similarity_ivfpq_indexed(spark, sf_dir):
         .select("query_id", "subspace", "code",
                 F.expr(_PQ_L2).alias("d"))
     )
+    # Explicit repartition before the dedup: the probe join's output
+    # fans out ~assign*probe/centroids of the corpus per query from an
+    # index-sized (or, for the materialized variant, one-small-file)
+    # input, so without it the plan can run the whole distinct + ADC +
+    # shortlist tail on ONE partition — a 1-partition child satisfies
+    # every clustering requirement, so no exchange is ever inserted
+    # (observed at the 100x dataset: a single spilling 14M-group task,
+    # ~15 min). HashPartitioning(cand_id) is a subset of the distinct
+    # keys, so the dedup fuses shuffle-free on the repartitioned frame
+    # AND pre-co-locates the codes join in _adc_wide.
     cand = (
         probes.join(inverted, "cent_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id")
+        .repartition(_parallelism(spark), "cand_id")
         .distinct()
     )
-    adc = (
-        cand.join(codes, "cand_id")
-        .join(F.broadcast(dtab), ["query_id", "subspace", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(
-            F.round(
-                F.sum(F.col("d").cast("decimal(28,12)")).cast("double"), 6
-            ).alias("adc_dist")
-        )
-    )
+    adc = _adc_wide(cand, codes, dtab)
     ws = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("cand_id")
     )
@@ -775,6 +845,83 @@ ADC_SHORTLIST = 32   # ADC-ranked candidates kept per query for the exact
 _NORM = f"sqrt({_unrolled_dot('v', 'v')})"
 
 
+def _parallelism(spark) -> int:
+    """The session's configured reducer width, for explicit repartitions
+    that must not be AQE-coalesced (AQE sizes reducers from COMPRESSED
+    map bytes, and index-derived frames — skinny delta-encoded int
+    pairs — compress so well that corpus-scale fan-outs get funneled
+    onto one task; an explicit numPartitions is exempt from coalescing).
+    """
+    try:
+        return int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return spark.sparkContext.defaultParallelism
+
+
+def _adc_wide(cand, codes, dtab):
+    """ADC distances as ONE expression per candidate row.
+
+    The row-per-subspace formulation — cand x codes x dtab joined on
+    (query_id, subspace, code), then a (query_id, cand_id) decimal-sum
+    aggregate — multiplies the candidate set by PQ_M and funnels it
+    through a final hash aggregate whose AQE-coalesced reducer count is
+    estimated from the compressed partial-agg bytes: at the 100x
+    dataset that put ~14M groups on ONE task and the search ran 20+
+    minutes. Here codes pivot to an 8-int array per candidate (tiny
+    grouped shuffle of the codes table) and the per-query table
+    broadcasts as a DENSE array slotted by subspace*K+code, so the ADC
+    sum is a chain of PQ_M exact decimal adds inline in the candidate
+    scan — no fan-out join, no aggregate. Value-identical to the summed
+    formulation (decimal addition is exact, order-free).
+
+    The dense array matters as much as the join elimination: Spark's
+    map element_at is an O(|map|) LINEAR SCAN of ArrayBasedMapData, so
+    a 512-entry map costs ~256 comparisons per lookup — PQ_M lookups x
+    |candidates| made the map-keyed first cut ~15 minutes at the 100x
+    dataset; the O(1) array subscript is the FAISS LUT shape and runs
+    the same scan in seconds. Gaps from Lloyd's empty-cluster dropout
+    densify to NULL slots (paid once per QUERY row at build); a
+    candidate's slot is always populated because codes are assigned
+    FROM the surviving book."""
+    codes_w = codes.groupBy("cand_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(subspace, code))),"
+            " p -> p.code)"
+        ).alias("code_arr")
+    )
+    dtab_w = dtab.groupBy("query_id").agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    (F.col("subspace") * IVFPQ_K + F.col("code"))
+                    .alias("k"),
+                    F.col("d").alias("v"),
+                )
+            )
+        ).alias("dmap")
+    ).select(
+        "query_id",
+        F.expr(
+            f"transform(sequence(0, {PQ_M * IVFPQ_K - 1}),"
+            " k -> dmap[k])"
+        ).alias("darr"),
+    )
+    terms = " + ".join(
+        f"CAST(element_at(darr, CAST({s} * {IVFPQ_K} +"
+        f" element_at(code_arr, {s + 1}) + 1 AS INT)) AS DECIMAL(28,12))"
+        for s in range(PQ_M)
+    )
+    return (
+        cand.join(codes_w, "cand_id")
+        .join(F.broadcast(dtab_w), "query_id")
+        .select(
+            "query_id", "cand_id",
+            F.round(F.expr(f"CAST(({terms}) AS DOUBLE)"), 6)
+            .alias("adc_dist"),
+        )
+    )
+
+
 def q_ext_similarity_ivfpq(spark, sf_dir):
     """IVF-PQ ANN search via asymmetric distance computation (ADC): the
     query keeps its exact slices, candidates are represented ONLY by
@@ -812,7 +959,13 @@ def q_ext_similarity_ivfpq(spark, sf_dir):
     ).select(
         "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
     )
-    cents = embn.filter(F.col("vec_id") < N_CENTROIDS).select(
+    # Adaptive coarse-quantizer width (floor 64 at oracle/bench scale):
+    # a fixed 64 left ~6.2k-vector lists at the 100x dataset, and the
+    # IVF candidate set — which the ADC join multiplies by PQ_M — grew
+    # to ~4e8 pairs (3e9 ADC rows); see n_centroids.
+    cents = embn.filter(
+        F.col("vec_id") < n_centroids(footer_rows(sf_dir, "embeddings"))
+    ).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
     inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
@@ -834,22 +987,24 @@ def q_ext_similarity_ivfpq(spark, sf_dir):
         .select("query_id", "subspace", "code",
                 F.expr(_PQ_L2).alias("d"))
     )
+    # Explicit repartition before the dedup: the probe join's output
+    # fans out ~assign*probe/centroids of the corpus per query from an
+    # index-sized (or, for the materialized variant, one-small-file)
+    # input, so without it the plan can run the whole distinct + ADC +
+    # shortlist tail on ONE partition — a 1-partition child satisfies
+    # every clustering requirement, so no exchange is ever inserted
+    # (observed at the 100x dataset: a single spilling 14M-group task,
+    # ~15 min). HashPartitioning(cand_id) is a subset of the distinct
+    # keys, so the dedup fuses shuffle-free on the repartitioned frame
+    # AND pre-co-locates the codes join in _adc_wide.
     cand = (
         probes.join(inverted, "cent_id")
         .filter(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id")
+        .repartition(_parallelism(spark), "cand_id")
         .distinct()
     )
-    adc = (
-        cand.join(codes, "cand_id")
-        .join(F.broadcast(dtab), ["query_id", "subspace", "code"])
-        .groupBy("query_id", "cand_id")
-        .agg(
-            F.round(
-                F.sum(F.col("d").cast("decimal(28,12)")).cast("double"), 6
-            ).alias("adc_dist")
-        )
-    )
+    adc = _adc_wide(cand, codes, dtab)
     ws = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("cand_id")
     )

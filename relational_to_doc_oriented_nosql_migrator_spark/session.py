@@ -43,6 +43,23 @@ def get_spark(
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 << 20))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # HotSpot never JIT-compiles methods over 8000 bytecode bytes
+        # (DontCompileHugeMethods): a fused whole-stage method holding a
+        # 64-dim unrolled dot product inside a join inner loop crosses
+        # that line and silently runs in the bytecode INTERPRETER —
+        # measured 205s -> 5.1s (40x) on a 51M-pair centroid-assignment
+        # loop at the 100x dataset with the flag. Code cache is raised
+        # to fit the bigger compiled bodies. Driver-side flag covers the
+        # executors too in local mode; on a real cluster mirror it in
+        # spark.executor.extraJavaOptions.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
         # The testdata parquet carries TIMESTAMP(NANOS), which Spark has no

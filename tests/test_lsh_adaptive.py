@@ -42,6 +42,17 @@ def test_k_schedule():
     assert sim.lsh_k(10**12) == sim.LSH_K_MAX
 
 
+def test_ivf_centroid_schedule():
+    # oracle (sf0.01 = 500) and bench (sf0.1 = 2000) stay at the fixed
+    # floor the static oracle SQL and recall floors were measured at
+    assert sim.n_centroids(500) == sim.N_CENTROIDS
+    assert sim.n_centroids(2000) == sim.N_CENTROIDS
+    # FAISS-style 4*sqrt(N) beyond, capped
+    assert sim.n_centroids(20_000) == 4 * 141
+    assert sim.n_centroids(200_000) == 4 * 447
+    assert sim.n_centroids(10**9) == sim.IVF_CENTROIDS_MAX
+
+
 def test_unrolled_k4_matches_legacy(spark):
     emb = spark.read.parquet(f"{SF001}/embeddings.parquet").select(
         "vec_id",
