@@ -54,7 +54,16 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # pinned VALUE-IDENTICAL to the shipped K=4 layout on the actual sf0.01
 # embeddings (tests/test_lsh_adaptive.py), so their existing rows stay
 # accurate; the behavior that changed only engages at sweep/probe
-# scales (K=8 at sf1.0, K=11 at the 100x dataset).
+# scales (K=8 at sf1.0, K=24 at the 100x dataset).
+#
+# Likewise ext_similarity_ivf / ext_similarity_ivfpq /
+# ext_similarity_ivfpq_indexed (all r04 rows): their round-5 plan
+# rewrites (adaptive n_centroids past the 2k-row floor, list-local
+# scoring, dense-array ADC, explicit candidate repartition) are
+# value-identical by construction — the DuckDB oracles are UNCHANGED
+# and all three hash-match them at sf0.01 in a vanilla session
+# (re-verified this round); only the physical plan shape at 100x
+# scale changed.
 DRIVER_WINDOW_FIRST = (
     # latest driver row is r02 — freshness rotation (46 ids)
     "ext_similarity_topk",
