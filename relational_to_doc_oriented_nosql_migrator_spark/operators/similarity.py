@@ -250,33 +250,57 @@ def q_ext_similarity_lsh(spark, sf_dir):
     the bounded-query-set guard, and the scale path for top-k ANN is
     IVF / IVF-PQ (see the K-regime note at LSH_K)."""
     _guard_query_set(sf_dir, "ext_similarity_lsh")
-    emb = _emb(spark, sf_dir)
+    # Scoring is BUCKET-LOCAL (the dedup path's shape): query vectors
+    # and norms ride the bounded strided broadcast — filtered BEFORE
+    # the hint so it ships |corpus|/QUERY_STRIDE vectors, never the
+    # whole corpus — and corpus vectors stream from the scan into the
+    # inline cosine, so no join ever shuffles (or broadcasts) a
+    # corpus-scale vector relation. The candidates-first plan's
+    # post-distinct vector fetch only survived because Spark elected
+    # to broadcast the 512-byte-per-row corpus side from its 50 MB
+    # parquet estimate — the dup_rate OOM class at real scale.
+    #
+    # Dedup of multi-table collisions (same rounded cosine each time)
+    # happens AFTER one explicit query_id-keyed shuffle: the subset-key
+    # HashPartitioning satisfies the distinct AND the rank window, so
+    # the whole tail runs exchange-free on _parallelism partitions —
+    # without it, the fused scan+join+partial-distinct spill-sorted
+    # ~600M duplicate-laden pairs inside skewed map tasks (sf10: the
+    # straggler ran 8+ min).
+    #
+    # spread=True round-robins the corpus before keying: near-dup
+    # clusters are ADJACENT in vec_id order, so file-layout splits give
+    # one map task the dense cluster whose bucket-mates (and strided
+    # query siblings) dominate pair volume — that task alone generated
+    # most of the ~600M pairs and ran 6+ min while eleven finished in
+    # seconds; a 110 MB round-robin shuffle of the raw vectors spreads
+    # generation evenly.
+    emb = _emb(spark, sf_dir, spread=True).withColumn(
+        "nrm", F.sqrt(F.expr(_unrolled_dot("v", "v")))
+    )
     keys = emb.select(
-        "vec_id", "v", F.explode(F.expr(_TABLES_EXPR)).alias("bkey")
+        "vec_id", "v", "nrm", F.explode(F.expr(_TABLES_EXPR)).alias("bkey")
     )
     queries = keys.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk")
+        F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
     )
-    cand = (
-        keys.select(F.col("vec_id").alias("cand_id"), "bkey")
+    scored = (
+        keys.select(F.col("vec_id").alias("cand_id"), "bkey",
+                    F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
         .join(F.broadcast(queries),
               (F.col("qk") == F.col("bkey"))
               & (F.col("query_id") != F.col("cand_id")))
-        .select("query_id", "cand_id")
+        .select(
+            "query_id", "cand_id",
+            F.round(
+                F.expr(_unrolled_dot("qv", "cv"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .repartition(_parallelism(spark), "query_id")
         .distinct()
-    )
-    # Only strided ids are queries: filter BEFORE the broadcast so the
-    # hint ships |corpus|/QUERY_STRIDE vectors, not the whole corpus
-    # (an unfiltered qv broadcast is an executor OOM at 100 TB).
-    qv = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
-    )
-    cv = emb.select(F.col("vec_id").alias("cand_id"),
-                    F.col("v").alias("cv"))
-    scored = (
-        cand.join(F.broadcast(qv), "query_id")
-        .join(cv, "cand_id")
-        .select("query_id", "cand_id", _cosine_expr().alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
