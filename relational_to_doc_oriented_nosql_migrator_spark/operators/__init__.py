@@ -64,6 +64,15 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # and all three hash-match them at sf0.01 in a vanilla session
 # (re-verified this round); only the physical plan shape at 100x
 # scale changed.
+#
+# And ext_text_entropy / ext_fuzzy_join_names (both r04 rows): the
+# round-5 change is a repartition of the raw narrow scan to full
+# parallelism BEFORE their explodes (per-char histogram / SymSpell
+# deletion keys) — the sf10 probe showed both stages pinned to the
+# input's 1-2 file splits. Repartition cannot change values (entropy's
+# decimal term sum is order-independent; the fuzzy candidate set is a
+# set); both hash-match their unchanged oracles at sf0.01 in a vanilla
+# session (re-verified after the change).
 DRIVER_WINDOW_FIRST = (
     # latest driver row is r02 — freshness rotation (46 ids)
     "ext_similarity_topk",

@@ -339,10 +339,17 @@ def q_ext_fuzzy_join_names(spark, sf_dir):
     Scale shape: |name| + 1 keys per row (narrow explode), one
     key-partitioned shuffle join, verification on the candidate set
     only. At 100 TB the key space is near-unique, so bucket collisions
-    stay tiny.
+    stay tiny. The narrow (id, name) scan is spread to full parallelism
+    BEFORE the deletion-key explode: the explode multiplies each input
+    split ~|name|-wide and the key-shuffle write happens in the same
+    stage, so a compact few-split input would otherwise serialize key
+    generation onto a couple of cores (the sf10 probe's timeout —
+    customer at sf10 is one 6 MB parquet file = one split).
     """
-    cust = t(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("id"), F.col("c_name").alias("nm")
+    cust = (
+        t(spark, sf_dir, "customer")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
     )
     keys = cust.select(
         "id", "nm", F.explode(F.expr(_DELETE_KEYS)).alias("k")

@@ -247,14 +247,23 @@ def q_ext_text_entropy(spark, sf_dir):
     already pays) and the (doc_id, char) count map-side combines to at
     most |alphabet| rows per doc before the shuffle. Each summand is
     rounded to 9 digits and summed in decimal, so the per-doc fold is
-    order-independent and engine-exact.
+    order-independent and engine-exact. The raw scan is spread to full
+    parallelism FIRST: the explode multiplies each input split ~|doc|
+    chars wide, so a compact few-split corpus would otherwise pin the
+    whole explode+combine stage to a couple of cores (the sf10 probe's
+    straggler; values are unaffected — the decimal term sum is
+    order-independent by construction).
     """
     # Empty docs are excluded on BOTH engines: Spark's sequence(1, 0) is
     # the DESCENDING [1, 0] (two spurious rows + an ANSI divide-by-zero),
     # while DuckDB's generate_series(1, 0) is empty — the filter is what
     # keeps the engines agreeing (entropy of an empty string is
     # undefined anyway).
-    docs = t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.length("text") > 0)
+    )
     ch = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("total"),

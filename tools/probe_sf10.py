@@ -1,0 +1,93 @@
+"""100x (sf10) scale probe for a named subset of registry ids.
+
+Runs each id's builder against $PROBE_SF_DIR (default
+/tmp/spark_graft_scale/sf10) with a cancelJobGroup watchdog (SIGALRM
+breaks py4j; cancelJobGroup + clearing spark.jobGroup.id is the safe
+shape — see the round-5 journal). Must be launched with
+PYTHONPATH=/root/repo so local-mode Python workers can import the
+package (Pandas-UDF ops cloudpickle module references; a driver-only
+sys.path.insert is NOT enough — that was the probe2 failure mode).
+
+Usage:
+  PYTHONPATH=/root/repo python tools/probe_sf10.py [id ...]
+With no ids, probes every registry id missing an OK/GUARDED line in
+$PROBE_DONE (default /tmp/probe100/.done3).
+"""
+import concurrent.futures as cf
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+class QTimeout(Exception):
+    pass
+
+
+def main():
+    from relational_to_doc_oriented_nosql_migrator_spark.session import get_spark
+
+    spark = get_spark(app_name="probe_sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = os.environ.get("PROBE_SF_DIR", "/tmp/spark_graft_scale/sf10")
+    done_path = os.environ.get("PROBE_DONE", "/tmp/probe100/.done3")
+    done = set()
+    if os.path.exists(done_path):
+        done = set(open(done_path).read().split())
+    ids = sys.argv[1:] or [q for q in qs if q not in done]
+    timeout = int(os.environ.get("PROBE_TIMEOUT", "900"))
+    pool = cf.ThreadPoolExecutor(max_workers=1)
+    for qid in ids:
+        if qid not in qs:
+            print(f"SKIP {qid} not-in-registry", flush=True)
+            continue
+        t0 = time.time()
+
+        def run(qid=qid):
+            spark.sparkContext.setJobGroup(qid, qid, interruptOnCancel=True)
+            try:
+                return qs[qid](spark, sf).count()
+            finally:
+                spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+
+        try:
+            fut = pool.submit(run)
+            try:
+                n = fut.result(timeout=timeout)
+            except cf.TimeoutError:
+                spark.sparkContext.cancelJobGroup(qid)
+                try:
+                    fut.result(timeout=60)
+                except Exception:
+                    pass
+                raise QTimeout()
+            print(f"OK {qid} rows={n} t={round(time.time() - t0, 1)}",
+                  flush=True)
+            with open(done_path, "a") as f:
+                f.write(qid + "\n")
+        except QTimeout:
+            print(f"FAIL {qid} TIMEOUT {timeout}s", flush=True)
+        except ValueError as ex:
+            if "refuses" in str(ex):
+                print(f"GUARDED {qid}", flush=True)
+                with open(done_path, "a") as f:
+                    f.write(qid + "\n")
+            else:
+                print(f"FAIL {qid} ValueError {str(ex)[:300]}", flush=True)
+        except Exception as ex:
+            print(f"FAIL {qid} {type(ex).__name__} {str(ex)[:300]}",
+                  flush=True)
+            try:
+                spark.range(1).count()
+            except Exception:
+                print("JVM DEAD — rerun to resume", flush=True)
+                return
+    print("PROBE COMPLETE", flush=True)
+
+
+if __name__ == "__main__":
+    main()
