@@ -336,39 +336,72 @@ def q_ext_fuzzy_join_names(spark, sf_dir):
     materializes (the same shape as the MinHash band join). Candidates
     are then verified with the exact levenshtein distance.
 
-    Scale shape: |name| + 1 keys per row (narrow explode), one
-    key-partitioned shuffle join, verification on the candidate set
-    only. At 100 TB the key space is near-unique, so bucket collisions
-    stay tiny. The narrow (id, name) scan is spread to full parallelism
-    BEFORE the deletion-key explode: the explode multiplies each input
-    split ~|name|-wide and the key-shuffle write happens in the same
-    stage, so a compact few-split input would otherwise serialize key
-    generation onto a couple of cores (the sf10 probe's timeout —
-    customer at sf10 is one 6 MB parquet file = one split).
+    Scale shape — match DISTINCT names, then expand to id pairs.
+    Real corpora duplicate entity names heavily (the sf10 testdata has
+    1.5M customers over 15k distinct names), and id-level SymSpell pays
+    the candidate join per ID pair: sum(bucket^2) there is 21.8 BILLION
+    probes at sf10 (measured), where the distinct-name frame needs only
+    ~|names|-scale work. So:
+      1. dedup names (one narrow distinct over the scan);
+      2. SymSpell key explode + merge-hinted self-join + levenshtein
+         verify over DISTINCT names only — each name emits
+         array_distinct'd deletion keys (zero-padded names would emit
+         one key per zero in a run otherwise, squaring the join output
+         per matching pair);
+      3. expand matched name pairs back to id pairs with two linear
+         equi-joins on name (both orderings of each cross-name match,
+         plus the self-match branch for duplicated names) — the
+         expansion is exactly the true output plus the discarded
+         id_a >= id_b half, no wasted levenshtein, no quadratic probes.
+    Every pair appears exactly once by construction (a given (id_a,
+    id_b) matches exactly one ordered name pair), so no final distinct.
+    The merge hint on the key join keeps the exploded key frame off the
+    broadcast path (post-Generate size estimates never grow — the
+    dup_rate class); the expansion joins carry post-shuffle frames with
+    honest stats, so Catalyst's broadcast choice there scales safely.
     """
     cust = (
         t(spark, sf_dir, "customer")
         .repartition(spark.sparkContext.defaultParallelism)
         .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
     )
-    keys = cust.select(
-        "id", "nm", F.explode(F.expr(_DELETE_KEYS)).alias("k")
+    dn = cust.select("nm").distinct()
+    keys = dn.select(
+        "nm", F.explode(F.array_distinct(F.expr(_DELETE_KEYS))).alias("k")
     )
-    ka = keys.select(F.col("id").alias("id_a"),
-                     F.col("nm").alias("name_a"), "k")
-    kb = keys.select(F.col("id").alias("id_b"),
-                     F.col("nm").alias("name_b"), "k")
-    cand = (
-        ka.join(kb, "k")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "name_a", "name_b")
+    ka = keys.select(F.col("nm").alias("na"), "k")
+    kb = keys.select(F.col("nm").alias("nb"), "k")
+    cross = (
+        ka.join(kb.hint("merge"), "k")
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb")
         .distinct()
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= FUZZY_MAX_DIST)
     )
+    # Ordered name-pair relation: (na, nb, d) meaning "id_a carries na,
+    # id_b carries nb". Cross matches expand in both orderings (the
+    # id_a < id_b filter decides which applies per id pair); identical
+    # names (distance 0) expand within one name group.
+    ordered = (
+        cross
+        .unionByName(cross.select(F.col("nb").alias("na"),
+                                  F.col("na").alias("nb"), "d"))
+        .unionByName(dn.select(F.col("nm").alias("na"),
+                               F.col("nm").alias("nb"),
+                               F.lit(0).alias("d")))
+    )
+    a = cust.select(F.col("id").alias("id_a"), F.col("nm").alias("na"))
+    b = cust.select(F.col("id").alias("id_b"), F.col("nm").alias("nb"))
     return (
-        cand.withColumn(
-            "distance", F.levenshtein("name_a", "name_b")
+        a.join(ordered, "na")
+        .join(b, "nb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.col("na").alias("name_a"), F.col("nb").alias("name_b"),
+            F.col("d").cast("int").alias("distance"),
         )
-        .filter(F.col("distance") <= FUZZY_MAX_DIST)
     )
 
 

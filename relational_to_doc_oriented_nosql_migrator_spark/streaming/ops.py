@@ -86,9 +86,40 @@ def read_events_stream(
     return sdf
 
 
-def run_stream_to_batch(sdf: DataFrame, output_mode: str) -> DataFrame:
+def run_stream_to_batch(
+    sdf: DataFrame, output_mode: str, sink: str = "memory"
+) -> DataFrame:
     """Execute a streaming DataFrame over all currently-available input
-    (`availableNow`) into a memory sink; return the materialized result."""
+    (`availableNow`); return the materialized result.
+
+    sink="memory" is fine for bounded results (window x type rollups,
+    per-user state), but the memory sink ships every partition's rows to
+    the driver inside the task-result/commit messages — a corpus-scale
+    result OOMs the driver's dispatcher long before the heap fills with
+    the rows themselves (observed at sf10: 9.55M session rows killed the
+    scheduler event loop). sink="files" is the scale path for
+    complete-mode results proportional to the corpus: foreachBatch
+    overwrites a scratch parquet dir with each batch's full result —
+    executors write the files directly, nothing transits the driver —
+    and the LAST batch's complete output is by definition the final
+    answer, so overwrite-per-batch is exactly-once without any upsert
+    machinery. On a real cluster this is the only shape that works; the
+    memory sink exists for dimension-sized results and tests.
+    """
+    if sink == "files":
+        out = scratch_dir("sg_stream_files_")
+
+        def _write_batch(bdf: DataFrame, _epoch: int) -> None:
+            bdf.write.mode("overwrite").parquet(out)
+
+        query = (
+            sdf.writeStream.foreachBatch(_write_batch)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+        return sdf.sparkSession.read.parquet(out)
     name = f"sg_stream_{next(_MEM_COUNTER)}"
     query = (
         sdf.writeStream.format("memory")
@@ -390,8 +421,13 @@ def q_ext_stream_sliding_agg(spark, sf_dir):
 
 
 def q_ext_stream_session_agg(spark, sf_dir):
+    # files sink: per-user 30-min sessions are corpus-proportional (a
+    # sparse event stream yields nearly one session per event — 9.55M at
+    # sf10), so the result must land distributed, not in driver task
+    # results. Values are sink-independent; the oracle is unchanged.
     return run_stream_to_batch(
-        stream_session_agg(read_events_stream(spark, sf_dir)), "complete"
+        stream_session_agg(read_events_stream(spark, sf_dir)), "complete",
+        sink="files",
     )
 
 
