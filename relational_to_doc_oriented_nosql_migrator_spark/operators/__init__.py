@@ -66,13 +66,18 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # scale changed.
 #
 # And ext_text_entropy / ext_fuzzy_join_names (both r04 rows): the
-# round-5 change is a repartition of the raw narrow scan to full
-# parallelism BEFORE their explodes (per-char histogram / SymSpell
-# deletion keys) — the sf10 probe showed both stages pinned to the
-# input's 1-2 file splits. Repartition cannot change values (entropy's
-# decimal term sum is order-independent; the fuzzy candidate set is a
-# set); both hash-match their unchanged oracles at sf0.01 in a vanilla
-# session (re-verified after the change).
+# round-5 changes are (a) a repartition of the raw narrow scan to full
+# parallelism before the per-char explode (the sf10 probe showed the
+# stage pinned to the input's file splits) and (b) the fuzzy linkage
+# rewritten to match DISTINCT names and expand matches back to id
+# pairs (id-level SymSpell is quadratic in the name-duplication factor
+# — 21.8B candidate probes at sf10). Both produce the same result SET
+# as the unchanged oracles by construction and hash-match them at
+# sf0.01 in a vanilla session (re-verified after each change).
+# ext_stream_session_agg also changed (files sink — the memory sink
+# ships corpus-scale results through driver task results) but already
+# holds a round-5 window slot below, so it gets a fresh hard-signal
+# row on the new code path.
 DRIVER_WINDOW_FIRST = (
     # latest driver row is r02 — freshness rotation (46 ids)
     "ext_similarity_topk",

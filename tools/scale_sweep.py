@@ -21,13 +21,16 @@ A handful of ids need special handling, annotated in SKIP/NOTES below.
 
 Round-5 result (rerun end-to-end with the watchdog machinery below):
 143 OK + 2 GUARDED refusals by design = all 145 ids on the 1 GB
-driver, zero failures (fuzzy_join_names verifies 26.9M true
-edit-distance pairs in ~545 s; sink_json_collections ~30 s — it
-previously needed a 2 GB heap until profiling traced the memory to
-document-sized aggregation buffers, fixed in plans/nesting.py +
-sinks/json_collections.py). The rerun also exercised the self-heal
-live: one dispatcher-thread OOM (ext_stream_session_agg) was caught,
-retried on a fresh JVM, and passed.
+driver, zero failures (sink_json_collections ~30 s — it previously
+needed a 2 GB heap until profiling traced the memory to document-sized
+aggregation buffers, fixed in plans/nesting.py +
+sinks/json_collections.py). Two of that run's slow spots were then
+fixed at the root late in round 5, re-verified on the same 1 GB
+vanilla driver: fuzzy_join_names 545 s -> 10.3 s (same 26,925,000
+verified pairs; name-level SymSpell instead of id-level), and
+ext_stream_session_agg's dispatcher-thread OOM (which the sweep's
+fresh-JVM retry had papered over) eliminated by the files sink —
+7.2 s first try.
 """
 import os
 import signal
