@@ -6,10 +6,16 @@ Design:
   the batch ops read (nanos timestamps normalized identically), so every
   streaming op has a batch twin with identical semantics.
 - Each op returns a STREAMING DataFrame; `run_stream_to_batch` executes it
-  with `trigger(availableNow=True)` into a memory sink and returns the
-  result as a batch DataFrame. That makes streaming ops first-class
-  `queries()` entries with real DuckDB oracles — the whole
-  source->watermark->stateful-op->sink path is hash-checked, not smoke-run.
+  with `trigger(availableNow=True)` and returns the result as a batch
+  DataFrame. Ops whose output is corpus-proportional (windowed rollups,
+  sessions, deduped events, matched pairs) land in a distributed files
+  sink — foreachBatch parquet overwrite for complete mode, the
+  checkpointed parquet streaming sink for append — because the memory
+  sink ships rows through driver task results; only the per-user-bounded
+  update-mode ops use the memory sink. That makes streaming ops
+  first-class `queries()` entries with real DuckDB oracles — the whole
+  source->watermark->stateful-op->sink path is hash-checked, not
+  smoke-run.
 - Watermarks bound state at scale; with availableNow over a finite input
   the final result in complete/update mode equals the batch answer (the
   late-data DROP path is exercised by the multi-batch test in
@@ -44,6 +50,24 @@ from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import (
 _MEM_COUNTER = itertools.count()
 
 
+def ensure_streaming_confs(spark: SparkSession) -> None:
+    """RocksDB state store for every stream op (set at the one source
+    choke point so the driver's vanilla session gets it too): the default
+    HDFSBackedStateStoreProvider keeps ALL state on the executor heap, so
+    a complete-mode rollup whose state is corpus-proportional (time
+    windows, sessions, distinct event keys) eventually OOMs executors at
+    scale. RocksDB keeps state off-heap with disk spill — bounded memory
+    regardless of state size. Hash-verified value-identical across every
+    stateful op, including the applyInPandasWithState ones; checkpoints
+    here are per-call scratch dirs, so the provider's state format never
+    crosses a provider change."""
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+
 def read_events_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -53,6 +77,7 @@ def read_events_stream(
     """File-stream source over the events table (new files picked up as
     they land — the production shape for a continuously-ingested corpus)."""
     ensure_runtime_confs(spark)
+    ensure_streaming_confs(spark)
     if path is None:
         # Glob form: the file-stream source requires its basePath to be a
         # directory, and the glob keeps it at sf_dir while matching only
@@ -92,22 +117,49 @@ def run_stream_to_batch(
     """Execute a streaming DataFrame over all currently-available input
     (`availableNow`); return the materialized result.
 
-    sink="memory" is fine for bounded results (window x type rollups,
-    per-user state), but the memory sink ships every partition's rows to
-    the driver inside the task-result/commit messages — a corpus-scale
-    result OOMs the driver's dispatcher long before the heap fills with
-    the rows themselves (observed at sf10: 9.55M session rows killed the
-    scheduler event loop). sink="files" is the scale path for
-    complete-mode results proportional to the corpus: foreachBatch
-    overwrites a scratch parquet dir with each batch's full result —
-    executors write the files directly, nothing transits the driver —
-    and the LAST batch's complete output is by definition the final
-    answer, so overwrite-per-batch is exactly-once without any upsert
-    machinery. On a real cluster this is the only shape that works; the
-    memory sink exists for dimension-sized results and tests.
+    sink="memory" is fine for bounded results (per-user state), but the
+    memory sink ships every partition's rows to the driver inside the
+    task-result/commit messages — a corpus-scale result OOMs the
+    driver's dispatcher long before the heap fills with the rows
+    themselves (observed at sf10: 9.55M session rows killed the
+    scheduler event loop). sink="files" is the scale path for results
+    proportional to the corpus — executors write parquet directly,
+    nothing transits the driver — with the mechanism picked by output
+    mode:
+      - complete: foreachBatch overwrites a scratch dir with each
+        batch's full result; the LAST complete-mode batch is by
+        definition the final answer, so overwrite-per-batch is
+        exactly-once without any upsert machinery (the parquet
+        streaming sink itself cannot run in complete mode);
+      - append: the real checkpointed parquet streaming sink —
+        exactly-once via the _spark_metadata commit log, the same
+        shape stream_to_json_files ships;
+      - update: unsupported here by design — a batch's update output
+        is only the CHANGED rows, so neither overwrite nor blind
+        append reconstructs the result without upsert keys (that is
+        ext_stream_cdc_upsert's foreachBatch job). The update-mode ops
+        keep the memory sink because their state (and thus output) is
+        per-user bounded.
     """
     if sink == "files":
         out = scratch_dir("sg_stream_files_")
+        if output_mode == "append":
+            query = (
+                sdf.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", scratch_dir("sg_stream_ckpt_"))
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            query.awaitTermination()
+            return sdf.sparkSession.read.parquet(out)
+        if output_mode != "complete":
+            raise ValueError(
+                "sink='files' supports complete (foreachBatch overwrite) "
+                "and append (parquet streaming sink) modes only; update-"
+                "mode results need upsert keys (see ext_stream_cdc_upsert)"
+            )
 
         def _write_batch(bdf: DataFrame, _epoch: int) -> None:
             bdf.write.mode("overwrite").parquet(out)
@@ -408,15 +460,24 @@ def stream_sessionize(events: DataFrame):
 # ---------------------------------------------------------------------------
 
 
+# The windowed complete-mode rollups and the append-mode event streams
+# all produce corpus-proportional output (time windows x types, distinct
+# events, matched pairs), so they take the files sink; only the two
+# update-mode per-user state ops stay on the memory sink (bounded by
+# |users|, and update output needs upsert keys to land in files).
+
+
 def q_ext_stream_tumbling_agg(spark, sf_dir):
     return run_stream_to_batch(
-        stream_tumbling_agg(read_events_stream(spark, sf_dir)), "complete"
+        stream_tumbling_agg(read_events_stream(spark, sf_dir)), "complete",
+        sink="files",
     )
 
 
 def q_ext_stream_sliding_agg(spark, sf_dir):
     return run_stream_to_batch(
-        stream_sliding_agg(read_events_stream(spark, sf_dir)), "complete"
+        stream_sliding_agg(read_events_stream(spark, sf_dir)), "complete",
+        sink="files",
     )
 
 
@@ -441,19 +502,21 @@ def q_ext_stream_enrich_agg(spark, sf_dir):
     )
     return run_stream_to_batch(
         stream_enrich_agg(read_events_stream(spark, sf_dir), dim),
-        "complete",
+        "complete", sink="files",
     )
 
 
 def q_ext_stream_dedup(spark, sf_dir):
     return run_stream_to_batch(
-        stream_dedup_keys(read_events_stream(spark, sf_dir)), "append"
+        stream_dedup_keys(read_events_stream(spark, sf_dir)), "append",
+        sink="files",
     )
 
 
 def q_ext_stream_interval_join(spark, sf_dir):
     return run_stream_to_batch(
-        stream_interval_join(read_events_stream(spark, sf_dir)), "append"
+        stream_interval_join(read_events_stream(spark, sf_dir)), "append",
+        sink="files",
     )
 
 
