@@ -77,7 +77,13 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # ext_stream_session_agg also changed (files sink — the memory sink
 # ships corpus-scale results through driver task results) but already
 # holds a round-5 window slot below, so it gets a fresh hard-signal
-# row on the new code path.
+# row on the new code path — as do the other four in-window stream ops
+# after the files-sink/RocksDB-state change (tumbling, sliding, dedup,
+# stateful, plus stream_to_json_files). The two stream ops NOT in the
+# window, ext_stream_enrich_agg / ext_stream_interval_join (r03 rows),
+# took the same sink swap: value-identical by construction (the sink
+# only changes where rows land), hash-verified against their unchanged
+# oracles at sf0.01 in a vanilla session after the change.
 DRIVER_WINDOW_FIRST = (
     # latest driver row is r02 — freshness rotation (46 ids)
     "ext_similarity_topk",
