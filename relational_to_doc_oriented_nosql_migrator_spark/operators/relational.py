@@ -382,14 +382,20 @@ def q_ext_fuzzy_join_names(spark, sf_dir):
     # Ordered name-pair relation: (na, nb, d) meaning "id_a carries na,
     # id_b carries nb". Cross matches expand in both orderings (the
     # id_a < id_b filter decides which applies per id pair); identical
-    # names (distance 0) expand within one name group.
-    ordered = (
-        cross
-        .unionByName(cross.select(F.col("nb").alias("na"),
-                                  F.col("na").alias("nb"), "d"))
-        .unionByName(dn.select(F.col("nm").alias("na"),
-                               F.col("nm").alias("nb"),
-                               F.lit(0).alias("d")))
+    # names (distance 0) expand within one name group. Both orderings
+    # come from ONE explode over the verified pairs — a union of cross
+    # with its own swap would replay the whole candidate-verify plan
+    # above the distinct's exchange a second time.
+    both_orders = cross.select(
+        F.explode(F.array(
+            F.struct(F.col("na"), F.col("nb"), F.col("d")),
+            F.struct(F.col("nb").alias("na"), F.col("na").alias("nb"),
+                     F.col("d")),
+        )).alias("p")
+    ).select("p.*")
+    ordered = both_orders.unionByName(
+        dn.select(F.col("nm").alias("na"), F.col("nm").alias("nb"),
+                  F.lit(0).alias("d"))
     )
     a = cust.select(F.col("id").alias("id_a"), F.col("nm").alias("na"))
     b = cust.select(F.col("id").alias("id_b"), F.col("nm").alias("nb"))

@@ -143,6 +143,10 @@ def run_stream_to_batch(
     """
     if sink == "files":
         out = scratch_dir("sg_stream_files_")
+        # Read-back passes the stream's schema explicitly: an all-filtered
+        # result commits a batch with zero data files, and schema
+        # INFERENCE over an empty parquet dir raises instead of returning
+        # the empty, correctly-typed frame the memory sink would have.
         if output_mode == "append":
             query = (
                 sdf.writeStream.format("parquet")
@@ -153,7 +157,7 @@ def run_stream_to_batch(
                 .start()
             )
             query.awaitTermination()
-            return sdf.sparkSession.read.parquet(out)
+            return sdf.sparkSession.read.schema(sdf.schema).parquet(out)
         if output_mode != "complete":
             raise ValueError(
                 "sink='files' supports complete (foreachBatch overwrite) "
@@ -171,7 +175,7 @@ def run_stream_to_batch(
             .start()
         )
         query.awaitTermination()
-        return sdf.sparkSession.read.parquet(out)
+        return sdf.sparkSession.read.schema(sdf.schema).parquet(out)
     name = f"sg_stream_{next(_MEM_COUNTER)}"
     query = (
         sdf.writeStream.format("memory")

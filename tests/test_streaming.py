@@ -254,3 +254,65 @@ def test_sessionize_interval_union_across_batches(spark, tmp_path):
     end = pd.Timestamp("2024-08-07 11:20:00").value // 1000
     assert merged["first_start_micros"] == start
     assert merged["last_end_micros"] == end
+
+
+def test_files_sink_complete_append_and_empty(spark, tmp_path):
+    """run_stream_to_batch(sink='files'): complete mode lands via
+    foreachBatch parquet overwrite, append mode via the checkpointed
+    parquet streaming sink, and an ALL-FILTERED append result must come
+    back as an empty, correctly-typed frame (the read-back passes the
+    stream's schema explicitly — schema inference over a zero-data-file
+    commit raises instead). Update mode must refuse: a batch's update
+    output is only the changed rows, which no overwrite/append can
+    reconstruct without upsert keys."""
+    import pytest
+
+    from relational_to_doc_oriented_nosql_migrator_spark.streaming import (
+        stream_dedup_keys,
+    )
+
+    d = str(tmp_path)
+    now = time.time()
+    _write_events(
+        os.path.join(d, "b1.parquet"),
+        [
+            (1, "2024-08-07 10:00:00", 1, "click", 1.0, "{}"),
+            (1, "2024-08-07 10:00:00", 1, "click", 1.0, "{}"),  # dup id
+            (2, "2024-08-07 10:03:00", 1, "view", 2.0, "{}"),
+        ],
+        now - 30,
+    )
+
+    def src():
+        return read_events_stream(
+            spark, d, path=os.path.join(d, "*.parquet")
+        )
+
+    # complete mode -> foreachBatch overwrite path.
+    got = run_stream_to_batch(
+        stream_tumbling_agg(src()), "complete", sink="files"
+    ).collect()
+    assert {(r["event_type"], r["n_events"]) for r in got} == {
+        ("click", 2), ("view", 1)
+    }
+
+    # append mode -> checkpointed parquet streaming sink (dedup emits
+    # each (user_id, event_type) key once).
+    dedup = run_stream_to_batch(
+        stream_dedup_keys(src()), "append", sink="files"
+    )
+    assert sorted((r["user_id"], r["event_type"])
+                  for r in dedup.collect()) == [(1, "click"), (1, "view")]
+
+    # append mode with an all-filtered result -> empty frame, same schema.
+    empty = run_stream_to_batch(
+        stream_dedup_keys(src()).filter("user_id < 0"), "append",
+        sink="files",
+    )
+    assert empty.count() == 0
+    assert "user_id" in empty.columns
+
+    # update mode refuses the files sink.
+    with pytest.raises(ValueError, match="upsert"):
+        run_stream_to_batch(stream_tumbling_agg(src()), "update",
+                            sink="files")

@@ -35,6 +35,7 @@ def main():
     qs = e.queries()
     sf = os.environ.get("PROBE_SF_DIR", "/tmp/spark_graft_scale/sf10")
     done_path = os.environ.get("PROBE_DONE", "/tmp/probe100/.done3")
+    os.makedirs(os.path.dirname(done_path) or ".", exist_ok=True)
     done = set()
     if os.path.exists(done_path):
         done = set(open(done_path).read().split())
@@ -59,11 +60,23 @@ def main():
             try:
                 n = fut.result(timeout=timeout)
             except cf.TimeoutError:
+                # cancelJobGroup reaches batch jobs only; streaming
+                # micro-batches run under the query's own runId group,
+                # so stop active streams explicitly too.
                 spark.sparkContext.cancelJobGroup(qid)
+                for sq in spark.streams.active:
+                    try:
+                        sq.stop()
+                    except Exception:
+                        pass
                 try:
                     fut.result(timeout=60)
                 except Exception:
-                    pass
+                    # The worker is wedged past the grace period —
+                    # abandon the single-thread pool, else every later
+                    # id queues behind the stuck thread and reports a
+                    # false TIMEOUT.
+                    pool = cf.ThreadPoolExecutor(max_workers=1)
                 raise QTimeout()
             print(f"OK {qid} rows={n} t={round(time.time() - t0, 1)}",
                   flush=True)
@@ -87,6 +100,9 @@ def main():
                 print("JVM DEAD — rerun to resume", flush=True)
                 return
     print("PROBE COMPLETE", flush=True)
+    # Hard-exit: a wedged (abandoned) worker thread is non-daemon and
+    # would otherwise block interpreter shutdown forever.
+    os._exit(0)
 
 
 if __name__ == "__main__":
