@@ -143,46 +143,67 @@ def q_ext_decontaminate(spark, sf_dir):
 def repetition_filter_from(docs_tk):
     """Repetition signals over a pre-tokenized (doc_id, ..., tk) frame.
 
-    Zero-shuffle: the signals are per-doc functions of the doc's own
-    bigrams, so instead of exploding every bigram into a corpus-sized
-    shuffle (explode -> groupBy doc_id,bigram -> groupBy doc_id), the max
-    bigram multiplicity is computed row-locally as the longest run in the
-    per-doc SORTED bigram array. Cost is O(len * log len) per doc, bounded
-    by document length — at 100 TB this is a narrow map over the corpus
-    versus shuffling ~1 bigram row per corpus token."""
-    # Longest run in the sorted array == max multiplicity of any element.
-    max_n = F.expr(
-        "aggregate(array_sort(bg),"
-        " struct(0 AS run, 0 AS best, CAST(NULL AS STRING) AS prev),"
-        " (acc, x) -> struct("
-        "   IF(x <=> acc.prev, acc.run + 1, 1),"
-        "   greatest(acc.best, IF(x <=> acc.prev, acc.run + 1, 1)), x),"
-        " acc -> acc.best)"
+    Plan shape — one doc_id hash shuffle of the narrow (doc_id, tk)
+    frame, then explode + TWO exchange-free hash aggregations. The
+    doc_id repartition is a SUBSET of both aggregates' grouping keys
+    ((doc_id, ..., w1, w2) and (doc_id, ...)), so each HashAggregate
+    runs partial+final in place with no further shuffle, and the whole
+    post-exchange pipeline is one WholeStageCodegen span.
+
+    This replaced a row-local sorted-run fold (aggregate() over the
+    per-doc sorted bigram array). That shape looked scale-right — zero
+    shuffle, O(len log len) per doc — but Catalyst higher-order
+    functions are INTERPRETED (lambda expressions are excluded from
+    codegen), and the measured constant was ~5ms CPU per ~50-token doc:
+    310s for 500k docs at sf10 where this codegen explode+hash-agg plan
+    needs a few seconds. The bigram rows never fan out to a corpus-wide
+    shuffle: they are consumed by the co-located aggregate inside the
+    same stage that generates them. arrays_zip/slice build the pairs
+    (codegen collection expressions, not lambdas), and a doc with < 2
+    tokens emits no pair rows, so it is absent from the output exactly
+    as before — no pre-filter needed (a filter on size(tk) would be
+    pushed below the exchange and re-tokenize at scan parallelism)."""
+    spark = docs_tk.sparkSession
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tok = (
+        docs_tk.select("doc_id", "tk")
+        .repartition(n, "doc_id")
+        .select(
+            "doc_id",
+            F.size("tk").alias("n_tokens"),
+            F.size(F.array_distinct("tk")).alias("n_distinct"),
+            "tk",
+        )
     )
-    per_doc = docs_tk.select(
-        "doc_id",
-        F.size("tk").alias("n_tokens"),
-        F.size(F.array_distinct("tk")).alias("n_distinct"),
-        F.expr(
-            "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
-            " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
-        ).alias("bg"),
-    ).filter(
-        # Docs with < 2 tokens have no bigrams: absent from the output,
-        # exactly as the previous explode-based plan dropped them.
-        F.size("bg") > 0
+    # The count key is the space-joined bigram STRING, not the (w1, w2)
+    # pair: that is the historical key (and the property test's Python
+    # model), and for tokens that themselves contain spaces the two
+    # differ — ("b b", "b") and ("b", "b b") collide as "b b b". The
+    # greatest(...) guards the empty token array (slice rejects a
+    # negative length); such docs emit no pair rows and stay absent.
+    pairs = tok.select(
+        "doc_id", "n_tokens", "n_distinct",
+        F.explode(F.arrays_zip(
+            F.expr("slice(tk, 1, greatest(size(tk) - 1, 0))"),
+            F.expr("slice(tk, 2, greatest(size(tk) - 1, 0))"),
+        )).alias("p"),
     ).select(
-        "doc_id",
-        "n_tokens",
-        "n_distinct",
-        max_n.alias("max_n"),
-        F.size("bg").alias("total_bigrams"),
+        "doc_id", "n_tokens", "n_distinct",
+        F.concat(F.col("p").getItem("0"), F.lit(" "),
+                 F.col("p").getItem("1")).alias("bg"),
+    )
+    per_doc = (
+        pairs.groupBy("doc_id", "n_tokens", "n_distinct", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n_tokens", "n_distinct")
+        .agg(F.max("cnt").alias("max_n"))
     )
     distinct_ratio = F.round(
         F.col("n_distinct").cast("double") / F.col("n_tokens"), 6
     )
+    # total bigrams == n_tokens - 1 by construction (adjacent pairs).
     top_frac = F.round(
-        F.col("max_n").cast("double") / F.col("total_bigrams"), 6
+        F.col("max_n").cast("double") / (F.col("n_tokens") - 1), 6
     )
     return per_doc.select(
         "doc_id",
@@ -196,8 +217,9 @@ def q_ext_repetition_filter(spark, sf_dir):
     """Gopher-style repetition signals: distinct-token ratio and the
     fraction of bigram occurrences taken by the single most frequent
     bigram; high top-bigram fraction / low distinct ratio flags looping or
-    boilerplate text. spread=True: the whole cost is the per-row sort/run
-    scan, so parallelism must not be pinned to the input file layout."""
+    boilerplate text. spread=True keeps tokenization at full parallelism
+    (it runs below the builder's doc_id exchange, so it would otherwise
+    be pinned to the input file layout)."""
     return repetition_filter_from(docs_tokenized(spark, sf_dir, spread=True))
 
 

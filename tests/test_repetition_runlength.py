@@ -1,10 +1,12 @@
-"""Property test for the zero-shuffle repetition filter.
+"""Property test for the repetition filter.
 
-The max-bigram-multiplicity is computed as the longest run in the per-doc
-sorted bigram array (operators/pipeline.py:repetition_filter_from) — a
-subtle higher-order aggregate. Pin it against a plain-Python Counter over a
-deterministic random corpus plus the edge shapes (empty doc, single token,
-all-one-token doc).
+The max-bigram-multiplicity comes from an explode + co-located
+double hash-aggregation keyed on the space-joined bigram string
+(operators/pipeline.py:repetition_filter_from). Pin it against a
+plain-Python Counter over a deterministic random corpus plus the edge
+shapes (empty doc, single token, all-one-token doc) — the vocab's
+space-bearing token also pins the historical concat-key semantics
+(("b b","b") and ("b","b b") collide as one bigram).
 """
 
 import random
