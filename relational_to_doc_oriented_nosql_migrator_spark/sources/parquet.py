@@ -41,10 +41,25 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
       groupBys; with a static 200-partition shuffle on a vanilla session the
       task count dwarfs the data at small SF and under-parallelizes at large
       SF. AQE right-sizes every exchange at runtime.
+    - InferFiltersFromGenerate excluded: the rule infers a
+      `size(arr) > 0` filter below every explode, and predicate pushdown
+      then SUBSTITUTES the generator's full expression tree into that
+      filter down at the scan — for the shingle/token explodes this
+      re-evaluates tokenize+shingle per row at the scan, with the
+      split() inlined INSIDE the transform() lambda, i.e. re-tokenizing
+      once per shingle position (interpreted, no common-subexpression
+      elimination inside lambdas). Measured on the 100x dataset:
+      dedup_dup_rate 515s -> 37s from this exclusion alone. The inferred
+      filter only pre-skips rows whose exploded array is empty — the
+      Generate drops those rows anyway, so plans are value-identical.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set(
+        "spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
+    )
     # Timestamp semantics must not depend on the driver machine's zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 
