@@ -29,87 +29,68 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # workload/window block; round 2 led with the 47 then-unproven ids;
 # round 3 re-proved the 41 r01-era ids + 2 changed dedup ids + 7 new
 # operators; round 4's window was exactly the 50 new/changed/never-
-# proven ids — after r04, EVERY one of the 145 ids has a green driver
-# row, and every id's LATEST row is green (r04: 50, r03: 49, r02: 46).
+# proven ids; round 5 rotated to the 46 r02-stale ids + 4 round-5-
+# changed ids. After r05, EVERY one of the 145 ids has a green driver
+# row and every id's LATEST row is green (r05: 50, r03: 49, r04: 46).
 #
-# Round 5 is the freshness rotation the r04 verdict ordered: the window
-# is exactly the 46 ids whose latest hard-signal row is r02 (two rounds
-# of registry churn old, though all re-proven by the local all-ids
-# suite and tools/driver_audit.py every run), led by ext_similarity_topk
-# (every ANN recall floor is measured against it), then the curation-
-# pipeline family, the six plan ids, the multimodal kernels, the six
-# stream ops, the guarded brute-force baselines, and the remaining
-# r02-era relational/source/sink/text ids. The 4 remaining slots carry
-# the ids whose code materially changed in round 5: the two global-
-# ntile scale fixes (ext_text_perplexity_bucket, ext_window_ntile —
-# approx-quantile cut points replace the single-partition window), the
-# PageRank broadcast gate (ext_graph_pagerank), and the type-driven
-# profile refactor (ext_profile_table, r04 ADVICE). Displaced to the
-# tail (all r03/r04-green, latest row green, unchanged this round):
-# the entire r03 and r04 window contents.
+# Round 6 is the freshness rotation the r05 verdict ordered: the window
+# is exactly the 49 ids whose latest hard-signal row is r03 (three
+# registry-churn rounds stale, though all re-proven by the local
+# all-ids suite and tools/driver_audit.py every run), led by
+# ext_stream_enrich_agg and ext_stream_interval_join — the two stream
+# ops that took the round-5 files-sink/RocksDB-state swap on code paths
+# whose newest driver rows predate it — then the batch window/temporal
+# aggs, the r01-era relational/workload/projection/filter/function
+# block, and the remaining r03-era text/dedup/setops ids. The 1
+# remaining slot carries the one id whose code materially changed in
+# round 6: ext_pack_sequences (PACK_BUCKETS derived from documents
+# footer row counts instead of the hand-set 64 — the r05 verdict's
+# watch item #1; the bucket count floors at the old 64 so sf<=0.1
+# values are byte-identical, but a changed op earns a fresh hard-signal
+# row on principle). Displaced to the tail (all r04/r05-green, latest
+# row green, unchanged this round): the full r04 and r05 window
+# contents.
 #
-# ext_dedup_embedding_lsh (r04 row) and ext_similarity_lsh (r03 row)
-# also changed late in round 5 (adaptive LSH K) but do NOT take window
-# slots: at driver scale lsh_k(500) == 4 and the new key expression is
-# pinned VALUE-IDENTICAL to the shipped K=4 layout on the actual sf0.01
-# embeddings (tests/test_lsh_adaptive.py), so their existing rows stay
-# accurate; the behavior that changed only engages at sweep/probe
-# scales (K=8 at sf1.0, K=24 at the 100x dataset).
-#
-# Likewise ext_similarity_ivf / ext_similarity_ivfpq /
-# ext_similarity_ivfpq_indexed (all r04 rows): their round-5 plan
-# rewrites (adaptive n_centroids past the 2k-row floor, list-local
-# scoring, dense-array ADC, explicit candidate repartition) are
-# value-identical by construction — the DuckDB oracles are UNCHANGED
-# and all three hash-match them at sf0.01 in a vanilla session
-# (re-verified this round); only the physical plan shape at 100x
-# scale changed.
-#
-# And ext_text_entropy / ext_fuzzy_join_names (both r04 rows): the
-# round-5 changes are (a) a repartition of the raw narrow scan to full
-# parallelism before the per-char explode (the sf10 probe showed the
-# stage pinned to the input's file splits) and (b) the fuzzy linkage
-# rewritten to match DISTINCT names and expand matches back to id
-# pairs (id-level SymSpell is quadratic in the name-duplication factor
-# — 21.8B candidate probes at sf10). Both produce the same result SET
-# as the unchanged oracles by construction and hash-match them at
-# sf0.01 in a vanilla session (re-verified after each change).
-# ext_stream_session_agg also changed (files sink — the memory sink
-# ships corpus-scale results through driver task results) but already
-# holds a round-5 window slot below, so it gets a fresh hard-signal
-# row on the new code path — as do the other four in-window stream ops
-# after the files-sink/RocksDB-state change (tumbling, sliding, dedup,
-# stateful, plus stream_to_json_files). The two stream ops NOT in the
-# window, ext_stream_enrich_agg / ext_stream_interval_join (r03 rows),
-# took the same sink swap: value-identical by construction (the sink
-# only changes where rows land), hash-verified against their unchanged
-# oracles at sf0.01 in a vanilla session after the change.
+# ext_similarity_ivfpq_indexed also changed in round 6 (the explicit
+# candidate repartition added for the sf10 one-partition-fusion fix is
+# now gated on corpus size from footer metadata — r05 watch item #2)
+# but does NOT take a window slot: the change is plan-shape only, the
+# DuckDB oracle is UNCHANGED, and the query hash-matches it at sf0.01
+# in a vanilla session (re-verified after the change); its r04 row
+# stays accurate. Likewise ext_dedup_embedding_lsh's oracle became
+# K-parameterized via sql_table_keys(lsh_k(n)) (r05 ADVICE) — at
+# driver scale lsh_k(500) == 4 renders the IDENTICAL oracle SQL text
+# the r04 row was recorded against, so the row stays accurate; the
+# parameterization only changes the oracle above 2048 vectors where
+# no driver compare runs.
 DRIVER_WINDOW_FIRST = (
-    # latest driver row is r02 — freshness rotation (46 ids)
-    "ext_similarity_topk",
-    "ext_curation_pipeline", "ext_text_pii_scrub", "ext_decontaminate",
-    "ext_repetition_filter", "ext_domain_mix", "ext_sample_stratified",
+    # latest driver row is r03 — freshness rotation (49 ids), stream
+    # ops first: their code took the round-5 sink swap post-r03-row
+    "ext_stream_enrich_agg", "ext_stream_interval_join",
+    # batch window / temporal aggregation block
+    "ext_window_rank", "ext_window_lag_lead", "ext_window_running",
+    "ext_tumbling_agg", "ext_sliding_agg", "ext_session_agg",
+    "ext_grouping_sets", "ext_cube", "ext_setops", "ext_json_extract",
+    "ext_percentiles",
+    # r01-era relational core: projections / filters / joins / aggs
+    "proj_attribute_select", "proj_drop_fk_column", "proj_rename_ref",
+    "filter_fk_match", "filter_nonempty_doc", "filter_nonempty_collection",
+    "join_denormalize_m2m", "join_meta_left", "join_meta_pg_catalog",
+    "agg_count_star", "agg_fk_count_grouped", "agg_group_concat_ordered",
+    "agg_group_concat_distinct", "agg_pricing_summary", "sort_meta_output",
+    # workload (query-log) block
+    "src_log_text", "filter_statement_type", "filter_dml_type",
+    "fn_regex_log_extract_mysql", "fn_regex_log_extract_pg",
+    "fn_split_tableref", "fn_sql_tablelist", "agg_workload_gaf_uaf",
+    "agg_maf_scalar",
+    # scalar functions
+    "fn_whitespace_normalize", "fn_date_normalize", "fn_case_when_referenced",
+    # text / dedup / classify block
+    "ext_text_tokens", "ext_text_tfidf_top", "ext_text_unigram_logprob",
+    "ext_token_bigrams", "ext_dedup_components", "ext_dedup_common_ngrams",
+    "ext_domain_mix_temperature", "ext_split_assign", "ext_knn_classify",
+    # code materially changed in round 6 -> re-prove
     "ext_pack_sequences",
-    "plan_topo_order", "plan_self_ref_detect", "plan_embed_or_reference",
-    "plan_one_way_embed", "plan_two_way_embed", "plan_referencing",
-    "ext_mm_attach_meta", "ext_mm_decode_features", "ext_mm_resize",
-    "ext_mm_frame_sample",
-    "stream_to_json_files", "ext_stream_tumbling_agg",
-    "ext_stream_sliding_agg", "ext_stream_session_agg",
-    "ext_stream_dedup", "ext_stream_stateful",
-    "ext_dedup_ngram_jaccard", "ext_dedup_embedding",
-    "ext_dedup_simhash", "ext_dedup_simhash_pairs",
-    "ext_asof_join", "ext_range_join",
-    "sink_http_response", "sink_parquet_partitioned",
-    "sink_json_collections",
-    "src_full_scan", "src_sql_dump_import", "src_indexed_lookup",
-    "join_nest_one_to_many", "join_nest_salted", "agg_collect_children",
-    "fn_split_trim", "ext_approx_distinct", "ext_dedup_exact",
-    "ext_text_stats", "ext_text_quality", "ext_text_langid",
-    "ext_text_fingerprint",
-    # code materially changed in round 5 -> re-prove
-    "ext_text_perplexity_bucket", "ext_window_ntile",
-    "ext_graph_pagerank", "ext_profile_table",
 )
 
 
@@ -126,4 +107,17 @@ def all_oracles():
     out = {}
     for m in MODULES:
         out.update(m.ORACLES)
+    return out
+
+
+def all_scaled_oracles(sf_dir: str):
+    """Oracles re-rendered for a specific SF: the static all_oracles()
+    entries are the driver-scale (sf0.01) renderings of the few
+    data-adaptive oracles (LSH key width, packer bucket count); a
+    harness auditing another SF substitutes these so oracle and engine
+    derive the adaptive constants from the same footer row counts."""
+    out = all_oracles()
+    for m in MODULES:
+        for qid, render in getattr(m, "SCALED_ORACLES", {}).items():
+            out[qid] = render(sf_dir)
     return out

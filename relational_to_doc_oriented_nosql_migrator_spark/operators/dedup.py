@@ -24,7 +24,10 @@ import warnings
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    footer_rows,
+    t,
+)
 from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
     SQL_TOKENS,
     tokens_col,
@@ -1074,12 +1077,6 @@ WHERE round(list_dot_product(a.e, b.e) /
 """,
 }
 
-# Same deterministic multi-table sign-LSH keys as the similarity module;
-# candidates = shared-bucket pairs, then the exact-cosine verify above.
-from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (  # noqa: E402
-    _SQL_TABLE_KEYS as _SIM_SQL_TABLE_KEYS,
-)
-
 # Incremental mirror: same bands/sigs, old/new split on doc_id % mod,
 # hot-posting cap on the STORED (old) side only.
 ORACLES["ext_dedup_minhash_incremental"] = f"""
@@ -1131,10 +1128,26 @@ WHERE round(shared::DOUBLE / least(na.n_sh, nb.n_sh), 6)
       >= {CONTAIN_THRESHOLD}
 """
 
-ORACLES["ext_dedup_embedding_lsh"] = f"""
+def oracle_embedding_lsh(n_vectors: int) -> str:
+    """Render the embedding-LSH dedup oracle for a corpus of n_vectors,
+    using the SAME adaptive key width the engine picks
+    (similarity.lsh_k over footer metadata) so engine-vs-oracle equality
+    stays EXACT at every scale, not probabilistic (r05 ADVICE: a static
+    K=4 oracle diverges above 2048 vectors where the engine jumps to
+    K=24 — per-pair miss ~4e-7, i.e. a non-reproducible flake for any
+    harness pointed past oracle scale). At driver scale lsh_k(500) == 4
+    renders byte-identical SQL to the previously shipped static text,
+    so all recorded driver rows stay accurate. Harnesses auditing other
+    scales (tools/driver_audit.py) re-render via this seam."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (
+        lsh_k,
+        sql_table_keys,
+    )
+
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   embedding::DOUBLE[] AS v FROM embeddings),
-keys AS (SELECT vec_id, unnest({_SIM_SQL_TABLE_KEYS}) AS bkey FROM v),
+keys AS (SELECT vec_id, unnest({sql_table_keys(lsh_k(n_vectors))}) AS bkey FROM v),
 cand AS (
   SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
   FROM keys a JOIN keys b ON a.bkey = b.bkey AND a.vec_id < b.vec_id
@@ -1148,6 +1161,22 @@ SELECT vec_a, vec_b, cosine FROM (
                JOIN v b ON b.vec_id = cd.vec_b
 ) WHERE cosine >= {COSINE_THRESHOLD}
 """
+
+
+# The registered (static) instance is the driver-scale rendering: the
+# driver only ever compares at sf0.01 (500 vectors -> K=4).
+ORACLE_SCALE_N_VECTORS = 500
+ORACLES["ext_dedup_embedding_lsh"] = oracle_embedding_lsh(
+    ORACLE_SCALE_N_VECTORS
+)
+
+# Scale-adaptive oracle renderers (sf_dir -> SQL) for harnesses pointed
+# at a non-driver SF (tools/driver_audit.py) — same seam as pipeline's.
+SCALED_ORACLES = {
+    "ext_dedup_embedding_lsh": lambda sf_dir: oracle_embedding_lsh(
+        footer_rows(sf_dir, "embeddings")
+    ),
+}
 
 # Connected components via transitive closure (recursive CTE) over the same
 # minhash pair graph; rep = min reachable doc (incl. self).

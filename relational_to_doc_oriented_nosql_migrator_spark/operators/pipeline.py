@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+    footer_rows,
     scratch_dir,
     t,
 )
@@ -353,11 +354,23 @@ def q_ext_sample_stratified(spark, sf_dir):
 
 # Sequence packing: fixed training-context length, and the bucket count
 # that bounds each packer's state. Packing is greedy WITHIN a bucket (docs
-# orderd by md5 for determinism), buckets pack independently — at 100 TB
-# raise PACK_BUCKETS so each bucket's window stays executor-sized; the
+# orderd by md5 for determinism), buckets pack independently, and the
 # assignment stays deterministic at any bucket count.
 PACK_SEQ_LEN = 4096
-PACK_BUCKETS = 64
+# Bucket count grows with the corpus (r05 verdict watch item #1 — the
+# last hand-set scale constant): each bucket's running-cumsum window
+# sorts that bucket on ONE task, so buckets must multiply as documents
+# do. ~250k (doc_id, n_tokens, ord) rows is a few tens of MB of window
+# state per task; the floor of 64 keeps every recorded sf<=0.1 result
+# byte-identical (500-60k docs stay far under one bucket's budget).
+PACK_BUCKETS_FLOOR = 64
+PACK_DOCS_PER_BUCKET = 250_000
+
+
+def pack_buckets(n_docs: int) -> int:
+    """Packer bucket count for a corpus of n_docs (documents footer row
+    count — no Spark job), floored at the driver/bench-scale constant."""
+    return max(PACK_BUCKETS_FLOOR, -(-n_docs // PACK_DOCS_PER_BUCKET))
 
 
 def q_ext_pack_sequences(spark, sf_dir):
@@ -366,13 +379,14 @@ def q_ext_pack_sequences(spark, sf_dir):
     id and offset fall out of the running token cumsum. One shuffle
     (partitionBy bucket), embarrassingly parallel across buckets."""
     docs = t(spark, sf_dir, "documents")
+    n_buckets = pack_buckets(footer_rows(sf_dir, "documents"))
     base = docs.select(
         "doc_id",
         F.size(tokens_col(F.col("text"))).alias("n_tokens"),
         F.md5(F.col("doc_id").cast("string")).alias("ord"),
         F.expr(
             "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16,"
-            f" 10) AS BIGINT) % {PACK_BUCKETS}"
+            f" 10) AS BIGINT) % {n_buckets}"
         ).alias("pack_bucket"),
     )
     w = (
@@ -580,13 +594,16 @@ def q_ext_curation_pipeline(spark, sf_dir):
         .join(samp, "doc_id")
         .select("doc_id", "split", "n_tokens", keep.alias("keep"))
     )
+    # bucket count from the corpus footer count (an upper bound on the
+    # surviving train docs — both engines derive it from the same number)
+    n_buckets = pack_buckets(footer_rows(sf_dir, "documents"))
     train = joined.filter(F.col("keep") & (F.col("split") == "train")).select(
         "doc_id",
         "n_tokens",
         F.md5(F.col("doc_id").cast("string")).alias("ord"),
         F.expr(
             "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16,"
-            f" 10) AS BIGINT) % {PACK_BUCKETS}"
+            f" 10) AS BIGINT) % {n_buckets}"
         ).alias("pack_bucket"),
     )
     w = (
@@ -767,12 +784,21 @@ SELECT doc_id, source,
          < CAST(floor(w * 1000) AS BIGINT) AS keep
 FROM documents JOIN weights USING (source)
 """,
-    "ext_pack_sequences": f"""
+}
+
+
+def oracle_pack_sequences(n_docs: int) -> str:
+    """Render the packer oracle with the SAME adaptive bucket count the
+    engine derives from the documents footer row count — at driver scale
+    pack_buckets(500) == PACK_BUCKETS_FLOOR renders the previously
+    shipped static text byte for byte; harnesses auditing other SFs
+    re-render via the SCALED_ORACLES seam."""
+    return f"""
 WITH base AS (
   SELECT doc_id, len({SQL_TOKENS}) AS n_tokens,
          md5(CAST(doc_id AS VARCHAR)) AS ord,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-           % {PACK_BUCKETS} AS pack_bucket
+           % {pack_buckets(n_docs)} AS pack_bucket
   FROM documents
 ), c AS (
   SELECT doc_id, pack_bucket, n_tokens,
@@ -784,11 +810,15 @@ SELECT doc_id, pack_bucket, n_tokens,
        CAST(start // {PACK_SEQ_LEN} AS BIGINT) AS seq_id,
        CAST(start % {PACK_SEQ_LEN} AS BIGINT) AS seq_offset
 FROM c
-""",
-}
+"""
 
 
-def _curation_oracle() -> str:
+# The registered (static) instance is the driver-scale rendering.
+ORACLE_SCALE_N_DOCS = 500
+ORACLES["ext_pack_sequences"] = oracle_pack_sequences(ORACLE_SCALE_N_DOCS)
+
+
+def _curation_oracle(n_docs: int = ORACLE_SCALE_N_DOCS) -> str:
     """Compose the single-op oracles as subqueries — the composite is
     checked against the same SQL the stages are checked against."""
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
@@ -843,7 +873,7 @@ WITH qual AS (
 ), train AS (
   SELECT doc_id, n_tokens, md5(CAST(doc_id AS VARCHAR)) AS ord,
          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
-           % {PACK_BUCKETS} AS pack_bucket
+           % {pack_buckets(n_docs)} AS pack_bucket
   FROM j WHERE keep AND split = 'train'
 ), packed AS (
   SELECT doc_id, pack_bucket,
@@ -858,3 +888,15 @@ FROM j LEFT JOIN packed p USING (doc_id)
 
 
 ORACLES["ext_curation_pipeline"] = _curation_oracle()
+
+# Scale-adaptive oracle renderers (sf_dir -> SQL): harnesses pointed at
+# a non-driver SF substitute these so both engines derive the adaptive
+# constants from the same footer row counts.
+SCALED_ORACLES = {
+    "ext_pack_sequences": lambda sf_dir: oracle_pack_sequences(
+        footer_rows(sf_dir, "documents")
+    ),
+    "ext_curation_pipeline": lambda sf_dir: _curation_oracle(
+        footer_rows(sf_dir, "documents")
+    ),
+}

@@ -39,20 +39,43 @@ DIMS = 64          # embedding dimensionality (fixed by the corpus schema)
 # broadcast corpus-proportional: linear growth that would eventually
 # ship multi-GB tables to every executor. This ceiling turns that into a
 # loud refusal instead of a silent scale hazard. Checked from parquet
-# footer metadata (no Spark job); 50k queries x 64 double dims ~ 25 MB
-# broadcast, comfortably under the session's 64 MB threshold.
+# footer metadata (no Spark job).
+#
+# The ceiling is sized PER PATH (r05 ADVICE): explicit F.broadcast hints
+# bypass spark.sql.autoBroadcastJoinThreshold, so the guard must bound
+# the largest relation each operator actually ships, not just the raw
+# query vectors — the LSH path broadcasts the LSH_TABLES-exploded key
+# frame carrying full vectors (12x the vector bytes), and the IVF-PQ
+# paths broadcast a PQ_M*IVFPQ_K-double dense ADC table per query
+# (4 KB/query) alongside the probe vectors. Each call site passes its
+# widest per-query row; the effective ceiling is the broadcast budget
+# divided by that width, capped at the absolute QUERY_SET_CEILING.
 QUERY_SET_CEILING = 50_000
+# Budget for a FORCED query-side broadcast: the session's 64 MB
+# autoBroadcast threshold is the sanity line the hints would otherwise
+# sidestep (executors hold the deserialized relation; multi-hundred-MB
+# forced broadcasts are the executor-OOM class the r04 explode fix hit).
+QUERY_BCAST_BUDGET_BYTES = 64 << 20
+# Deserialized per-query row widths (doubles are 8 B; a DIMS-double
+# unsafe array adds ~16 B header; ids/norms/keys ride along):
+VEC_ROW_BYTES = DIMS * 8 + 48
 
 
-def _guard_query_set(sf_dir: str, op: str) -> None:
+def _guard_query_set(
+    sf_dir: str, op: str, bytes_per_query: int = VEC_ROW_BYTES
+) -> None:
+    ceiling = min(
+        QUERY_SET_CEILING, QUERY_BCAST_BUDGET_BYTES // bytes_per_query
+    )
     n_queries = footer_rows(sf_dir, "embeddings") // QUERY_STRIDE
-    if n_queries > QUERY_SET_CEILING:
+    if n_queries > ceiling:
         raise ValueError(
             f"{op} refuses a corpus-strided query set of ~{n_queries}"
-            f" vectors (> {QUERY_SET_CEILING}): the query side is"
-            " broadcast, so it must be an external BOUNDED workload at"
-            " scale — pass a real query set through the builder seam"
-            " instead of widening the stride sample"
+            f" vectors (> {ceiling} at ~{bytes_per_query} broadcast"
+            " bytes/query): the query side is broadcast, so it must be"
+            " an external BOUNDED workload at scale — pass a real query"
+            " set through the builder seam instead of widening the"
+            " stride sample"
         )
 
 
@@ -249,7 +272,9 @@ def q_ext_similarity_lsh(spark, sf_dir):
     tables, candidate cost L*N/2^K stays linear in the corpus under
     the bounded-query-set guard, and the scale path for top-k ANN is
     IVF / IVF-PQ (see the K-regime note at LSH_K)."""
-    _guard_query_set(sf_dir, "ext_similarity_lsh")
+    # widest broadcast: the LSH_TABLES-exploded key frame, vector per row
+    _guard_query_set(sf_dir, "ext_similarity_lsh",
+                     bytes_per_query=LSH_TABLES * VEC_ROW_BYTES)
     # Scoring is BUCKET-LOCAL (the dedup path's shape): query vectors
     # and norms ride the bounded strided broadcast — filtered BEFORE
     # the hint so it ships |corpus|/QUERY_STRIDE vectors, never the
@@ -407,7 +432,9 @@ def q_ext_similarity_ivf(spark, sf_dir):
     query never finished). Oracle (candidates-first) is unchanged: same
     deduped pair set, same vectors, same rounded cosines, same ranks.
     """
-    _guard_query_set(sf_dir, "ext_similarity_ivf")
+    # probe frame (unhinted, but bound it anyway): N_PROBE rows/query
+    _guard_query_set(sf_dir, "ext_similarity_ivf",
+                     bytes_per_query=N_PROBE * VEC_ROW_BYTES)
     emb = _emb(spark, sf_dir, spread=True)
     ncent = n_centroids(footer_rows(sf_dir, "embeddings"))
     cents = emb.filter(F.col("vec_id") < ncent).select(
@@ -532,7 +559,8 @@ def q_ext_similarity_ivfpq_indexed(spark, sf_dir):
     vectors, and the |queries| x ADC_SHORTLIST raw rows for the refine
     stage. This is the production shape: index nightly, search cheap.
     """
-    _guard_query_set(sf_dir, "ext_similarity_ivfpq_indexed")
+    _guard_query_set(sf_dir, "ext_similarity_ivfpq_indexed",
+                     bytes_per_query=PQ_M * IVFPQ_K * 8 + 48)
     idx = build_ivfpq_index(spark, sf_dir)
     cents = spark.read.parquet(os.path.join(idx, "centroids"))
     inverted = spark.read.parquet(os.path.join(idx, "inverted"))
@@ -976,7 +1004,10 @@ def q_ext_similarity_ivfpq(spark, sf_dir):
     Lloyd means and the cross-subspace ADC sum run in decimal; every
     rank breaks ties on cand_id — engine-exact end to end.
     """
-    _guard_query_set(sf_dir, "ext_similarity_ivfpq")
+    # widest broadcast: the dense per-query ADC table (PQ_M*IVFPQ_K
+    # doubles) — the probe-vector frame is smaller
+    _guard_query_set(sf_dir, "ext_similarity_ivfpq",
+                     bytes_per_query=PQ_M * IVFPQ_K * 8 + 48)
     emb = _emb(spark, sf_dir, spread=True)
     embn = emb.select(
         "vec_id", F.expr(_NORM).alias("nrm"), "v"

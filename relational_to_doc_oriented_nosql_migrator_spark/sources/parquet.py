@@ -56,10 +56,21 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-    spark.conf.set(
-        "spark.sql.optimizer.excludedRules",
-        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    )
+    # APPEND to any exclusions the embedding application already set —
+    # this runs on every table load, so a blind overwrite would
+    # permanently clobber user-configured rule exclusions (r05 ADVICE).
+    _infer = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+    _existing = [
+        r.strip()
+        for r in (spark.conf.get("spark.sql.optimizer.excludedRules", "")
+                  or "").split(",")
+        if r.strip()
+    ]
+    if _infer not in _existing:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules",
+            ",".join(_existing + [_infer]),
+        )
     # Timestamp semantics must not depend on the driver machine's zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
 

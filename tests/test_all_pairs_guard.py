@@ -40,6 +40,24 @@ def test_similarity_query_set_guard(spark, monkeypatch):
             op(spark, SF001)
 
 
+def test_query_guard_sized_per_broadcast_path(spark, monkeypatch):
+    """The ceiling divides the broadcast budget by each path's ACTUAL
+    per-query broadcast width (r05 ADVICE): the LSH path ships the
+    LSH_TABLES-exploded key frame (12 vector rows per query), so with a
+    budget of 3 such rows it must refuse the sf0.001 4-query set while
+    the 1-row-per-query topk path still passes."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import similarity
+
+    monkeypatch.setattr(
+        similarity,
+        "QUERY_BCAST_BUDGET_BYTES",
+        3 * similarity.LSH_TABLES * similarity.VEC_ROW_BYTES,
+    )
+    with pytest.raises(ValueError, match="BOUNDED workload"):
+        similarity.q_ext_similarity_lsh(spark, SF001)
+    assert "query_id" in similarity.q_ext_similarity_topk(spark, SF001).columns
+
+
 def test_similarity_query_set_guard_passes_bench_scales(spark):
     from relational_to_doc_oriented_nosql_migrator_spark.operators import similarity
 

@@ -100,3 +100,20 @@ def test_spark_duckdb_key_parity_with_difference_planes(spark, k):
         ).fetchall()
     }
     assert got == want
+
+
+def test_oracle_k_parameterized():
+    """r05 ADVICE: the embedding-LSH dedup oracle renders with the SAME
+    adaptive K as the engine at every scale — the registered static
+    entry is exactly the driver-scale (K=4) rendering, and a
+    past-the-floor corpus renders the K_MAX key layout so harnesses
+    auditing larger SFs stay exact, not probabilistic."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import dedup
+
+    assert (
+        dedup.oracle_embedding_lsh(dedup.ORACLE_SCALE_N_VECTORS)
+        == dedup.ORACLES["ext_dedup_embedding_lsh"]
+    )
+    wide = dedup.oracle_embedding_lsh(1_000_000)
+    assert sim.sql_table_keys(sim.LSH_K_MAX) in wide
+    assert wide != dedup.ORACLES["ext_dedup_embedding_lsh"]

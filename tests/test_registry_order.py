@@ -1,23 +1,21 @@
 """The external driver records correctness rows for only the first 50
-registry entries (insertion order) — pin the round-5 ordering contract.
+registry entries (insertion order) — pin the round-6 ordering contract.
 
-After round 4, every one of the 145 ids has a green driver row and
-every id's LATEST row is green (r04: 50, r03: 49, r02: 46). Round 5 is
-the freshness rotation the r04 verdict ordered: the window is exactly
-the 46 ids whose latest hard-signal row is r02, led by
-ext_similarity_topk (the exact baseline every ANN recall floor is
-measured against), then the seven curation-pipeline ids, the six plan
-ids, the four multimodal kernels, the six stream ops, the four guarded
-brute-force/pairs baselines, asof/range joins, the three sinks +
-sink_json_collections, and the remaining r02-era relational/source/
-text ids. The 4 remaining slots carry the ids whose code materially
-changed in round 5: ext_text_perplexity_bucket and ext_window_ntile
-(global single-partition ntile replaced with approx-quantile cut
-points), ext_graph_pagerank (size-gated broadcast hints), and
-ext_profile_table (type-driven decimal rendering, r04 ADVICE).
-Displaced to the tail: the full r03 and r04 window contents — all with
-green latest rows and unchanged this round, still re-proven by the
-local all-ids suite and tools/driver_audit.py every run."""
+After round 5, every one of the 145 ids has a green driver row and
+every id's LATEST row is green (r05: 50, r03: 49, r04: 46). Round 6 is
+the freshness rotation the r05 verdict ordered: the window is exactly
+the 49 ids whose latest hard-signal row is r03, led by
+ext_stream_enrich_agg and ext_stream_interval_join (they took the
+round-5 files-sink/RocksDB swap on code paths whose newest driver rows
+predate it), then the batch window/temporal agg block, the r01-era
+relational/workload/projection/filter/function block, and the
+remaining r03-era text/dedup/setops ids. The 1 remaining slot carries
+the one id whose code materially changed in round 6:
+ext_pack_sequences (adaptive PACK_BUCKETS from footer row counts, r05
+verdict watch item #1). Displaced to the tail: the full r04 and r05
+window contents — all with green latest rows and unchanged this round,
+still re-proven by the local all-ids suite and tools/driver_audit.py
+every run."""
 
 import __spark_entry__ as entrymod
 

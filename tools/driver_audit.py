@@ -18,6 +18,12 @@ def _canon(df: pd.DataFrame) -> str:
     return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
 qs, ors = e.queries(), e.oracle_sql()
+# Scale-adaptive oracles: the registered static SQL is the driver-scale
+# (sf0.01) rendering; when auditing another SF, re-render so oracle and
+# engine agree on the data-adaptive parameters (LSH key width, packer
+# bucket count) — operators.all_scaled_oracles is the one seam.
+from relational_to_doc_oriented_nosql_migrator_spark.operators import all_scaled_oracles
+ors = all_scaled_oracles(sf)
 bad = []
 for qid in qs:
     try:
