@@ -582,23 +582,7 @@ def q_ext_similarity_ivfpq_indexed(spark, sf_dir):
         .select("query_id", "subspace", "code",
                 F.expr(_PQ_L2).alias("d"))
     )
-    # Explicit repartition before the dedup: the probe join's output
-    # fans out ~assign*probe/centroids of the corpus per query from an
-    # index-sized (or, for the materialized variant, one-small-file)
-    # input, so without it the plan can run the whole distinct + ADC +
-    # shortlist tail on ONE partition — a 1-partition child satisfies
-    # every clustering requirement, so no exchange is ever inserted
-    # (observed at the 100x dataset: a single spilling 14M-group task,
-    # ~15 min). HashPartitioning(cand_id) is a subset of the distinct
-    # keys, so the dedup fuses shuffle-free on the repartitioned frame
-    # AND pre-co-locates the codes join in _adc_wide.
-    cand = (
-        probes.join(inverted, "cent_id")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
-        .repartition(_parallelism(spark), "cand_id")
-        .distinct()
-    )
+    cand = _dedup_candidates(spark, sf_dir, probes, inverted)
     adc = _adc_wide(cand, codes, dtab)
     ws = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("cand_id")
@@ -910,6 +894,37 @@ def _parallelism(spark) -> int:
         return spark.sparkContext.defaultParallelism
 
 
+# Below this corpus size the explicit candidate repartition is pure
+# overhead (r05 verdict watch item #2: +23% trimmed at sf0.1) — the
+# 1-partition-fusion pathology it prevents needs a 100x-scale candidate
+# fan-out to bite. Same footer-metadata gating pattern as lsh_k and
+# n_centroids; plan-shape only, the deduped pair set is identical.
+CAND_REPARTITION_MIN_VECTORS = 100_000
+
+
+def _dedup_candidates(spark, sf_dir, probes, inverted):
+    """Probe-join candidates, deduped. The explicit repartition before
+    the distinct matters at scale: the probe join's output fans out
+    ~assign*probe/centroids of the corpus per query from an index-sized
+    (or, for the materialized variant, one-small-file) input, so
+    without it the plan can run the whole distinct + ADC + shortlist
+    tail on ONE partition — a 1-partition child satisfies every
+    clustering requirement, so no exchange is ever inserted (observed
+    at the 100x dataset: a single spilling 14M-group task, ~15 min).
+    HashPartitioning(cand_id) is a subset of the distinct keys, so the
+    dedup fuses shuffle-free on the repartitioned frame AND
+    pre-co-locates the codes join in _adc_wide. Gated on the corpus
+    footer row count below CAND_REPARTITION_MIN_VECTORS."""
+    cand = (
+        probes.join(inverted, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id")
+    )
+    if footer_rows(sf_dir, "embeddings") >= CAND_REPARTITION_MIN_VECTORS:
+        cand = cand.repartition(_parallelism(spark), "cand_id")
+    return cand.distinct()
+
+
 def _adc_wide(cand, codes, dtab):
     """ADC distances as ONE expression per candidate row.
 
@@ -1042,23 +1057,7 @@ def q_ext_similarity_ivfpq(spark, sf_dir):
         .select("query_id", "subspace", "code",
                 F.expr(_PQ_L2).alias("d"))
     )
-    # Explicit repartition before the dedup: the probe join's output
-    # fans out ~assign*probe/centroids of the corpus per query from an
-    # index-sized (or, for the materialized variant, one-small-file)
-    # input, so without it the plan can run the whole distinct + ADC +
-    # shortlist tail on ONE partition — a 1-partition child satisfies
-    # every clustering requirement, so no exchange is ever inserted
-    # (observed at the 100x dataset: a single spilling 14M-group task,
-    # ~15 min). HashPartitioning(cand_id) is a subset of the distinct
-    # keys, so the dedup fuses shuffle-free on the repartitioned frame
-    # AND pre-co-locates the codes join in _adc_wide.
-    cand = (
-        probes.join(inverted, "cent_id")
-        .filter(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id")
-        .repartition(_parallelism(spark), "cand_id")
-        .distinct()
-    )
+    cand = _dedup_candidates(spark, sf_dir, probes, inverted)
     adc = _adc_wide(cand, codes, dtab)
     ws = Window.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("cand_id")

@@ -254,3 +254,27 @@ def test_no_unbounded_global_window(qid, spark):
             f"frame. Use common.global_row_number (+ exact_ntile) or a "
             f"top-K filter Spark can push down:\n{node.toString()[:500]}"
         )
+
+
+def test_cand_repartition_gated_on_corpus_size(spark, monkeypatch):
+    """The IVF-PQ candidate repartition (the sf10 one-partition-fusion
+    fix) must engage only past CAND_REPARTITION_MIN_VECTORS (r05 verdict
+    watch item #2: at bench scale the extra exchange was pure overhead,
+    +23% trimmed) — below the gate the plan carries no explicit cand_id
+    repartition, above it (forced here) it does; the deduped pair set is
+    identical either way (oracle parity pinned by the value suite)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import similarity
+
+    def plan_of():
+        df = similarity.q_ext_similarity_ivfpq_indexed(spark, SF0001)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("extended")
+        return buf.getvalue()
+
+    assert "CAND_REPARTITION_MIN_VECTORS" in dir(similarity)
+    ungated = plan_of()
+    assert "RepartitionByExpression [cand_id" not in ungated
+    monkeypatch.setattr(similarity, "CAND_REPARTITION_MIN_VECTORS", 0)
+    gated = plan_of()
+    assert "RepartitionByExpression [cand_id" in gated
