@@ -72,30 +72,48 @@ def global_row_number(
     frame through one partition (`Window.orderBy` with no partition key
     executes on a single task — the whole job at 100 TB).
 
-    The distributed zipWithIndex construction, as one lazy plan:
+    The distributed zipWithIndex construction:
       1. range-repartition on the order key (sampled cut points; equal
          keys never straddle a range boundary, and callers include a
-         unique tiebreak column so the order is total);
+         unique tiebreak column so the order is total), stamp each row
+         with its range-partition id, and MATERIALIZE that frame to
+         scratch parquet — freezing _pid as DATA;
       2. row_number PER range partition — parallel windows keyed on the
-         materialized spark_partition_id column;
+         stored _pid column;
       3. add per-partition row-count offsets. The counts frame has at
          most spark.sql.shuffle.partitions rows (bounded by config, not
          by the corpus), so its cumulative-sum window is legitimately
          single-partition over a metadata-scale frame, and it joins back
          by broadcast.
-    The scan/compute prefix is shared between the rank branch and the
-    counts branch through ReuseExchange: the range shuffle materializes
-    once. Rank arithmetic is bigint; the floor-of-double divisions in
-    exact_ntile stay integer-exact below 2^53 rows.
+
+    The materialization in step 1 is load-bearing for CORRECTNESS, not a
+    cache (r05 ADVICE): the rank branch and the counts branch both
+    consume _pid, and when they were two lazy branches over the same
+    repartitionByRange, agreement depended on ReuseExchange deduplicating
+    the shuffle — which silently FAILS when column pruning makes the two
+    exchange subtrees non-canonical (observed on the perplexity-bucket
+    plan: two range exchanges executed, each sampling its own cut
+    points — offsets joined against mismatched _pid populations would
+    corrupt every rank near a drifted boundary). With _pid stored in
+    parquet, both branches read identical bytes; no optimizer behavior
+    can diverge them. Cost: one write + two reads of the NARROW
+    (order-cols + payload) frame — linear, split-parallel, and tiny next
+    to the window itself at any scale. Rank arithmetic is bigint; the
+    floor-of-double divisions in exact_ntile stay integer-exact below
+    2^53 rows.
 
     When ``total_out`` is set, the total row count rides along on the
     same broadcast offsets frame (an unbounded-frame sum over the counts
     window) — no extra join or count() action.
     """
-    npart = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    d = df.repartitionByRange(npart, *order_cols).withColumn(
+    spark = df.sparkSession
+    npart = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    staged = df.repartitionByRange(npart, *order_cols).withColumn(
         "_pid", F.spark_partition_id()
     )
+    path = scratch_dir("grnk_")
+    staged.write.mode("overwrite").parquet(path)
+    d = spark.read.parquet(path)
     local = F.row_number().over(
         Window.partitionBy("_pid").orderBy(*order_cols)
     )

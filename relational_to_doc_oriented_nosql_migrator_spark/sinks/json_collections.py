@@ -58,6 +58,16 @@ def _sort_based_collects(spark):
                 spark.conf.set(k, v)
 
 
+def _replanned(df: DataFrame) -> DataFrame:
+    """A fresh DataFrame over the same logical plan. Spark memoizes each
+    DataFrame's QueryExecution at first use, so a collection frame the
+    caller already acted on (a count, an explain) would keep its
+    hash-aggregate physical plan even under the sink's scoped confs —
+    silently reopening the heap floor the confs exist to close. A no-op
+    projection forces physical re-planning at the sink's action."""
+    return df.select("*")
+
+
 def write_json_collections(
     collections: dict[str, DataFrame],
     out_dir: str,
@@ -68,6 +78,7 @@ def write_json_collections(
     written: list[str] = []
     os.makedirs(out_dir, exist_ok=True)
     for name, df in collections.items():
+        df = _replanned(df)
         target = os.path.join(out_dir, name)
         with _sort_based_collects(df.sparkSession):
             if single_file:

@@ -81,3 +81,30 @@ def test_skewed_single_score(spark):
     # 50 = 2 buckets of 13 + 2 of 12.
     assert sizes == {1: 13, 2: 13, 3: 12, 4: 12}
     assert got == _reference(df, 4)
+
+
+def test_rank_and_counts_read_materialized_pid(spark):
+    """global_row_number is only correct if the rank branch and the
+    counts branch observe IDENTICAL range-partition boundaries. The
+    lazy two-branch construction relied on ReuseExchange deduplicating
+    the repartitionByRange shuffle — which silently failed on the
+    perplexity-bucket plan (column pruning de-canonicalized the second
+    exchange; two range exchanges executed, sampling boundaries
+    independently). _pid is now FROZEN AS DATA via a scratch-parquet
+    materialization (r05 ADVICE), so the returned plans of both
+    registered consumers must contain NO range exchange at all: the
+    range shuffle happens once, inside the eager staging write."""
+    import re
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for qid in ("ext_window_ntile", "ext_text_perplexity_bucket"):
+        df = qs[qid](spark, "/root/testdata/sf0.001")
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        final = plan.split("== Initial Plan ==")[0]
+        assert not re.search(r"Exchange rangepartitioning", final), (
+            f"{qid}: a range exchange survives in the query plan — "
+            "boundary consistency is back to depending on ReuseExchange"
+        )

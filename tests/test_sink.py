@@ -71,3 +71,35 @@ def test_partitioned_parquet_sink_prunes_splits(spark):
         .collect()
     }
     assert files and all("split=val" in f for f in files)
+
+
+def test_sink_confs_shape_document_plans(spark):
+    """The sink's 1 GB heap floor depends on its scoped confs actually
+    reaching physical planning (r05 verdict follow-up #7): under the
+    sink context a document-heavy nesting plan must aggregate with
+    SortAggregate (streams one collect_list group at a time) and join
+    with ShuffledHashJoin (no sorter copies of document-sized rows) —
+    and the _replanned seam must defeat QueryExecution memoization, so
+    a frame the CALLER already planned still picks the sink shape."""
+    import contextlib
+    import io
+
+    from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate
+    from relational_to_doc_oriented_nosql_migrator_spark.sinks.json_collections import (
+        _replanned,
+        _sort_based_collects,
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    df = migrate(spark, "/root/testdata/sf0.001")["region"]
+    poisoned = plan(df)  # memoize the default (hash-agg) physical plan
+    assert "ObjectHashAggregate" in poisoned
+    with _sort_based_collects(spark):
+        p = plan(_replanned(df))
+    assert "SortAggregate" in p and "ObjectHashAggregate" not in p
+    assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
