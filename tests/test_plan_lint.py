@@ -278,3 +278,78 @@ def test_cand_repartition_gated_on_corpus_size(spark, monkeypatch):
     monkeypatch.setattr(similarity, "CAND_REPARTITION_MIN_VECTORS", 0)
     gated = plan_of()
     assert "RepartitionByExpression [cand_id" in gated
+
+
+# ---------------------------------------------------------------------------
+# Unspread-explode lint (r05 verdict follow-up #8).
+#
+# A Generate (explode) stage inherits its child's partitioning, and a scan's
+# split count tracks INPUT bytes — not the explode's OUTPUT work. For
+# high-fanout explodes over compact inputs that pinned whole stages to 1-2
+# cores at the 100x probe (the per-char entropy histogram, the SymSpell
+# deletion keygen), fixed round 5 by repartitioning the narrow raw scan to
+# defaultParallelism first (spread=True). This lint freezes today's audited
+# set: every Generate whose subtree reaches a big-table file scan with NO
+# exchange in between must be enumerated below — a NEW op (or a lost
+# repartition in an old one) fails the lint instead of shipping a 1-core
+# explode.
+
+# Audited unspread explodes — every entry holds a passing sf10 (100x) probe
+# datapoint, i.e. the fanout is measured-bounded at scale (token/shingle
+# explodes of ~30-100x over byte-proportional splits, or explodes of
+# constant-width arrays):
+UNSPREAD_EXPLODES_AUDITED = {
+    "ext_decontaminate",        # distinct shingle explode, ~n_tokens/doc
+    "ext_dedup_embedding_lsh",  # LSH_TABLES(12)-wide key explode
+    "ext_embed_centroids",      # constant codebook-build explode
+    "ext_embed_quantize",       # 64-dim per-dimension explode
+    "ext_range_join",           # bounded bucket-span explode (few buckets)
+    "ext_setops",               # tiny set-literal explode
+    "ext_similarity_ivfpq_indexed",  # PQ_M(8)-wide code pivot explode
+    "ext_text_bigram_logprob",  # token explode, ~n_tokens/doc
+    "ext_text_chunk",           # chunk-boundary explode, ~n_tokens/500
+    "ext_text_pmi",             # token-pair explode, ~n_tokens/doc
+    "ext_text_tfidf_top",       # token explode, ~n_tokens/doc
+    "ext_text_unigram_logprob", # token explode, ~n_tokens/doc
+    "ext_token_bigrams",        # bigram explode, ~n_tokens/doc
+}
+
+
+def _unspread_big_scan_explodes(root):
+    hits = []
+    for node in _walk(root):
+        if node.nodeName() != "Generate":
+            continue
+        ch = node.children()
+        stack = [ch.apply(i) for i in range(ch.length())]
+        while stack:
+            n = stack.pop()
+            nm = n.nodeName()
+            if "Exchange" in nm or "ShuffleRead" in nm:
+                continue  # explode parallelism decoupled from the scan
+            if nm.startswith("Scan") or "FileScan" in nm:
+                vs = n.verboseString(100)
+                if any(b in vs for b in BIG_TABLES):
+                    hits.append(nm)
+                continue
+            sub = n.children()
+            stack.extend(sub.apply(i) for i in range(sub.length()))
+    return hits
+
+
+@pytest.mark.parametrize("qid", sorted(set(QUERIES) - EAGER))
+def test_explodes_over_raw_scans_are_audited(qid, spark):
+    df = QUERIES[qid](spark, SF0001)
+    root = df._jdf.queryExecution().sparkPlan()
+    hits = _unspread_big_scan_explodes(root)
+    if qid in UNSPREAD_EXPLODES_AUDITED:
+        assert hits, (
+            f"{qid}: allowlisted but no unspread explode found — prune "
+            "the stale UNSPREAD_EXPLODES_AUDITED entry"
+        )
+    else:
+        assert not hits, (
+            f"{qid}: Generate over an unshuffled big-table scan "
+            f"({hits}) — repartition the narrow scan first (spread) or "
+            "add an audited allowlist entry with the fanout bound"
+        )

@@ -14,6 +14,7 @@ With no ids, probes every registry id missing an OK/GUARDED line in
 $PROBE_DONE (default /tmp/probe100/.done3).
 """
 import concurrent.futures as cf
+import json
 import os
 import sys
 import time
@@ -36,6 +37,10 @@ def main():
     sf = os.environ.get("PROBE_SF_DIR", "/tmp/spark_graft_scale/sf10")
     done_path = os.environ.get("PROBE_DONE", "/tmp/probe100/.done3")
     os.makedirs(os.path.dirname(done_path) or ".", exist_ok=True)
+    # Per-id wall-time ledger (JSON lines): the raw material for the
+    # round's PROBE_r{N}.json artifact, so 100x regressions get the same
+    # round-over-round diffing the sf0.1 bench has (r05 verdict #5).
+    times_path = os.environ.get("PROBE_TIMES", done_path + ".times")
     done = set()
     if os.path.exists(done_path):
         done = set(open(done_path).read().split())
@@ -78,8 +83,10 @@ def main():
                     # false TIMEOUT.
                     pool = cf.ThreadPoolExecutor(max_workers=1)
                 raise QTimeout()
-            print(f"OK {qid} rows={n} t={round(time.time() - t0, 1)}",
-                  flush=True)
+            t = round(time.time() - t0, 1)
+            print(f"OK {qid} rows={n} t={t}", flush=True)
+            with open(times_path, "a") as f:
+                f.write(json.dumps({"id": qid, "t": t, "rows": n}) + "\n")
             with open(done_path, "a") as f:
                 f.write(qid + "\n")
         except QTimeout:
@@ -87,6 +94,8 @@ def main():
         except ValueError as ex:
             if "refuses" in str(ex):
                 print(f"GUARDED {qid}", flush=True)
+                with open(times_path, "a") as f:
+                    f.write(json.dumps({"id": qid, "guarded": True}) + "\n")
                 with open(done_path, "a") as f:
                     f.write(qid + "\n")
             else:

@@ -32,6 +32,7 @@ ext_stream_session_agg's dispatcher-thread OOM (which the sweep's
 fresh-JVM retry had papered over) eliminated by the files sink —
 7.2 s first try.
 """
+import json
 import os
 import signal
 import sys
@@ -97,6 +98,11 @@ def main() -> int:
 
     sf = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_scale/sf1.0"
     done_path = os.path.join(sf, ".sweep_done")
+    # Per-id wall-time ledger (JSON lines, appended on OK/GUARDED):
+    # persisted so each round can diff per-id times round-over-round —
+    # a silent 3x regression in a non-headline op can't hide behind a
+    # green pass/fail (r05 verdict follow-up #4). Reset with .sweep_done.
+    times_path = os.path.join(sf, ".sweep_times")
     spark = (
         SparkSession.builder.master("local[8]")
         .config("spark.sql.shuffle.partitions", "32")
@@ -125,7 +131,7 @@ def main() -> int:
         done = set(open(done_path).read().split())
     else:
         # Fresh sweep (checkpoint deleted): reset the side ledgers too.
-        for p in (retries_path, failed_path):
+        for p in (retries_path, failed_path, times_path):
             if os.path.exists(p):
                 os.remove(p)
     retried = set()
@@ -172,8 +178,10 @@ def main() -> int:
                 n = qs[qid](spark, sf).count()
             finally:
                 signal.alarm(0)
-            print(f"OK {qid} rows={n} t={round(time.time() - t0, 1)}",
-                  flush=True)
+            t = round(time.time() - t0, 2)
+            print(f"OK {qid} rows={n} t={t}", flush=True)
+            with open(times_path, "a") as f:
+                f.write(json.dumps({"id": qid, "t": t, "rows": n}) + "\n")
         except _QueryTimeout:
             ok = False
             wedged = True
@@ -182,6 +190,8 @@ def main() -> int:
         except ValueError as ex:
             if "refuses" in str(ex):
                 print(f"GUARDED {qid} (expected at 10x)", flush=True)
+                with open(times_path, "a") as f:
+                    f.write(json.dumps({"id": qid, "guarded": True}) + "\n")
             else:
                 ok = False
                 print(f"FAIL {qid} ValueError {str(ex)[:150]}", flush=True)
