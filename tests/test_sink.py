@@ -96,6 +96,13 @@ def test_sink_confs_shape_document_plans(spark):
             df.explain("formatted")
         return buf.getvalue()
 
+    # Hermetic: an earlier test may have persisted a frame whose
+    # canonical plan matches the region subtree — CacheManager would
+    # then substitute an InMemoryTableScan and hide the aggregation
+    # this test inspects. (At runtime that substitution is benign: a
+    # user-cached collection is already materialized data, so the
+    # sink's heap-shape confs have nothing left to shape.)
+    spark.catalog.clearCache()
     df = migrate(spark, "/root/testdata/sf0.001")["region"]
     poisoned = plan(df)  # memoize the default (hash-agg) physical plan
     assert "ObjectHashAggregate" in poisoned
