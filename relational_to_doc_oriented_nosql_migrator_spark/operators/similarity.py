@@ -895,11 +895,16 @@ def _parallelism(spark) -> int:
 
 
 # Below this corpus size the explicit candidate repartition is pure
-# overhead (r05 verdict watch item #2: +23% trimmed at sf0.1) — the
-# 1-partition-fusion pathology it prevents needs a 100x-scale candidate
-# fan-out to bite. Same footer-metadata gating pattern as lsh_k and
-# n_centroids; plan-shape only, the deduped pair set is identical.
-CAND_REPARTITION_MIN_VECTORS = 100_000
+# overhead (r05 verdict watch item #2: +23% trimmed at sf0.1, measured
+# 3.06s -> 2.19s with the gate) — the 1-partition-fusion pathology it
+# prevents needs a large candidate fan-out to bite. Measured crossover:
+# at 2k vectors (sf0.1) the extra exchange costs ~0.9s with nothing to
+# parallelize; at 20k (sf1.0) the repartitioned tail is already ~25%
+# faster (6.7s vs 8.5s warm search) and at 200k (sf10) it is the
+# difference between 90s and a single ~15-min spilling task. Same
+# footer-metadata gating pattern as lsh_k and n_centroids; plan-shape
+# only, the deduped pair set is identical.
+CAND_REPARTITION_MIN_VECTORS = 10_000
 
 
 def _dedup_candidates(spark, sf_dir, probes, inverted):
