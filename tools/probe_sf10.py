@@ -46,11 +46,26 @@ def main():
         done = set(open(done_path).read().split())
     ids = sys.argv[1:] or [q for q in qs if q not in done]
     timeout = int(os.environ.get("PROBE_TIMEOUT", "900"))
+    # Self-rotation (the sweep's lesson, replayed at sf10 in round 6):
+    # an 8 GB JVM that has aged through ~30 ids OOMs on the heaviest
+    # ones (sink_json_collections' full migrate + nested-JSON write
+    # died mid-probe, then passed at 99.7s LEADING a fresh process).
+    # After this many completed ids the process re-execs itself and
+    # resumes from the done-ledger. <= 0 disables.
+    restart_every = int(os.environ.get("PROBE_RESTART_EVERY", "25"))
+    n_this_process = 0
     pool = cf.ThreadPoolExecutor(max_workers=1)
     for qid in ids:
         if qid not in qs:
             print(f"SKIP {qid} not-in-registry", flush=True)
             continue
+        if restart_every > 0 and n_this_process >= restart_every:
+            print(f"RESTART after {n_this_process} ids", flush=True)
+            try:
+                spark.stop()
+            except Exception:  # noqa: BLE001 — wedged JVM
+                pass
+            os.execv(sys.executable, [sys.executable] + sys.argv)
         t0 = time.time()
 
         def run(qid=qid):
@@ -84,6 +99,7 @@ def main():
                     pool = cf.ThreadPoolExecutor(max_workers=1)
                 raise QTimeout()
             t = round(time.time() - t0, 1)
+            n_this_process += 1
             print(f"OK {qid} rows={n} t={t}", flush=True)
             with open(times_path, "a") as f:
                 f.write(json.dumps({"id": qid, "t": t, "rows": n}) + "\n")
