@@ -13,20 +13,37 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
 def scratch_dir(prefix: str) -> str:
     """mkdtemp whose removal is registered at process exit: round-trip
     sink/source operators materialize real files per invocation (that IS
     the operator), and the returned frames read them lazily — so cleanup
     can't happen in-operator, but an un-registered mkdtemp accumulates a
     table copy per call across a driver run. atexit bounds the leak to
-    the process lifetime."""
+    the process lifetime; long-lived harnesses that exit via os.execv /
+    os._exit (which SKIP atexit — the sweep/probe rotation paths) must
+    call cleanup_scratch() explicitly before replacing the process."""
     import atexit
     import shutil
     import tempfile
 
     d = tempfile.mkdtemp(prefix=prefix)
     atexit.register(shutil.rmtree, d, True)
+    _SCRATCH_DIRS.append(d)
     return d
+
+
+def cleanup_scratch() -> None:
+    """Remove every scratch dir this process created — for callers that
+    terminate via os.execv / os._exit, where atexit never runs (at sf10
+    a single global-rank staging dir is hundreds of MB; a rotating probe
+    would otherwise leak one per generation until /tmp fills)."""
+    import shutil
+
+    while _SCRATCH_DIRS:
+        shutil.rmtree(_SCRATCH_DIRS.pop(), True)
 
 
 def parquet_paths(sf_dir: str, name: str) -> list[str]:

@@ -211,12 +211,32 @@ def test_no_corpus_scale_explode_broadcast(qid, spark):
 # bounded, which the physical plan itself shows:
 #   - a TakeOrderedAndProject / WindowGroupLimit below it (Spark's
 #     rank-limit pushdown: a global top-K sees K rows, not the corpus);
-#   - a SPARK_PARTITION_ID-keyed aggregate below it (the
-#     common.global_row_number offsets frame — at most
-#     spark.sql.shuffle.partitions rows, bounded by config);
+#   - an aggregate keyed on the materialized range-partition id below
+#     it (the common.global_row_number offsets frame — at most
+#     spark.sql.shuffle.partitions rows, bounded by config; since the
+#     round-6 scratch-parquet materialization _pid is a STORED column,
+#     so the walk stops at the keys=[_pid] aggregate barrier);
 #   - no big-table scan anywhere beneath it (a dimension-sized frame).
+# Corpus provenance through a scratch round-trip must NOT launder the
+# check: global_row_number's staged frame is corpus-sized even though
+# its scan path is /tmp — CORPUS_SCRATCH_PREFIXES names every scratch
+# prefix that holds corpus-scale data, and scans over those count as
+# big-table scans in every lint here. Add to it when introducing a new
+# corpus-scale scratch materialization.
 
 BOUNDED_MARKERS = ("TakeOrderedAndProject", "WindowGroupLimit")
+CORPUS_SCRATCH_PREFIXES = ("grnk_",)
+
+
+def _scans_big(n):
+    """True when a plan node is a scan of a big base table or of a
+    corpus-scale scratch materialization."""
+    if not n.nodeName().startswith("Scan"):
+        return False
+    vs = n.verboseString(300)
+    return any(t in vs for t in BIG_TABLES) or any(
+        p in vs for p in CORPUS_SCRATCH_PREFIXES
+    )
 
 # Global windows over a frame the plan can't prove bounded but that IS
 # bounded by construction: all three run Window.partitionBy() over the
@@ -239,15 +259,23 @@ def test_no_unbounded_global_window(qid, spark):
     for node in _walk(root):
         if node.nodeName() != "Window" or node.partitionSpec().size() > 0:
             continue
-        sub = list(_walk(node.children().apply(0)))
+        # Walk the window's input, stopping at provably-bounded
+        # barriers: an aggregate keyed on the materialized range-
+        # partition id collapses the frame to <= shuffle.partitions
+        # rows — everything beneath it is irrelevant to the window's
+        # input cardinality.
+        sub, stack = [], [node.children().apply(0)]
+        while stack:
+            n = stack.pop()
+            nm = n.nodeName()
+            if "Aggregate" in nm and "keys=[_pid" in n.verboseString(300):
+                continue
+            sub.append(n)
+            ch = n.children()
+            stack.extend(ch.apply(i) for i in range(ch.length()))
         if any(n.nodeName() in BOUNDED_MARKERS for n in sub):
             continue
-        if any("SPARK_PARTITION_ID" in n.verboseString(200) for n in sub):
-            continue
-        big = [t for t in BIG_TABLES if any(
-            n.nodeName().startswith("Scan")
-            and t in n.verboseString(200) for n in sub
-        )]
+        big = [n.nodeName() for n in sub if _scans_big(n)]
         assert not big, (
             f"{qid}: unpartitioned window over a frame derived from "
             f"{big} — single-partition global sort of a corpus-scale "
@@ -328,8 +356,7 @@ def _unspread_big_scan_explodes(root):
             if "Exchange" in nm or "ShuffleRead" in nm:
                 continue  # explode parallelism decoupled from the scan
             if nm.startswith("Scan") or "FileScan" in nm:
-                vs = n.verboseString(100)
-                if any(b in vs for b in BIG_TABLES):
+                if _scans_big(n):
                     hits.append(nm)
                 continue
             sub = n.children()

@@ -17,11 +17,11 @@ def _canon(df: pd.DataFrame) -> str:
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return hashlib.md5(df.to_csv(index=False).encode()).hexdigest()
 
-qs, ors = e.queries(), e.oracle_sql()
-# Scale-adaptive oracles: the registered static SQL is the driver-scale
-# (sf0.01) rendering; when auditing another SF, re-render so oracle and
-# engine agree on the data-adaptive parameters (LSH key width, packer
-# bucket count) — operators.all_scaled_oracles is the one seam.
+qs = e.queries()
+# Scale-adaptive oracles: the registered static oracle_sql() is the
+# driver-scale (sf0.01) rendering; all_scaled_oracles re-renders the
+# data-adaptive entries (LSH key width, packer bucket count) for the
+# audited SF and is the identical dict at driver scale (tested).
 from relational_to_doc_oriented_nosql_migrator_spark.operators import all_scaled_oracles
 ors = all_scaled_oracles(sf)
 bad = []

@@ -16,6 +16,7 @@ $PROBE_DONE (default /tmp/probe100/.done3).
 import concurrent.futures as cf
 import json
 import os
+import signal
 import sys
 import time
 
@@ -44,14 +45,31 @@ def main():
     done = set()
     if os.path.exists(done_path):
         done = set(open(done_path).read().split())
-    ids = sys.argv[1:] or [q for q in qs if q not in done]
+    # Explicit ids are ALSO filtered against the done-ledger: the
+    # rotation below re-execs with the same argv, and unfiltered
+    # explicit ids would re-run forever without ever reaching the tail
+    # (delete $PROBE_DONE to force a re-probe of finished ids).
+    ids = [q for q in (sys.argv[1:] or list(qs)) if q not in done]
     timeout = int(os.environ.get("PROBE_TIMEOUT", "900"))
     # Self-rotation (the sweep's lesson, replayed at sf10 in round 6):
     # an 8 GB JVM that has aged through ~30 ids OOMs on the heaviest
     # ones (sink_json_collections' full migrate + nested-JSON write
     # died mid-probe, then passed at 99.7s LEADING a fresh process).
     # After this many completed ids the process re-execs itself and
-    # resumes from the done-ledger. <= 0 disables.
+    # resumes from the done-ledger, via the sweep's alarm-bounded stop
+    # + child-JVM kill + scratch sweep (a bare spark.stop() can hang on
+    # a wedged JVM, and a bare execv orphans it holding 8 GB and leaks
+    # the process's /tmp scratch dirs). <= 0 disables.
+    from tools.scale_sweep import _restart
+
+    # _restart bounds spark.stop() with signal.alarm(10); the handler
+    # must RAISE to actually break out of a wedged Py4J call (a no-op
+    # handler just EINTRs and the blocking recv retries). _restart's
+    # except clause absorbs it.
+    signal.signal(
+        signal.SIGALRM,
+        lambda _s, _f: (_ for _ in ()).throw(TimeoutError("stop hung")),
+    )
     restart_every = int(os.environ.get("PROBE_RESTART_EVERY", "25"))
     n_this_process = 0
     pool = cf.ThreadPoolExecutor(max_workers=1)
@@ -61,11 +79,7 @@ def main():
             continue
         if restart_every > 0 and n_this_process >= restart_every:
             print(f"RESTART after {n_this_process} ids", flush=True)
-            try:
-                spark.stop()
-            except Exception:  # noqa: BLE001 — wedged JVM
-                pass
-            os.execv(sys.executable, [sys.executable] + sys.argv)
+            _restart(spark)
         t0 = time.time()
 
         def run(qid=qid):
@@ -126,7 +140,13 @@ def main():
                 return
     print("PROBE COMPLETE", flush=True)
     # Hard-exit: a wedged (abandoned) worker thread is non-daemon and
-    # would otherwise block interpreter shutdown forever.
+    # would otherwise block interpreter shutdown forever. os._exit skips
+    # atexit, so sweep the operator scratch dirs explicitly.
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        cleanup_scratch,
+    )
+
+    cleanup_scratch()
     os._exit(0)
 
 

@@ -67,7 +67,14 @@ def _kill_child_jvms() -> None:
 
 def _restart(spark) -> None:
     """Fresh-process resume: graceful stop if the JVM still answers,
-    hard child kill either way, then re-exec (ledgers carry the state)."""
+    hard child kill either way, then re-exec (ledgers carry the state).
+    os.execv skips atexit, so operator scratch dirs (grnk staging,
+    round-trip sinks) are swept explicitly first — otherwise every
+    rotation generation leaks its /tmp copies."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        cleanup_scratch,
+    )
+
     try:
         signal.alarm(10)
         spark.stop()
@@ -76,6 +83,7 @@ def _restart(spark) -> None:
     finally:
         signal.alarm(0)
     _kill_child_jvms()
+    cleanup_scratch()
     os.execv(sys.executable, [sys.executable] + sys.argv)
 
 SKIP: set[str] = set()
