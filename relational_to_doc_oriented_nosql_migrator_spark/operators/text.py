@@ -214,9 +214,12 @@ def q_ext_text_unigram_logprob(spark, sf_dir):
     vocab side is post-aggregation small; AQE broadcasts it when it fits).
     The corpus total rides a broadcast 1-row cross join, never the driver.
     Per-token logprob is rounded BEFORE the per-doc decimal mean so both
-    engines aggregate identical values in any order.
+    engines aggregate identical values in any order. spread=True: the
+    100x corpus is ONE 78 MB parquet file = one input split, which
+    pinned the explode + partial-count stage to a single core (32.8s at
+    sf10 measured; the round-5 entropy lesson applied here).
     """
-    ex = docs_tokenized(spark, sf_dir).select(
+    ex = docs_tokenized(spark, sf_dir, spread=True).select(
         "doc_id", F.explode("tk").alias("tok")
     )
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -340,8 +343,10 @@ def q_ext_text_tfidf_top(spark, sf_dir):
     row_number window partitioned by doc_id — state per partition is one
     heap, never the corpus. Scores are rounded before ranking, with the
     term as tiebreaker, so ordering is identical across engines.
+    spread=True: a single-file corpus reads as one split and pins the
+    explode + tf partial-agg to one core (49.1s at sf10 measured).
     """
-    ex = docs_tokenized(spark, sf_dir).select(
+    ex = docs_tokenized(spark, sf_dir, spread=True).select(
         "doc_id", F.explode("tk").alias("term")
     )
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -379,9 +384,12 @@ def q_ext_text_bigram_logprob(spark, sf_dir):
     (map-side combined); the bigram->logprob join's model side is
     post-aggregation vocabulary-sized (AQE broadcasts when it fits).
     Per-bigram logprob rounds before the per-doc decimal mean, so both
-    engines aggregate identical values in any order.
+    engines aggregate identical values in any order. spread=True: the
+    heaviest explode in the text family (two bigram aggregations) ran
+    on ONE core at sf10 when the corpus read as a single split (104.7s
+    measured — the worst non-ANN id in PROBE_r06).
     """
-    docs = docs_tokenized(spark, sf_dir)
+    docs = docs_tokenized(spark, sf_dir, spread=True)
     bigrams_expr = (
         "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
         " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
@@ -520,9 +528,11 @@ def q_ext_text_pmi(spark, sf_dir):
     size, unlike int64 products, which blow past 2^63 as soon as
     t_bg*c1*c2 does on ~1e7-token corpora) with ONE division then ln;
     both engines evaluate the identical expression tree left-to-right,
-    so the rounded double matches bit-for-bit.
+    so the rounded double matches bit-for-bit. spread=True: both
+    explodes inherited the single-file corpus's one input split at sf10
+    (46.0s measured on one core).
     """
-    docs = docs_tokenized(spark, sf_dir)
+    docs = docs_tokenized(spark, sf_dir, spread=True)
     bigrams_expr = (
         "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
         " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
@@ -555,8 +565,13 @@ def q_ext_text_pmi(spark, sf_dir):
 
 def q_ext_token_bigrams(spark, sf_dir):
     """Corpus-wide token-pair frequencies (the merge-candidate counting
-    step of BPE training): adjacent-token bigrams exploded and counted."""
-    docs = t(spark, sf_dir, "documents")
+    step of BPE training): adjacent-token bigrams exploded and counted.
+    The narrow raw scan is repartitioned to full parallelism first: a
+    single-file corpus reads as one split, which pinned the tokenize +
+    explode + partial-count stage to one core at sf10 (29.9s measured)."""
+    docs = t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     toks = tokens_col(F.col("text"))
     bigrams = F.expr(
         "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"

@@ -326,6 +326,12 @@ def test_cand_repartition_gated_on_corpus_size(spark, monkeypatch):
 # datapoint, i.e. the fanout is measured-bounded at scale (token/shingle
 # explodes of ~30-100x over byte-proportional splits, or explodes of
 # constant-width arrays):
+# (The heavy token-explode family — unigram/bigram logprob, tfidf, pmi,
+# token_bigrams — was REMOVED from this list in round 6: their explode +
+# partial-agg stages ran on ONE core at sf10, where the whole corpus is
+# a single 78 MB parquet split — measured 29.9-104.7s each; they now
+# spread the narrow raw scan to defaultParallelism first, like the
+# round-5 entropy/SymSpell fixes.)
 UNSPREAD_EXPLODES_AUDITED = {
     "ext_decontaminate",        # distinct shingle explode, ~n_tokens/doc
     "ext_dedup_embedding_lsh",  # LSH_TABLES(12)-wide key explode
@@ -334,12 +340,8 @@ UNSPREAD_EXPLODES_AUDITED = {
     "ext_range_join",           # bounded bucket-span explode (few buckets)
     "ext_setops",               # tiny set-literal explode
     "ext_similarity_ivfpq_indexed",  # PQ_M(8)-wide code pivot explode
-    "ext_text_bigram_logprob",  # token explode, ~n_tokens/doc
-    "ext_text_chunk",           # chunk-boundary explode, ~n_tokens/500
-    "ext_text_pmi",             # token-pair explode, ~n_tokens/doc
-    "ext_text_tfidf_top",       # token explode, ~n_tokens/doc
-    "ext_text_unigram_logprob", # token explode, ~n_tokens/doc
-    "ext_token_bigrams",        # bigram explode, ~n_tokens/doc
+    "ext_text_chunk",           # chunk-boundary explode, ~n_tokens/500,
+                                # 5.8s at sf10 measured
 }
 
 
