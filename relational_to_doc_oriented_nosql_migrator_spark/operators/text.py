@@ -15,6 +15,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_avg,
     dec_sum,
     exact_ntile,
+    footer_rows,
     global_row_number,
     sql_dec_avg,
     sql_dec_sum,
@@ -42,6 +43,22 @@ def tokens_col(col: Column) -> Column:
 
 
 SQL_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+# Spread the raw scan before high-fanout token explodes only past this
+# corpus size (documents footer row count — no Spark job): a single-file
+# corpus reads as ONE input split, which pinned the explode + partial-agg
+# stages of the token-statistics family to one core at sf10 (measured
+# 29.9-104.7s each; spread cut bigram_logprob 104.7 -> 49.3s, pmi 46.0 ->
+# 6.9s). Below the gate the extra 32-task exchange is pure scheduling
+# overhead on a corpus one core chews in under a second (sf0.1 = 5k docs:
+# bigram 1.09s unspread vs 1.73s spread) — the same footer-metadata
+# pattern as similarity.lsh_k / n_centroids / the IVF-PQ candidate gate.
+SPREAD_MIN_DOCS = 20_000
+
+
+def spread_for(sf_dir: str) -> bool:
+    return footer_rows(sf_dir, "documents") >= SPREAD_MIN_DOCS
 
 
 def docs_tokenized(spark, sf_dir, spread: bool = False) -> DataFrame:
@@ -214,12 +231,12 @@ def q_ext_text_unigram_logprob(spark, sf_dir):
     vocab side is post-aggregation small; AQE broadcasts it when it fits).
     The corpus total rides a broadcast 1-row cross join, never the driver.
     Per-token logprob is rounded BEFORE the per-doc decimal mean so both
-    engines aggregate identical values in any order. spread=True: the
-    100x corpus is ONE 78 MB parquet file = one input split, which
-    pinned the explode + partial-count stage to a single core (32.8s at
-    sf10 measured; the round-5 entropy lesson applied here).
+    engines aggregate identical values in any order. The raw scan is
+    spread past SPREAD_MIN_DOCS: the 100x corpus is ONE 78 MB parquet
+    file = one input split, which pinned the explode + partial-count
+    stage to a single core (the round-5 entropy lesson applied here).
     """
-    ex = docs_tokenized(spark, sf_dir, spread=True).select(
+    ex = docs_tokenized(spark, sf_dir, spread=spread_for(sf_dir)).select(
         "doc_id", F.explode("tk").alias("tok")
     )
     freq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
@@ -343,10 +360,11 @@ def q_ext_text_tfidf_top(spark, sf_dir):
     row_number window partitioned by doc_id — state per partition is one
     heap, never the corpus. Scores are rounded before ranking, with the
     term as tiebreaker, so ordering is identical across engines.
-    spread=True: a single-file corpus reads as one split and pins the
-    explode + tf partial-agg to one core (49.1s at sf10 measured).
+    The raw scan is spread past SPREAD_MIN_DOCS: a single-file corpus
+    reads as one split and pins the explode + tf partial-agg to one
+    core (49.1s at sf10 measured; 34.7s spread).
     """
-    ex = docs_tokenized(spark, sf_dir, spread=True).select(
+    ex = docs_tokenized(spark, sf_dir, spread=spread_for(sf_dir)).select(
         "doc_id", F.explode("tk").alias("term")
     )
     tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
@@ -384,12 +402,13 @@ def q_ext_text_bigram_logprob(spark, sf_dir):
     (map-side combined); the bigram->logprob join's model side is
     post-aggregation vocabulary-sized (AQE broadcasts when it fits).
     Per-bigram logprob rounds before the per-doc decimal mean, so both
-    engines aggregate identical values in any order. spread=True: the
-    heaviest explode in the text family (two bigram aggregations) ran
-    on ONE core at sf10 when the corpus read as a single split (104.7s
-    measured — the worst non-ANN id in PROBE_r06).
+    engines aggregate identical values in any order. The raw scan is
+    spread past SPREAD_MIN_DOCS: the heaviest explode in the text
+    family (two bigram aggregations) ran on ONE core at sf10 when the
+    corpus read as a single split (104.7s measured, 49.3s spread — the
+    worst non-ANN id in the frozen PROBE_r06 matrix).
     """
-    docs = docs_tokenized(spark, sf_dir, spread=True)
+    docs = docs_tokenized(spark, sf_dir, spread=spread_for(sf_dir))
     bigrams_expr = (
         "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
         " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
@@ -528,11 +547,11 @@ def q_ext_text_pmi(spark, sf_dir):
     size, unlike int64 products, which blow past 2^63 as soon as
     t_bg*c1*c2 does on ~1e7-token corpora) with ONE division then ln;
     both engines evaluate the identical expression tree left-to-right,
-    so the rounded double matches bit-for-bit. spread=True: both
-    explodes inherited the single-file corpus's one input split at sf10
-    (46.0s measured on one core).
+    so the rounded double matches bit-for-bit. The raw scan is spread
+    past SPREAD_MIN_DOCS: both explodes inherited the single-file
+    corpus's one input split at sf10 (46.0s on one core; 6.9s spread).
     """
-    docs = docs_tokenized(spark, sf_dir, spread=True)
+    docs = docs_tokenized(spark, sf_dir, spread=spread_for(sf_dir))
     bigrams_expr = (
         "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
         " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
@@ -566,12 +585,13 @@ def q_ext_text_pmi(spark, sf_dir):
 def q_ext_token_bigrams(spark, sf_dir):
     """Corpus-wide token-pair frequencies (the merge-candidate counting
     step of BPE training): adjacent-token bigrams exploded and counted.
-    The narrow raw scan is repartitioned to full parallelism first: a
-    single-file corpus reads as one split, which pinned the tokenize +
-    explode + partial-count stage to one core at sf10 (29.9s measured)."""
-    docs = t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    The narrow raw scan is repartitioned to full parallelism past
+    SPREAD_MIN_DOCS: a single-file corpus reads as one split, which
+    pinned the tokenize + explode + partial-count stage to one core at
+    sf10 (29.9s measured; 4.4s spread)."""
+    docs = t(spark, sf_dir, "documents")
+    if spread_for(sf_dir):
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
     toks = tokens_col(F.col("text"))
     bigrams = F.expr(
         "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"

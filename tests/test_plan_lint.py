@@ -326,12 +326,14 @@ def test_cand_repartition_gated_on_corpus_size(spark, monkeypatch):
 # datapoint, i.e. the fanout is measured-bounded at scale (token/shingle
 # explodes of ~30-100x over byte-proportional splits, or explodes of
 # constant-width arrays):
-# (The heavy token-explode family — unigram/bigram logprob, tfidf, pmi,
-# token_bigrams — was REMOVED from this list in round 6: their explode +
-# partial-agg stages ran on ONE core at sf10, where the whole corpus is
-# a single 78 MB parquet split — measured 29.9-104.7s each; they now
-# spread the narrow raw scan to defaultParallelism first, like the
-# round-5 entropy/SymSpell fixes.)
+# The heavy token-explode family (unigram/bigram logprob, tfidf, pmi,
+# token_bigrams) spreads its raw scan PAST text.SPREAD_MIN_DOCS (round
+# 6: their explode + partial-agg stages ran on ONE core at sf10, where
+# the corpus is a single 78 MB parquet split — spread cut
+# bigram_logprob 104.7s -> 49.3s, pmi 46.0s -> 6.9s); below the gate
+# (this lint's sf0.001, and the recorded bench at sf0.1) the unspread
+# plan is the cheaper one by design, so they stay listed here and
+# test_token_explodes_spread_past_gate pins the gated branch.
 UNSPREAD_EXPLODES_AUDITED = {
     "ext_decontaminate",        # distinct shingle explode, ~n_tokens/doc
     "ext_dedup_embedding_lsh",  # LSH_TABLES(12)-wide key explode
@@ -342,7 +344,29 @@ UNSPREAD_EXPLODES_AUDITED = {
     "ext_similarity_ivfpq_indexed",  # PQ_M(8)-wide code pivot explode
     "ext_text_chunk",           # chunk-boundary explode, ~n_tokens/500,
                                 # 5.8s at sf10 measured
+    # gated-spread family: unspread below SPREAD_MIN_DOCS by design
+    "ext_text_bigram_logprob",
+    "ext_text_pmi",
+    "ext_text_tfidf_top",
+    "ext_text_unigram_logprob",
+    "ext_token_bigrams",
 }
+
+
+def test_token_explodes_spread_past_gate(spark, monkeypatch):
+    """Past text.SPREAD_MIN_DOCS the token-explode family must spread
+    its raw scan (no Generate left over an unshuffled documents scan) —
+    forced here by zeroing the gate at sf0.001."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import text
+
+    monkeypatch.setattr(text, "SPREAD_MIN_DOCS", 0)
+    for qid in ("ext_text_bigram_logprob", "ext_text_pmi",
+                "ext_text_tfidf_top", "ext_text_unigram_logprob",
+                "ext_token_bigrams"):
+        df = QUERIES[qid](spark, SF0001)
+        root = df._jdf.queryExecution().sparkPlan()
+        hits = _unspread_big_scan_explodes(root)
+        assert not hits, f"{qid}: unspread explode past the gate ({hits})"
 
 
 def _unspread_big_scan_explodes(root):
