@@ -25,72 +25,84 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
            streaming, multimodal, temporal, planops, pipeline, graph)
 
 # The external correctness driver records rows for only the FIRST 50
-# registry entries (dict insertion order). Round 1 proved the relational/
-# workload/window block; round 2 led with the 47 then-unproven ids;
-# round 3 re-proved the 41 r01-era ids + 2 changed dedup ids + 7 new
-# operators; round 4's window was exactly the 50 new/changed/never-
-# proven ids; round 5 rotated to the 46 r02-stale ids + 4 round-5-
-# changed ids. After r05, EVERY one of the 145 ids has a green driver
-# row and every id's LATEST row is green (r05: 50, r03: 49, r04: 46).
+# registry entries (dict insertion order). Rounds 1-6 rotated this
+# window by hand (see git history for the per-round rationale); after
+# r06, EVERY one of the 145 ids has a green driver row and every id's
+# LATEST row is green (r06: 50, r05: 49, r04: 46).
 #
-# Round 6 is the freshness rotation the r05 verdict ordered: the window
-# is exactly the 49 ids whose latest hard-signal row is r03 (three
-# registry-churn rounds stale, though all re-proven by the local
-# all-ids suite and tools/driver_audit.py every run), led by
-# ext_stream_enrich_agg and ext_stream_interval_join — the two stream
-# ops that took the round-5 files-sink/RocksDB-state swap on code paths
-# whose newest driver rows predate it — then the batch window/temporal
-# aggs, the r01-era relational/workload/projection/filter/function
-# block, and the remaining r03-era text/dedup/setops ids. The 1
-# remaining slot carries the one id whose code materially changed in
-# round 6: ext_pack_sequences (PACK_BUCKETS derived from documents
-# footer row counts instead of the hand-set 64 — the r05 verdict's
-# watch item #1; the bucket count floors at the old 64 so sf<=0.1
-# values are byte-identical, but a changed op earns a fresh hard-signal
-# row on principle). Displaced to the tail (all r04/r05-green, latest
-# row green, unchanged this round): the full r04 and r05 window
-# contents.
+# From round 7 the rotation is MECHANICAL (r06 verdict task #6):
+# tools/derive_window.py computes the window from the CORRECTNESS_r*.json
+# ledger — ROUND_CHANGED_IDS promoted to the head (a materially-changed
+# op earns a fresh hard-signal row on principle), remaining slots filled
+# stalest-first (latest-row round, ties broken by canonical registry
+# position). The literal below is that tool's output, pasted so the
+# registry never depends on ledger files at import time;
+# tests/test_registry_order.py recomputes it and fails on drift.
 #
-# ext_similarity_ivfpq_indexed also changed in round 6 (the explicit
-# candidate repartition added for the sf10 one-partition-fusion fix is
-# now gated on corpus size from footer metadata — r05 watch item #2)
-# but does NOT take a window slot: the change is plan-shape only, the
-# DuckDB oracle is UNCHANGED, and the query hash-matches it at sf0.01
-# in a vanilla session (re-verified after the change); its r04 row
-# stays accurate. Likewise ext_dedup_embedding_lsh's oracle became
-# K-parameterized via sql_table_keys(lsh_k(n)) (r05 ADVICE) — at
-# driver scale lsh_k(500) == 4 renders the IDENTICAL oracle SQL text
-# the r04 row was recorded against, so the row stays accurate; the
-# parameterization only changes the oracle above 2048 vectors where
-# no driver compare runs.
+# Round-7 changed ids: the IVF-PQ family trains its Lloyd/PQ codebooks
+# on a bounded deterministic sample instead of full-corpus scans (r06
+# verdict task #4). Both ids were already the stalest cohort (r04), so
+# promotion only moves them to the head. The 46 r04-latest ids follow,
+# then the 4 canonically-first r05 ids fill the window to 50.
+ROUND_CHANGED_IDS = (
+    "ext_similarity_ivfpq",
+    "ext_similarity_ivfpq_indexed",
+)
+
 DRIVER_WINDOW_FIRST = (
-    # latest driver row is r03 — freshness rotation (49 ids), stream
-    # ops first: their code took the round-5 sink swap post-r03-row
-    "ext_stream_enrich_agg", "ext_stream_interval_join",
-    # batch window / temporal aggregation block
-    "ext_window_rank", "ext_window_lag_lead", "ext_window_running",
-    "ext_tumbling_agg", "ext_sliding_agg", "ext_session_agg",
-    "ext_grouping_sets", "ext_cube", "ext_setops", "ext_json_extract",
-    "ext_percentiles",
-    # r01-era relational core: projections / filters / joins / aggs
-    "proj_attribute_select", "proj_drop_fk_column", "proj_rename_ref",
-    "filter_fk_match", "filter_nonempty_doc", "filter_nonempty_collection",
-    "join_denormalize_m2m", "join_meta_left", "join_meta_pg_catalog",
-    "agg_count_star", "agg_fk_count_grouped", "agg_group_concat_ordered",
-    "agg_group_concat_distinct", "agg_pricing_summary", "sort_meta_output",
-    # workload (query-log) block
-    "src_log_text", "filter_statement_type", "filter_dml_type",
-    "fn_regex_log_extract_mysql", "fn_regex_log_extract_pg",
-    "fn_split_tableref", "fn_sql_tablelist", "agg_workload_gaf_uaf",
-    "agg_maf_scalar",
-    # scalar functions
-    "fn_whitespace_normalize", "fn_date_normalize", "fn_case_when_referenced",
-    # text / dedup / classify block
-    "ext_text_tokens", "ext_text_tfidf_top", "ext_text_unigram_logprob",
-    "ext_token_bigrams", "ext_dedup_components", "ext_dedup_common_ngrams",
-    "ext_domain_mix_temperature", "ext_split_assign", "ext_knn_classify",
-    # code materially changed in round 6 -> re-prove
-    "ext_pack_sequences",
+    # materially changed in round 7 -> re-prove first
+    "ext_similarity_ivfpq",
+    "ext_similarity_ivfpq_indexed",
+    # latest driver row is r04 — stalest-first freshness rotation
+    "src_csv_import",
+    "src_jsonl_import",
+    "src_parquet_mergeschema",
+    "ext_fk_orphan_audit",
+    "ext_migrate_reconcile",
+    "ext_fuzzy_join_names",
+    "ext_basket_pairs",
+    "ext_skew_report",
+    "ext_corr_stats",
+    "ext_events_funnel",
+    "ext_events_retention",
+    "ext_events_attribution",
+    "ext_events_sessionize",
+    "ext_session_paths",
+    "ext_events_transitions",
+    "ext_events_anomaly",
+    "ext_pivot",
+    "ext_unpivot",
+    "ext_histogram",
+    "ext_moving_avg",
+    "ext_text_entropy",
+    "ext_text_bigram_logprob",
+    "ext_text_chunk",
+    "ext_text_pmi",
+    "ext_text_quality_score",
+    "ext_dedup_dup_rate",
+    "ext_dedup_canonical",
+    "ext_dedup_minhash",
+    "ext_dedup_embedding_lsh",
+    "ext_dedup_containment",
+    "ext_dedup_minhash_incremental",
+    "ext_similarity_lsh",
+    "ext_similarity_ivf",
+    "ext_embed_centroids",
+    "ext_embed_quantize",
+    "ext_embed_pq",
+    "ext_stream_cdc_upsert",
+    "ext_stream_sessionize",
+    "ext_mm_dedup_exact",
+    "ext_mm_decode_dims",
+    "ext_cdc_merge_latest",
+    "ext_incremental_agg",
+    "sink_parquet_compacted",
+    "sink_parquet_sorted",
+    # latest driver row is r05 — the 4 canonically-first fill the window
+    "src_full_scan",
+    "src_sql_dump_import",
+    "src_indexed_lookup",
+    "ext_profile_table",
 )
 
 

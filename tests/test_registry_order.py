@@ -1,29 +1,22 @@
 """The external driver records correctness rows for only the first 50
-registry entries (insertion order) — pin the round-6 ordering contract.
+registry entries (insertion order) — pin the window ordering contract.
 
-After round 5, every one of the 145 ids has a green driver row and
-every id's LATEST row is green (r05: 50, r03: 49, r04: 46). Round 6 is
-the freshness rotation the r05 verdict ordered: the window is exactly
-the 49 ids whose latest hard-signal row is r03, led by
-ext_stream_enrich_agg and ext_stream_interval_join (they took the
-round-5 files-sink/RocksDB swap on code paths whose newest driver rows
-predate it), then the batch window/temporal agg block, the r01-era
-relational/workload/projection/filter/function block, and the
-remaining r03-era text/dedup/setops ids. The 1 remaining slot carries
-the one id whose code materially changed in round 6:
-ext_pack_sequences (adaptive PACK_BUCKETS from footer row counts, r05
-verdict watch item #1). Displaced to the tail: the full r04 and r05
-window contents — all with green latest rows and unchanged this round,
-still re-proven by the local all-ids suite and tools/driver_audit.py
-every run."""
+From round 7 the rotation is mechanical (r06 verdict task #6):
+tools/derive_window.py computes the window from the CORRECTNESS_r*.json
+ledger (ROUND_CHANGED_IDS promoted to the head, remaining slots filled
+stalest-first with canonical-registry-position tiebreak), and the
+DRIVER_WINDOW_FIRST literal in operators/__init__.py must equal that
+derivation — a stale hand-paste fails here."""
 
 import __spark_entry__ as entrymod
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators import (
     DRIVER_WINDOW_FIRST,
+    ROUND_CHANGED_IDS,
     all_oracles,
     all_queries,
 )
+from tools.derive_window import derive_window
 
 
 def test_priority_block_leads_registry():
@@ -31,6 +24,17 @@ def test_priority_block_leads_registry():
     assert order[: len(DRIVER_WINDOW_FIRST)] == list(DRIVER_WINDOW_FIRST)
     # Everything the driver hasn't proven yet must sit inside its window.
     assert len(DRIVER_WINDOW_FIRST) <= 50
+
+
+def test_window_matches_ledger_derivation():
+    """DRIVER_WINDOW_FIRST is the checked-in output of the derivation
+    tool — changed ids first, then stalest-first from the ledger."""
+    derived = derive_window(ROUND_CHANGED_IDS)
+    assert list(DRIVER_WINDOW_FIRST) == derived
+    # Changed ids lead the window.
+    assert set(DRIVER_WINDOW_FIRST[: len(ROUND_CHANGED_IDS)]) == set(
+        ROUND_CHANGED_IDS
+    )
 
 
 def test_registry_complete_and_oracle_backed():
