@@ -540,7 +540,8 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
     sub = _pq_slices(embn)
     codebook = _lloyd_refine(
-        sub, _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS
+        _train_slices(spark, sf_dir, embn, sub),
+        _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS,
     )
     codes = _pq_codes(sub, codebook)
     cents.write.mode("overwrite").parquet(os.path.join(out, "centroids"))
@@ -873,6 +874,45 @@ IVFPQ_K = 64         # search-path codewords per subspace (6-bit codes);
                      # sampled then Lloyd-refined — the richer book the
                      # SEARCH path trains, vs the layout op's raw sample
 IVFPQ_TRAIN_ITERS = 1
+# Lloyd/PQ training runs on a bounded deterministic SAMPLE of the corpus
+# (r06 verdict task #4): the standard FAISS practice of ~256 training
+# vectors per codeword — min(N, 256 * IVFPQ_K) vectors, chosen as the
+# first TRAIN_SAMPLE_MAX vec_ids ordered by md5(vec_id) (content-
+# independent, engine-identical string ordering of lowercase hex, vec_id
+# tiebreak), so both the Spark plan and the DuckDB oracle train on the
+# SAME set. Below the cap the sample is the whole corpus and the plan /
+# oracle text are unchanged from the unsampled rounds — at driver scale
+# (500 vectors) and bench scale (2k) results are byte-identical.
+# Assignment (_pq_codes) and search stay exact over the FULL corpus;
+# only the codebook-refinement scans shrink. At the 100x dataset this
+# cuts Lloyd's input from 200k to 16.4k vectors (-92%).
+TRAIN_SAMPLE_FACTOR = 256
+TRAIN_SAMPLE_MAX = TRAIN_SAMPLE_FACTOR * IVFPQ_K   # 16384
+
+
+def train_sample_n(n_vectors: int) -> int:
+    return min(n_vectors, TRAIN_SAMPLE_MAX)
+
+
+def _train_slices(spark, sf_dir, embn, sub):
+    """PQ training input: the full slice frame when the corpus fits the
+    training budget, else the slices of the md5-ordered sample. The
+    sample id set is a TakeOrderedAndProject (per-partition top-N, tiny
+    (vec_id, h) rows) broadcast into one narrow join — no corpus
+    shuffle, and slicing happens AFTER the sample filter so the 8x
+    explode runs on 16k rows, not the corpus."""
+    n = footer_rows(sf_dir, "embeddings")
+    if n <= TRAIN_SAMPLE_MAX:
+        return sub
+    samp = (
+        embn.select(
+            "vec_id", F.md5(F.col("vec_id").cast("string")).alias("h")
+        )
+        .orderBy(F.asc("h"), F.asc("vec_id"))
+        .limit(train_sample_n(n))
+        .select("vec_id")
+    )
+    return _pq_slices(embn.join(F.broadcast(samp), "vec_id"))
 ADC_SHORTLIST = 32   # ADC-ranked candidates kept per query for the exact
                      # refine stage (FAISS's IndexRefineFlat pattern)
 
@@ -1050,7 +1090,8 @@ def q_ext_similarity_ivfpq(spark, sf_dir):
     )
     sub = _pq_slices(embn)
     codebook = _lloyd_refine(
-        sub, _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS
+        _train_slices(spark, sf_dir, embn, sub),
+        _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS,
     )
     codes = _pq_codes(sub, codebook).withColumnRenamed("vec_id", "cand_id")
     # Per-query ADC distance table: |queries| x PQ_M x IVFPQ_K rows.
@@ -1121,9 +1162,17 @@ SELECT query_id, cand_id, cosine, rank FROM (
                    AND q.vec_id <> c.vec_id
 ) WHERE rank <= {TOP_K}
 """,
-    "ext_similarity_ivf": f"""
+}
+
+
+# Rendered by oracle_ivf(n_vectors): the coarse-quantizer width follows
+# n_centroids(N) (engine parity past 2000 vectors); at driver scale it
+# renders the N_CENTROIDS literal the driver rows were recorded against.
+def oracle_ivf(n_vectors: int = 0) -> str:
+    return f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-cents AS (SELECT vec_id AS cent_id, v FROM v WHERE vec_id < {N_CENTROIDS}),
+cents AS (SELECT vec_id AS cent_id, v FROM v
+          WHERE vec_id < {n_centroids(n_vectors)}),
 assign AS (
   SELECT cand_id, cent_id FROM (
     SELECT q.vec_id AS cand_id, c.cent_id, {_SQL_COS} AS cent_cos,
@@ -1153,8 +1202,12 @@ SELECT query_id, cand_id, cosine, rank FROM (
   FROM cand cd JOIN v q ON q.vec_id = cd.query_id
                JOIN v c ON c.vec_id = cd.cand_id
 ) WHERE rank <= {IVF_TOP_K}
-""",
-    "ext_similarity_lsh": f"""
+"""
+
+
+ORACLES["ext_similarity_ivf"] = oracle_ivf(0)
+
+ORACLES["ext_similarity_lsh"] = f"""
 WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e,
                   embedding::DOUBLE[] AS v FROM embeddings),
 keys AS (SELECT vec_id, v, unnest({_SQL_TABLE_KEYS}) AS bkey FROM v),
@@ -1171,8 +1224,7 @@ SELECT query_id, cand_id, cosine, rank FROM (
   FROM cand cd JOIN v q ON q.vec_id = cd.query_id
                JOIN v c ON c.vec_id = cd.cand_id
 ) WHERE rank <= 3
-""",
-}
+"""
 
 # posexplode's dim is 0-based; the DuckDB indexed lambda is 1-based.
 ORACLES["ext_embed_centroids"] = """
@@ -1254,18 +1306,42 @@ SELECT vec_id, subspace, code FROM (
 # codeword arrays), ADC in decimal, then exact cosine refine on RAW
 # vectors — every stage mirrors the Spark plan's fold order and
 # tie-breaks, so ranks are engine-exact.
+#
+# Rendered by oracle_ivfpq(n_vectors): past TRAIN_SAMPLE_MAX the Lloyd
+# member scan trains on the md5-ordered sample (samp CTE), mirroring
+# _train_slices; at or below it the text is the unsampled rendering the
+# driver rows were recorded against. Static ORACLES entry = the
+# driver-scale rendering; SCALED_ORACLES re-renders per SF.
 _SQL_SLICE_L2 = (
     f"list_sum([(f.sv[i] - c.cw[i]) * (f.sv[i] - c.cw[i])"
     f" for i in generate_series(1, {PQ_SUB})])"
 )
-ORACLES["ext_similarity_ivfpq"] = f"""
+
+
+def oracle_ivfpq(n_vectors: int) -> str:
+    if n_vectors <= TRAIN_SAMPLE_MAX:
+        samp_cte = ""
+        member_from = "FROM flat f JOIN cb0 c ON f.subspace = c.cb_subspace"
+    else:
+        samp_cte = f"""samp AS (
+  SELECT vec_id FROM vn
+  ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC
+  LIMIT {train_sample_n(n_vectors)}
+),
+"""
+        member_from = (
+            "FROM flat f JOIN samp s ON f.vec_id = s.vec_id"
+            " JOIN cb0 c ON f.subspace = c.cb_subspace"
+        )
+    return f"""
 WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 vn AS (
   SELECT vec_id,
          list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
   FROM raw
 ),
-cents AS (SELECT vec_id AS cent_id, v FROM vn WHERE vec_id < {N_CENTROIDS}),
+cents AS (SELECT vec_id AS cent_id, v FROM vn
+          WHERE vec_id < {n_centroids(n_vectors)}),
 assign AS (
   SELECT cand_id, cent_id FROM (
     SELECT q.vec_id AS cand_id, c.cent_id, {_SQL_COS} AS cent_cos,
@@ -1299,12 +1375,12 @@ cb0 AS (
   SELECT subspace AS cb_subspace, vec_id AS code, sv AS cw
   FROM flat WHERE vec_id < {IVFPQ_K}
 ),
-member AS (
+{samp_cte}member AS (
   SELECT subspace, code, sv FROM (
     SELECT f.subspace, c.code, f.sv,
            row_number() OVER (PARTITION BY f.vec_id, f.subspace
                               ORDER BY {_SQL_SLICE_L2} ASC, c.code ASC) AS r
-    FROM flat f JOIN cb0 c ON f.subspace = c.cb_subspace
+    {member_from}
   ) WHERE r = 1
 ),
 means AS (
@@ -1363,9 +1439,26 @@ SELECT query_id, cand_id, cosine, rank FROM (
 ) WHERE rank <= {IVFPQ_TOP_K}
 """
 
+
+# Driver-scale rendering (500 vectors — far under TRAIN_SAMPLE_MAX, so
+# the unsampled text the r01-r06 rows were recorded against).
+ORACLES["ext_similarity_ivfpq"] = oracle_ivfpq(0)
+
 # The indexed variant is result-identical by construction (same stages,
 # index relations round-tripped through parquet losslessly) — same oracle.
 ORACLES["ext_similarity_ivfpq_indexed"] = ORACLES["ext_similarity_ivfpq"]
+
+SCALED_ORACLES = {
+    "ext_similarity_ivf": lambda sf_dir: oracle_ivf(
+        footer_rows(sf_dir, "embeddings")
+    ),
+    "ext_similarity_ivfpq": lambda sf_dir: oracle_ivfpq(
+        footer_rows(sf_dir, "embeddings")
+    ),
+    "ext_similarity_ivfpq_indexed": lambda sf_dir: oracle_ivfpq(
+        footer_rows(sf_dir, "embeddings")
+    ),
+}
 
 ORACLES["ext_knn_classify"] = f"""
 WITH topk AS ({ORACLES['ext_similarity_topk']}),

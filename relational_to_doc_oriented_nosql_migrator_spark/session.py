@@ -62,6 +62,16 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
+        # ContextCleaner frees broadcast blocks / shuffle state only when
+        # the DRIVER's GC collects their weak refs — on an 8 GB heap
+        # running back-to-back heavy jobs a full GC may never happen
+        # inside a long session, so accumulator/broadcast residue builds
+        # until a heavy op (the sf10 JSON sink after ~32 probed ids)
+        # tips the heap over (r06 verdict watch item #1). The default
+        # periodic-GC interval is 30min — longer than a whole probe
+        # generation; 1min keeps the long-running-driver heap flat, the
+        # same setting a production 100 TB driver would carry.
+        .config("spark.cleaner.periodicGC.interval", "1min")
         # The testdata parquet carries TIMESTAMP(NANOS), which Spark has no
         # native type for; read as long and restore micros timestamps at the
         # source (sources/parquet.py).

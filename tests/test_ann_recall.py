@@ -85,3 +85,43 @@ def test_indexed_ivfpq_is_result_identical(spark):
            for r in S.q_ext_similarity_ivfpq_indexed(spark, SF001).collect()}
     assert live == idx
     assert len(live) > 0
+
+
+def test_sampled_training_parity_and_recall(spark, monkeypatch):
+    """Lloyd/PQ training runs on a bounded md5-ordered sample past
+    TRAIN_SAMPLE_MAX (r06 verdict task #4). At sf0.01 the cap (16384)
+    never engages, so force it below the 500-vector corpus and pin:
+    (1) the Spark result still hash-matches the SAMPLED oracle
+    rendering (oracle_ivfpq mirrors _train_slices exactly — the
+    cross-engine md5-ordering contract), (2) the materialized-index
+    variant remains row-identical, and (3) recall@3 holds the 0.8
+    floor with a 256-vector training set (measured 0.87)."""
+    import duckdb
+
+    monkeypatch.setattr(S, "TRAIN_SAMPLE_MAX", 256)
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
+    sampled_sql = S.oracle_ivfpq(500)
+    assert "samp AS" in sampled_sql and "LIMIT 256" in sampled_sql
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{SF001}/embeddings.parquet')"
+    )
+    sdf = S.q_ext_similarity_ivfpq(spark, SF001).toPandas()
+    odf = con.execute(sampled_sql).df()
+    cols = sorted(sdf.columns)
+    assert sorted(odf.columns) == cols
+    s = sdf[cols].astype(str).sort_values(by=cols).reset_index(drop=True)
+    o = odf[cols].astype(str).sort_values(by=cols).reset_index(drop=True)
+    assert len(s) == len(o) > 0 and s.equals(o)
+
+    live = {(r.query_id, r.rank): (r.cand_id, r.cosine)
+            for r in S.q_ext_similarity_ivfpq(spark, SF001).collect()}
+    idx = {(r.query_id, r.rank): (r.cand_id, r.cosine)
+           for r in S.q_ext_similarity_ivfpq_indexed(spark, SF001).collect()}
+    assert live == idx
+
+    truth = _topk_sets(S.q_ext_similarity_topk(spark, SF001))
+    pq = _recall(truth, _topk_sets(S.q_ext_similarity_ivfpq(spark, SF001)))
+    assert pq >= 0.8, f"sampled-training recall@3 degraded: {pq:.3f}"

@@ -108,3 +108,26 @@ def test_rank_and_counts_read_materialized_pid(spark):
             f"{qid}: a range exchange survives in the query plan — "
             "boundary consistency is back to depending on ReuseExchange"
         )
+
+
+def test_staging_write_memoized_per_plan(spark):
+    """Building the SAME ranked plan twice in one process must reuse the
+    first staging write (r06 ADVICE: plan lints / registry enumeration
+    re-build queries without executing them, and each build used to run
+    a corpus-scale staging job and hold one scratch copy until process
+    exit). Keyed on the staged plan's semanticHash; cleanup_scratch()
+    invalidates (entries point into the removed dirs)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import common as C
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("score")
+    )
+    before = len(C._SCRATCH_DIRS)
+    r1 = global_row_number(df, [F.col("score"), F.col("id")])
+    n1 = len(C._SCRATCH_DIRS)
+    r2 = global_row_number(df, [F.col("score"), F.col("id")])
+    assert len(C._SCRATCH_DIRS) == n1 > before
+    assert sorted(map(tuple, r1.collect())) == sorted(map(tuple, r2.collect()))
+    # a DIFFERENT order key is a different plan -> its own staging dir
+    global_row_number(df, [F.col("id")])
+    assert len(C._SCRATCH_DIRS) == n1 + 1

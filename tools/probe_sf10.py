@@ -71,6 +71,36 @@ def main():
         lambda _s, _f: (_ for _ in ()).throw(TimeoutError("stop hung")),
     )
     restart_every = int(os.environ.get("PROBE_RESTART_EVERY", "25"))
+    # ENFORCED fresh-JVM contract (r06 verdict watch item #1): these ids
+    # OOMed an AGED probe JVM but pass leading a fresh one — the sf10
+    # JSON sink died after 32 ids, then passed at 99.7s first-up. Rather
+    # than narrating "needs a fresh JVM", the probe rotates BEFORE such
+    # an id whenever this process has already run anything (session.py's
+    # periodicGC=1min attacks the residue class too; this is the
+    # belt-and-braces isolation assert).
+    fresh_jvm_ids = set(
+        os.environ.get("PROBE_FRESH_JVM_IDS",
+                       "sink_json_collections").split(",")
+    )
+    # A persistently-timing-out id must not be silently retried in every
+    # re-exec generation (r06 ADVICE): after MAX_TIMEOUTS recorded
+    # timeout lines it is treated as done (the ledger keeps the
+    # evidence; delete $PROBE_TIMES to re-probe).
+    max_timeouts = int(os.environ.get("PROBE_MAX_TIMEOUTS", "2"))
+    timeouts: dict[str, int] = {}
+    if os.path.exists(times_path):
+        for line in open(times_path):
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                continue
+            if rec.get("timeout"):
+                timeouts[rec["id"]] = timeouts.get(rec["id"], 0) + 1
+    exhausted = {q for q, n in timeouts.items() if n >= max_timeouts}
+    if exhausted:
+        print(f"SKIP timed-out-{max_timeouts}x: {sorted(exhausted)}",
+              flush=True)
+        ids = [q for q in ids if q not in exhausted]
     n_this_process = 0
     pool = cf.ThreadPoolExecutor(max_workers=1)
     for qid in ids:
@@ -79,6 +109,9 @@ def main():
             continue
         if restart_every > 0 and n_this_process >= restart_every:
             print(f"RESTART after {n_this_process} ids", flush=True)
+            _restart(spark)
+        if qid in fresh_jvm_ids and n_this_process > 0:
+            print(f"RESTART fresh-JVM contract for {qid}", flush=True)
             _restart(spark)
         t0 = time.time()
 
@@ -121,6 +154,14 @@ def main():
                 f.write(qid + "\n")
         except QTimeout:
             print(f"FAIL {qid} TIMEOUT {timeout}s", flush=True)
+            # Ledger the timeout (r06 ADVICE): visible in the PROBE
+            # artifact, and counted so re-exec generations stop
+            # retrying after PROBE_MAX_TIMEOUTS attempts.
+            with open(times_path, "a") as f:
+                f.write(json.dumps(
+                    {"id": qid, "timeout": True, "limit_s": timeout}
+                ) + "\n")
+            n_this_process += 1  # the id consumed JVM lifetime
         except ValueError as ex:
             if "refuses" in str(ex):
                 print(f"GUARDED {qid}", flush=True)
@@ -128,6 +169,7 @@ def main():
                     f.write(json.dumps({"id": qid, "guarded": True}) + "\n")
                 with open(done_path, "a") as f:
                     f.write(qid + "\n")
+                n_this_process += 1  # counts toward rotation (r06 ADVICE)
             else:
                 print(f"FAIL {qid} ValueError {str(ex)[:300]}", flush=True)
         except Exception as ex:
