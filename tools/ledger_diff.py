@@ -1,0 +1,70 @@
+"""Round-over-round per-id wall-time diff for the sweep/probe ledgers
+(r06 verdict task #3: artifacts frozen at HEAD must ship with a diff
+flagging regressions instead of leaving readers to eyeball two JSONs).
+
+Usage:
+  python tools/ledger_diff.py SWEEP_TIMES_r06.json SWEEP_TIMES_r07.json \
+      [--threshold 1.5]
+
+Prints a markdown table of every id whose new time exceeds threshold x
+its old time (and, for context, any id that improved by the same
+factor), plus totals. Exit code 0 always — the diff is information for
+the README, not a gate (host noise at the 1-2s level is real; the
+threshold keeps the table short)."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def times_of(path: str) -> dict[str, float]:
+    d = json.load(open(path))
+    t = d.get("times_sec", d)
+    return {k: v for k, v in t.items() if isinstance(v, (int, float))}
+
+
+def main(argv: list[str]) -> int:
+    args = [a for a in argv if not a.startswith("--")]
+    thr = 1.5
+    for a in argv:
+        if a.startswith("--threshold"):
+            thr = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
+    old_path, new_path = args[0], args[1]
+    old, new = times_of(old_path), times_of(new_path)
+    shared = sorted(set(old) & set(new))
+    slower, faster = [], []
+    for k in shared:
+        if old[k] <= 0:
+            continue
+        r = new[k] / old[k]
+        if r >= thr and new[k] - old[k] >= 1.0:
+            slower.append((r, k))
+        elif r <= 1 / thr and old[k] - new[k] >= 1.0:
+            faster.append((r, k))
+    print(f"## Ledger diff: {old_path} -> {new_path} (threshold {thr}x)\n")
+    print(f"shared ids: {len(shared)}; total "
+          f"{sum(old[k] for k in shared):.1f}s -> "
+          f"{sum(new[k] for k in shared):.1f}s\n")
+    if not slower:
+        print(f"No id regressed past {thr}x (with >=1s absolute growth).")
+    else:
+        print("| id | old s | new s | ratio |\n|---|---|---|---|")
+        for r, k in sorted(slower, reverse=True):
+            print(f"| {k} | {old[k]:.1f} | {new[k]:.1f} | {r:.2f}x |")
+    if faster:
+        print(f"\nImproved >= {thr}x:")
+        print("| id | old s | new s | ratio |\n|---|---|---|---|")
+        for r, k in sorted(faster):
+            print(f"| {k} | {old[k]:.1f} | {new[k]:.1f} | {r:.2f}x |")
+    only_old = sorted(set(old) - set(new))
+    only_new = sorted(set(new) - set(old))
+    if only_old:
+        print(f"\nids only in {old_path}: {only_old}")
+    if only_new:
+        print(f"\nids only in {new_path}: {only_new}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv[1:]))
