@@ -62,16 +62,15 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", str(128 << 20))
-        # ContextCleaner frees broadcast blocks / shuffle state only when
-        # the DRIVER's GC collects their weak refs — on an 8 GB heap
-        # running back-to-back heavy jobs a full GC may never happen
-        # inside a long session, so accumulator/broadcast residue builds
-        # until a heavy op (the sf10 JSON sink after ~32 probed ids)
-        # tips the heap over (r06 verdict watch item #1). The default
-        # periodic-GC interval is 30min — longer than a whole probe
-        # generation; 1min keeps the long-running-driver heap flat, the
-        # same setting a production 100 TB driver would carry.
-        .config("spark.cleaner.periodicGC.interval", "1min")
+        # NOTE on spark.cleaner.periodicGC.interval: deliberately LEFT AT
+        # the 30min default here. ContextCleaner frees broadcast/shuffle
+        # residue only when the driver GC collects the weak refs, and a
+        # long-lived driver running hundreds of heavy ops can OOM before
+        # a natural full GC (the r06 sf10 JSON-sink incident) — but an
+        # aggressive 1min interval measured +17% across the whole bench
+        # suite (forced full GCs stall every query). Long-running
+        # multi-op harnesses opt in via extra_conf (tools/probe_sf10.py
+        # does); per-query sessions must not pay for it.
         # The testdata parquet carries TIMESTAMP(NANOS), which Spark has no
         # native type for; read as long and restore micros timestamps at the
         # source (sources/parquet.py).

@@ -30,7 +30,16 @@ class QTimeout(Exception):
 def main():
     from relational_to_doc_oriented_nosql_migrator_spark.session import get_spark
 
-    spark = get_spark(app_name="probe_sf10")
+    # periodicGC=1min: ContextCleaner residue (broadcasts, shuffle state,
+    # codegen refs) accumulates across the ~145 heavy ops this process
+    # ages through, because an 8 GB driver heap may never run a full GC
+    # naturally — the r06 aged-JVM sink OOM class. Scoped HERE, not in
+    # the shared session factory: forced minutely full GCs measured +17%
+    # on the per-query bench.
+    spark = get_spark(
+        app_name="probe_sf10",
+        extra_conf={"spark.cleaner.periodicGC.interval": "1min"},
+    )
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as e
 
