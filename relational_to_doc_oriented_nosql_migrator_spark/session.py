@@ -79,3 +79,73 @@ def get_spark(
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
     return builder.getOrCreate()
+
+
+_HUGE_METHODS_FLAG = "-XX:-DontCompileHugeMethods"
+# HotSpot's DontCompileHugeMethods ceiling: methods over 8000 bytecode
+# bytes are never JIT-compiled (they run in the bytecode interpreter).
+_HOTSPOT_HUGE_METHOD_BYTES = "8000"
+_SPARK_HUGE_METHOD_DEFAULT = "65535"
+_CODEGEN_CONF_DONE: set[str] = set()
+
+
+def _wants_huge_method_fallback(
+    jvm_args: str, executor_opts: str, current_limit: str
+) -> bool:
+    """Decision core of ensure_codegen_confs, factored pure for tests:
+    lower the codegen huge-method limit only when (a) no JVM in the job
+    carries the -XX:-DontCompileHugeMethods flag and (b) the limit still
+    sits at Spark's default (an explicit user setting wins)."""
+    if _HUGE_METHODS_FLAG in jvm_args or _HUGE_METHODS_FLAG in executor_opts:
+        return False
+    return current_limit == _SPARK_HUGE_METHOD_DEFAULT
+
+
+def ensure_codegen_confs(spark: SparkSession) -> None:
+    """Keep whole-stage codegen honest about HotSpot's JIT ceiling in
+    sessions the engine did not build.
+
+    get_spark() passes -XX:-DontCompileHugeMethods so fused whole-stage
+    methods holding a 64-dim unrolled dot product JIT-compile. A VANILLA
+    session (a user's own builder, the scale sweep's plain 1 GB driver,
+    the external correctness driver) lacks the flag, and Spark's default
+    spark.sql.codegen.hugeMethodLimit=65535 happily keeps methods fused
+    far past HotSpot's 8000-byte compile ceiling — the fused inner loop
+    then runs INTERPRETED (measured: ext_similarity_ivf at sf1.0 133.1s
+    vanilla vs 17.3s with the fallback, identical values). Lowering the
+    limit to 8000 makes WholeStageCodegenExec fall back to un-fused
+    operators exactly when the fused method could not JIT; the un-fused
+    path generates expression code with INPUT_ROW available, so
+    CodeGenerator splits it into ~1 KB methods that all compile. Values
+    are bit-identical (same expressions, same fold order — pinned by the
+    oracle hash suite). When any JVM in the job carries the flag, or the
+    user set the limit explicitly, this is a no-op: fused + JIT remains
+    the fastest shape (~1.3-2.4x over un-fused).
+
+    Called from operators.common.t() — one conf check per session — so
+    every registered operator gets the guard regardless of who built the
+    SparkSession. Session-level side effect by design, same class as
+    streaming.ensure_streaming_confs.
+    """
+    app_id = spark.sparkContext.applicationId
+    if app_id in _CODEGEN_CONF_DONE:
+        return
+    _CODEGEN_CONF_DONE.add(app_id)
+    try:
+        jvm_args = " ".join(
+            str(a)
+            for a in spark._jvm.java.lang.management.ManagementFactory
+            .getRuntimeMXBean().getInputArguments()
+        )
+    except Exception:  # pragma: no cover — non-JVM-introspectable gateway
+        jvm_args = ""
+    executor_opts = (
+        spark.conf.get("spark.executor.extraJavaOptions", "") or ""
+    )
+    current = spark.conf.get(
+        "spark.sql.codegen.hugeMethodLimit", _SPARK_HUGE_METHOD_DEFAULT
+    )
+    if _wants_huge_method_fallback(jvm_args, executor_opts, current):
+        spark.conf.set(
+            "spark.sql.codegen.hugeMethodLimit", _HOTSPOT_HUGE_METHOD_BYTES
+        )
