@@ -79,6 +79,37 @@ def test_tuned_session_is_untouched(spark):
     )
 
 
+def test_vanilla_session_gets_fallback_end_to_end():
+    # The decision tests above pin the logic; this pins the WIRING in
+    # the environment that matters — a subprocess SparkSession built
+    # WITHOUT the engine factory (no JIT flag), like the external
+    # correctness driver and the vanilla scale sweep. One t() call must
+    # flip the limit to the HotSpot ceiling.
+    import subprocess
+    import sys
+
+    code = """
+import sys
+sys.path.insert(0, "/root/repo")
+from pyspark.sql import SparkSession
+spark = (SparkSession.builder.master("local[2]")
+         .config("spark.ui.enabled", "false").getOrCreate())
+from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+t(spark, "/root/testdata/sf0.001", "region").count()
+print("LIMIT=" + spark.conf.get("spark.sql.codegen.hugeMethodLimit"))
+spark.stop()
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, timeout=180,
+        env={"PYTHONPATH": "/root/repo", "PATH": __import__("os").environ["PATH"],
+             "JAVA_HOME": __import__("os").environ.get("JAVA_HOME", "")},
+    )
+    assert f"LIMIT={_HOTSPOT_HUGE_METHOD_BYTES}" in out.stdout, (
+        out.stdout + out.stderr[-2000:]
+    )
+
+
 def test_conf_check_memoized_per_application(spark):
     # Second call for the same applicationId is a no-op fast path; a
     # manual mid-session change is NOT clobbered back.
