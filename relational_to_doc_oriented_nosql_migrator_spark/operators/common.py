@@ -10,15 +10,10 @@ from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import load
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    # One choke point every operator passes through: vanilla sessions get
-    # the huge-method codegen fallback here (see session.py — fused
-    # whole-stage methods past HotSpot's 8000-byte JIT ceiling otherwise
-    # run interpreted, 7.7x on the similarity family's assignment loops).
-    from relational_to_doc_oriented_nosql_migrator_spark.session import (
-        ensure_codegen_confs,
-    )
-
-    ensure_codegen_confs(spark)
+    # Vanilla sessions get the huge-method codegen fallback inside
+    # load_table's ensure_runtime_confs (see session.ensure_codegen_confs
+    # — fused whole-stage methods past HotSpot's 8000-byte JIT ceiling
+    # otherwise run interpreted, 7.7x on the similarity assignment loops).
     return load_table(spark, sf_dir, name)
 
 

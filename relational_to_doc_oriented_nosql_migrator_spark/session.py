@@ -122,12 +122,20 @@ def ensure_codegen_confs(spark: SparkSession) -> None:
     user set the limit explicitly, this is a no-op: fused + JIT remains
     the fastest shape (~1.3-2.4x over un-fused).
 
-    Called from operators.common.t() — one conf check per session — so
-    every registered operator gets the guard regardless of who built the
-    SparkSession. Session-level side effect by design, same class as
-    streaming.ensure_streaming_confs.
+    Called from sources.parquet.ensure_runtime_confs — one conf check
+    per session, crossed by every table-reading path (registry ops and
+    the migrate/entry pipeline alike) — so the guard applies regardless
+    of who built the SparkSession. Session-level side effect by design,
+    same class as streaming.ensure_streaming_confs.
     """
-    app_id = spark.sparkContext.applicationId
+    try:
+        app_id = spark.sparkContext.applicationId
+    except Exception:
+        # Spark Connect (no driver-side SparkContext/_jvm): the JVM's
+        # flags are unknowable from here, so leave codegen confs alone
+        # rather than fail every operator — the guard is an optimization,
+        # never a prerequisite.
+        return
     if app_id in _CODEGEN_CONF_DONE:
         return
     _CODEGEN_CONF_DONE.add(app_id)

@@ -73,6 +73,15 @@ def ensure_runtime_confs(spark: SparkSession) -> None:
         )
     # Timestamp semantics must not depend on the driver machine's zone.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Huge-method codegen fallback for JVMs without the factory's JIT
+    # flag (see session.ensure_codegen_confs) — hooked here, the one
+    # conf site every path that reads a table crosses (registry ops via
+    # operators.common.t, the migrate/entry pipeline via load_tables).
+    from relational_to_doc_oriented_nosql_migrator_spark.session import (
+        ensure_codegen_confs,
+    )
+
+    ensure_codegen_confs(spark)
 
 
 def _nanos_timestamp_columns(path: str) -> list[str]:
