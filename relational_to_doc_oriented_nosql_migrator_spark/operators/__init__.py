@@ -25,84 +25,84 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
            streaming, multimodal, temporal, planops, pipeline, graph)
 
 # The external correctness driver records rows for only the FIRST 50
-# registry entries (dict insertion order). Rounds 1-6 rotated this
-# window by hand (see git history for the per-round rationale); after
-# r06, EVERY one of the 145 ids has a green driver row and every id's
-# LATEST row is green (r06: 50, r05: 49, r04: 46).
+# registry entries (dict insertion order). The rotation is MECHANICAL
+# (r06 verdict task #6): tools/derive_window.py computes the window from
+# the CORRECTNESS_r*.json ledger — ROUND_CHANGED_IDS promoted to the
+# head (a materially-changed op earns a fresh hard-signal row on
+# principle), remaining slots filled stalest-first (round of each id's
+# latest GREEN row, ties broken by canonical registry position). The
+# literal below is that tool's output, pasted so the registry never
+# depends on ledger files at import time; tests/test_registry_order.py
+# recomputes it and fails on drift.
 #
-# From round 7 the rotation is MECHANICAL (r06 verdict task #6):
-# tools/derive_window.py computes the window from the CORRECTNESS_r*.json
-# ledger — ROUND_CHANGED_IDS promoted to the head (a materially-changed
-# op earns a fresh hard-signal row on principle), remaining slots filled
-# stalest-first (latest-row round, ties broken by canonical registry
-# position). The literal below is that tool's output, pasted so the
-# registry never depends on ledger files at import time;
-# tests/test_registry_order.py recomputes it and fails on drift.
+# WINDOW_LEDGER_MAX anchors the derivation to the ledger state this
+# literal was frozen against (r07 verdict task #2): the driver drops the
+# CURRENT round's CORRECTNESS_r{N}.json into the tree mid-round, and
+# without the anchor that new file would rotate the derived window to
+# the NEXT cohort and redden the drift check for anyone cloning between
+# the ledger landing and the next freeze. Bump it (and re-paste the
+# literal) exactly once per round, when rotating the window.
 #
-# Round-7 changed ids: the IVF-PQ family trains its Lloyd/PQ codebooks
-# on a bounded deterministic sample instead of full-corpus scans (r06
-# verdict task #4). Both ids were already the stalest cohort (r04), so
-# promotion only moves them to the head. The 46 r04-latest ids follow,
-# then the 4 canonically-first r05 ids fill the window to 50.
-ROUND_CHANGED_IDS = (
-    "ext_similarity_ivfpq",
-    "ext_similarity_ivfpq_indexed",
-)
+# Round-8 window: no ids materially changed at rotation time, so all 50
+# slots are freshness — the 45 r05-latest ids (ledger state after r07:
+# r07 50, r06 50, r05 45), then the 5 canonically-first r06-latest ids
+# (proj_*/filter_*) fill the window. Invariant after the r08 driver run:
+# every id's latest row is r06+ (<= 2 rounds stale).
+WINDOW_LEDGER_MAX = 7
+
+ROUND_CHANGED_IDS = ()
 
 DRIVER_WINDOW_FIRST = (
-    # materially changed in round 7 -> re-prove first
-    "ext_similarity_ivfpq",
-    "ext_similarity_ivfpq_indexed",
-    # latest driver row is r04 — stalest-first freshness rotation
-    "src_csv_import",
-    "src_jsonl_import",
-    "src_parquet_mergeschema",
-    "ext_fk_orphan_audit",
-    "ext_migrate_reconcile",
-    "ext_fuzzy_join_names",
-    "ext_basket_pairs",
-    "ext_skew_report",
-    "ext_corr_stats",
-    "ext_events_funnel",
-    "ext_events_retention",
-    "ext_events_attribution",
-    "ext_events_sessionize",
-    "ext_session_paths",
-    "ext_events_transitions",
-    "ext_events_anomaly",
-    "ext_pivot",
-    "ext_unpivot",
-    "ext_histogram",
-    "ext_moving_avg",
-    "ext_text_entropy",
-    "ext_text_bigram_logprob",
-    "ext_text_chunk",
-    "ext_text_pmi",
-    "ext_text_quality_score",
-    "ext_dedup_dup_rate",
-    "ext_dedup_canonical",
-    "ext_dedup_minhash",
-    "ext_dedup_embedding_lsh",
-    "ext_dedup_containment",
-    "ext_dedup_minhash_incremental",
-    "ext_similarity_lsh",
-    "ext_similarity_ivf",
-    "ext_embed_centroids",
-    "ext_embed_quantize",
-    "ext_embed_pq",
-    "ext_stream_cdc_upsert",
-    "ext_stream_sessionize",
-    "ext_mm_dedup_exact",
-    "ext_mm_decode_dims",
-    "ext_cdc_merge_latest",
-    "ext_incremental_agg",
-    "sink_parquet_compacted",
-    "sink_parquet_sorted",
-    # latest driver row is r05 — the 4 canonically-first fill the window
-    "src_full_scan",
-    "src_sql_dump_import",
-    "src_indexed_lookup",
-    "ext_profile_table",
+    "sink_json_collections",
+    "join_nest_one_to_many",
+    "join_nest_salted",
+    "agg_collect_children",
+    "fn_split_trim",
+    "ext_window_ntile",
+    "ext_approx_distinct",
+    "ext_text_stats",
+    "ext_text_quality",
+    "ext_text_langid",
+    "ext_text_fingerprint",
+    "ext_text_perplexity_bucket",
+    "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_simhash_pairs",
+    "ext_dedup_embedding",
+    "ext_similarity_topk",
+    "stream_to_json_files",
+    "ext_stream_tumbling_agg",
+    "ext_stream_sliding_agg",
+    "ext_stream_session_agg",
+    "ext_stream_dedup",
+    "ext_stream_stateful",
+    "ext_mm_attach_meta",
+    "ext_mm_decode_features",
+    "ext_mm_resize",
+    "ext_mm_frame_sample",
+    "ext_asof_join",
+    "ext_range_join",
+    "plan_topo_order",
+    "plan_self_ref_detect",
+    "plan_embed_or_reference",
+    "plan_one_way_embed",
+    "plan_two_way_embed",
+    "plan_referencing",
+    "sink_http_response",
+    "sink_parquet_partitioned",
+    "ext_curation_pipeline",
+    "ext_text_pii_scrub",
+    "ext_decontaminate",
+    "ext_repetition_filter",
+    "ext_domain_mix",
+    "ext_sample_stratified",
+    "ext_graph_pagerank",
+    "proj_attribute_select",
+    "proj_drop_fk_column",
+    "proj_rename_ref",
+    "filter_fk_match",
+    "filter_nonempty_doc",
 )
 
 

@@ -13,10 +13,11 @@ import __spark_entry__ as entrymod
 from relational_to_doc_oriented_nosql_migrator_spark.operators import (
     DRIVER_WINDOW_FIRST,
     ROUND_CHANGED_IDS,
+    WINDOW_LEDGER_MAX,
     all_oracles,
     all_queries,
 )
-from tools.derive_window import derive_window
+from tools.derive_window import derive_window, latest_rows
 
 
 def test_priority_block_leads_registry():
@@ -28,13 +29,44 @@ def test_priority_block_leads_registry():
 
 def test_window_matches_ledger_derivation():
     """DRIVER_WINDOW_FIRST is the checked-in output of the derivation
-    tool — changed ids first, then stalest-first from the ledger."""
-    derived = derive_window(ROUND_CHANGED_IDS)
+    tool — changed ids first, then stalest-first from the ledger.
+
+    The derivation is anchored to WINDOW_LEDGER_MAX (the ledger round
+    the literal was frozen against), so the driver dropping the CURRENT
+    round's CORRECTNESS_r{N}.json mid-round cannot flip this test red
+    (the r07 verdict's one suite failure)."""
+    derived = derive_window(ROUND_CHANGED_IDS, max_round=WINDOW_LEDGER_MAX)
     assert list(DRIVER_WINDOW_FIRST) == derived
     # Changed ids lead the window.
     assert set(DRIVER_WINDOW_FIRST[: len(ROUND_CHANGED_IDS)]) == set(
         ROUND_CHANGED_IDS
     )
+
+
+def test_derivation_anchor_and_green_only(tmp_path):
+    """Unit-pin the two latest_rows() filters: ledgers past the anchor
+    round are ignored (mid-round stability), and only hash_match==true
+    rows count toward freshness — a red or oracle-less latest row keeps
+    its id window-eligible like a never-proven id."""
+    import json
+
+    (tmp_path / "CORRECTNESS_r01.json").write_text(json.dumps({
+        "a": {"hash_match": True, "err": None},
+        "b": {"hash_match": None, "err": "no_oracle"},
+        "c": {"hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r02.json").write_text(json.dumps({
+        "c": {"hash_match": False, "err": "boom"},
+        "d": {"hash_match": True, "err": None},
+    }))
+    (tmp_path / "CORRECTNESS_r03.json").write_text(json.dumps({
+        "a": {"hash_match": True, "err": None},
+    }))
+    got = latest_rows(tmp_path, max_round=2)
+    # r03 ignored (past anchor); b's no_oracle row and c's red r02 row
+    # don't count, so c's freshness stays at its green r01 row.
+    assert got == {"a": 1, "c": 1, "d": 2}
+    assert latest_rows(tmp_path, max_round=3)["a"] == 3
 
 
 def test_registry_complete_and_oracle_backed():

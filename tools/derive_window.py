@@ -49,8 +49,24 @@ def registry_base_order() -> list[str]:
     return out
 
 
-def latest_rows(repo_root: Path = REPO_ROOT) -> dict[str, int]:
-    """id -> round number of its most recent driver correctness row."""
+def latest_rows(
+    repo_root: Path = REPO_ROOT, max_round: int | None = None
+) -> dict[str, int]:
+    """id -> round number of its most recent GREEN driver correctness row.
+
+    Two deliberate filters (r07 verdict task #2 + advice):
+
+    * ``max_round`` anchors the derivation to the ledger state the
+      pasted literal was frozen against (``operators.WINDOW_LEDGER_MAX``).
+      The driver drops the CURRENT round's CORRECTNESS_r{N}.json into the
+      tree mid-round; without the anchor that file would rotate the
+      derived window to the NEXT cohort and redden the drift check for
+      anyone cloning between the ledger landing and the next freeze.
+    * only rows with ``hash_match == true`` count toward freshness: a red
+      row or an oracle-less row (``err: "no_oracle"``, hash_match null)
+      must keep its id INSIDE the window for re-proving, exactly like a
+      never-proven id, not rotate it out.
+    """
     latest: dict[str, int] = {}
     ledgers = sorted(
         repo_root.glob("CORRECTNESS_r*.json"),
@@ -58,8 +74,11 @@ def latest_rows(repo_root: Path = REPO_ROOT) -> dict[str, int]:
     )
     for path in ledgers:
         rnd = int(re.search(r"r(\d+)", path.name).group(1))
-        for qid in json.loads(path.read_text()):
-            latest[qid] = rnd
+        if max_round is not None and rnd > max_round:
+            continue
+        for qid, row in json.loads(path.read_text()).items():
+            if isinstance(row, dict) and row.get("hash_match") is True:
+                latest[qid] = rnd
     return latest
 
 
@@ -67,13 +86,14 @@ def derive_window(
     changed_ids: tuple[str, ...],
     repo_root: Path = REPO_ROOT,
     size: int = WINDOW_SIZE,
+    max_round: int | None = None,
 ) -> list[str]:
     base = registry_base_order()
     idx = {k: i for i, k in enumerate(base)}
     unknown = [c for c in changed_ids if c not in idx]
     if unknown:
         raise ValueError(f"ROUND_CHANGED_IDS not in registry: {unknown}")
-    latest = latest_rows(repo_root)
+    latest = latest_rows(repo_root, max_round=max_round)
     # Promoted head: materially-changed ids, canonical order.
     head = sorted(changed_ids, key=idx.__getitem__)
     # Tail: stalest-first (never-proven ids sort as round 0 — they must
@@ -88,9 +108,10 @@ def main(argv: list[str]) -> int:
     from relational_to_doc_oriented_nosql_migrator_spark.operators import (
         DRIVER_WINDOW_FIRST,
         ROUND_CHANGED_IDS,
+        WINDOW_LEDGER_MAX,
     )
 
-    window = derive_window(ROUND_CHANGED_IDS)
+    window = derive_window(ROUND_CHANGED_IDS, max_round=WINDOW_LEDGER_MAX)
     if "--check" in argv:
         if list(DRIVER_WINDOW_FIRST) != window:
             print("DRIVER_WINDOW_FIRST drifted from the derived window:")
