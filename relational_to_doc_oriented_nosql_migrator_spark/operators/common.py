@@ -18,9 +18,13 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 _SCRATCH_DIRS: list[str] = []
-# (semanticHash, schema, npart) -> staged parquet path; see
+# (semanticHash, schema, npart) -> [(staged DataFrame, parquet path)].
+# semanticHash is a 32-bit Java hashCode, so distinct plans CAN collide
+# on the key; each hit is re-verified with df.sameSemantics before
+# reuse, so a collision degrades to a cache miss (extra list entry),
+# never to serving another query's staged ranking data. See
 # global_row_number. Cleared by cleanup_scratch().
-_GRNK_STAGE_CACHE: dict[tuple, str] = {}
+_GRNK_STAGE_CACHE: dict[tuple, list] = {}
 
 
 def scratch_dir(prefix: str) -> str:
@@ -151,11 +155,24 @@ def global_row_number(
     import os
 
     key = (staged.semanticHash(), staged.schema.json(), npart)
-    path = _GRNK_STAGE_CACHE.get(key)
-    if path is None or not os.path.isdir(path):
+    entries = _GRNK_STAGE_CACHE.setdefault(key, [])
+    path = None
+    for cached_df, cached_path in entries:
+        if not os.path.isdir(cached_path):
+            continue
+        try:
+            same = staged.sameSemantics(cached_df)
+        except Exception:
+            # cached frame belongs to a stopped session (dead JVM
+            # handle) — unusable, treat as a miss
+            continue
+        if same:
+            path = cached_path
+            break
+    if path is None:
         path = scratch_dir("grnk_")
         staged.write.mode("overwrite").parquet(path)
-        _GRNK_STAGE_CACHE[key] = path
+        entries.append((staged, path))
     d = spark.read.parquet(path)
     local = F.row_number().over(
         Window.partitionBy("_pid").orderBy(*order_cols)

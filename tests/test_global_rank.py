@@ -131,3 +131,34 @@ def test_staging_write_memoized_per_plan(spark):
     # a DIFFERENT order key is a different plan -> its own staging dir
     global_row_number(df, [F.col("id")])
     assert len(C._SCRATCH_DIRS) == n1 + 1
+
+
+def test_hash_collision_degrades_to_miss(spark, monkeypatch):
+    """semanticHash is a 32-bit Java hashCode — two distinct plans can
+    collide on the memo key (r07 ADVICE). Force a collision by pinning
+    the hash constant: the sameSemantics re-verification must give each
+    plan its own staging dir and correct ranks, never serve the other
+    plan's staged data."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import common as C
+
+    df = spark.range(50).select(
+        F.col("id"), (F.col("id") * 7 % 13).alias("score")
+    )
+    # Patch the CONCRETE class (Spark 4's classic DataFrame overrides
+    # the pyspark.sql.DataFrame base — patching the base is a no-op).
+    monkeypatch.setattr(type(df), "semanticHash", lambda self: 42)
+    r_by_score = global_row_number(df, [F.col("score"), F.col("id")])
+    n1 = len(C._SCRATCH_DIRS)
+    r_by_id = global_row_number(df, [F.col("id")])
+    assert len(C._SCRATCH_DIRS) == n1 + 1  # collision -> miss, new dir
+    # both plans collide onto ONE key, resolved by sameSemantics inside
+    colliding = [v for k, v in C._GRNK_STAGE_CACHE.items() if k[0] == 42]
+    assert colliding and any(len(v) >= 2 for v in colliding)
+    by_score = {row["id"]: row["_grnk"] for row in r_by_score.collect()}
+    by_id = {row["id"]: row["_grnk"] for row in r_by_id.collect()}
+    assert by_id == {i: i + 1 for i in range(50)}
+    assert by_score != by_id
+    # rebuilding either plan still HITS its own entry (no thrash)
+    n2 = len(C._SCRATCH_DIRS)
+    global_row_number(df, [F.col("id")])
+    assert len(C._SCRATCH_DIRS) == n2

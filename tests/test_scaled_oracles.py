@@ -7,10 +7,12 @@ and the static registered entries must be exactly the driver-scale
 """
 
 from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+    MODULES,
     all_oracles,
     all_scaled_oracles,
     dedup,
     pipeline,
+    similarity,
 )
 from tests.conftest import SF0001, SF001
 
@@ -37,14 +39,31 @@ def test_pack_buckets_grows_at_probe_scale():
 
 
 def test_scaled_oracles_cover_every_adaptive_id():
+    # Enumerate over ALL registry modules (r07 ADVICE: a hand-listed
+    # module pair silently missed the similarity additions), so a new
+    # module's SCALED_ORACLES can't escape this invariant.
     scaled = {}
-    for m in (dedup, pipeline):
-        scaled.update(m.SCALED_ORACLES)
+    for m in MODULES:
+        scaled.update(getattr(m, "SCALED_ORACLES", {}))
     assert set(scaled) == {
         "ext_dedup_embedding_lsh",
         "ext_pack_sequences",
         "ext_curation_pipeline",
+        "ext_similarity_ivf",
+        "ext_similarity_ivfpq",
+        "ext_similarity_ivfpq_indexed",
     }
-    # a past-floor corpus renders DIFFERENT SQL than the static entry
+    assert dedup.SCALED_ORACLES.keys() <= scaled.keys()
+    assert pipeline.SCALED_ORACLES.keys() <= scaled.keys()
+    assert similarity.SCALED_ORACLES.keys() <= scaled.keys()
+    # a past-floor corpus renders DIFFERENT SQL than the static entry:
+    # LSH key width, IVF centroid width, and the IVF-PQ training sample
+    # all scale with the corpus
+    statics = all_oracles()
     big = dedup.oracle_embedding_lsh(1_000_000)
-    assert big != all_oracles()["ext_dedup_embedding_lsh"]
+    assert big != statics["ext_dedup_embedding_lsh"]
+    assert similarity.oracle_ivf(1_000_000) != statics["ext_similarity_ivf"]
+    assert (
+        similarity.oracle_ivfpq(1_000_000)
+        != statics["ext_similarity_ivfpq"]
+    )

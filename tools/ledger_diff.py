@@ -6,6 +6,12 @@ Usage:
   python tools/ledger_diff.py SWEEP_TIMES_r06.json SWEEP_TIMES_r07.json \
       [--threshold 1.5]
 
+Accepts either a frozen artifact (one JSON dict, per-id seconds under
+"times_sec" or at top level) or a raw append ledger (the sweep/probe
+.sweep_times/.done3.times files: one JSON record per line, {"id", "t"};
+records without a numeric "t" — guarded/timeout — are skipped, and a
+later record for the same id wins, matching the harness retry order).
+
 Prints a markdown table of every id whose new time exceeds threshold x
 its old time (and, for context, any id that improved by the same
 factor), plus totals. Exit code 0 always — the diff is information for
@@ -14,23 +20,38 @@ threshold keeps the table short)."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import sys
 
 
 def times_of(path: str) -> dict[str, float]:
-    d = json.load(open(path))
+    text = open(path).read()
+    try:
+        d = json.loads(text)
+    except json.JSONDecodeError:
+        # raw JSON-lines ledger: {"id": ..., "t": ...} per record
+        out: dict[str, float] = {}
+        for line in text.splitlines():
+            line = line.strip()
+            if not line:
+                continue
+            rec = json.loads(line)
+            t = rec.get("t")
+            if isinstance(rec.get("id"), str) and isinstance(t, (int, float)):
+                out[rec["id"]] = float(t)
+        return out
     t = d.get("times_sec", d)
     return {k: v for k, v in t.items() if isinstance(v, (int, float))}
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
-    thr = 1.5
-    for a in argv:
-        if a.startswith("--threshold"):
-            thr = float(a.split("=", 1)[1] if "=" in a else argv[argv.index(a) + 1])
-    old_path, new_path = args[0], args[1]
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old_path")
+    ap.add_argument("new_path")
+    ap.add_argument("--threshold", type=float, default=1.5)
+    ns = ap.parse_args(argv)
+    old_path, new_path, thr = ns.old_path, ns.new_path, ns.threshold
     old, new = times_of(old_path), times_of(new_path)
     shared = sorted(set(old) & set(new))
     slower, faster = [], []
