@@ -32,3 +32,29 @@ def test_quoted_counts_match_registry():
     assert m2 and int(m2.group(1)) == n, (
         "SURVEY oracle-parity count is stale"
     )
+
+
+def test_survey_test_inventory_counts_match_tree():
+    """r07 verdict task #8: SURVEY §5.3's test-count claim drifts every
+    round it isn't guarded (claimed '~40 files / ~395 tests' while the
+    tree held 46 files). Pin the static counts — test files and `def
+    test_` functions — to what's actually on disk; the runtime total
+    stays approximate prose (parametrization expands it)."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(ROOT, "tests", "test_*.py")))
+    n_funcs = sum(
+        len(re.findall(r"\bdef test_\w+", _read(os.path.join("tests", os.path.basename(f)))))
+        for f in files
+    )
+    survey = _read("SURVEY.md")
+    m = re.search(
+        r"As-built test inventory \((\d+) files / (\d+) test functions",
+        survey,
+    )
+    assert m, "SURVEY §5.3 heading lost its counted claim"
+    assert (int(m.group(1)), int(m.group(2))) == (len(files), n_funcs), (
+        f"SURVEY §5.3 claims {m.group(1)} files / {m.group(2)} test "
+        f"functions; tree has {len(files)} / {n_funcs} — update the "
+        "heading"
+    )
