@@ -166,15 +166,23 @@ def main() -> None:
     samples: dict[str, list[float]] = {
         name: [] for name in list(headline) + list(aux)
     }
-    # One UNRECORDED warmup pass per query (r06 verdict task #7): the
-    # first execution pays whole-stage-codegen compilation, HotSpot JIT
-    # warm-up, and parquet footer/OS page-cache cold starts — recorded,
-    # those dominated the spreads (ivfpq_indexed [2.21, 8.14] around a
-    # 2.34 trimmed mean) and blunted regression sensitivity. Disable
-    # with SPARK_GRAFT_BENCH_WARMUP=0 to measure cold-start behavior.
+    # One warmup pass per query, excluded from the headline stats (r06
+    # verdict task #7): the first execution pays whole-stage-codegen
+    # compilation, HotSpot JIT warm-up, and parquet footer/OS page-cache
+    # cold starts — recorded into the medians, those dominated the
+    # spreads (ivfpq_indexed [2.21, 8.14] around a 2.34 trimmed mean) and
+    # blunted regression sensitivity. The pass IS timed and shipped as
+    # the `cold_queries` column (r07 verdict task #5): the round-1
+    # baseline was recorded cold, so the apples-to-apples baseline ratio
+    # reads against this column, the round-over-round one against the
+    # warmed medians. Disable with SPARK_GRAFT_BENCH_WARMUP=0 (timings
+    # then measure cold starts and `cold_queries` is omitted).
+    cold: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
-        for fn in {**headline, **aux}.values():
+        for name, fn in {**headline, **aux}.items():
+            t0 = time.time()
             fn()
+            cold[name] = round(time.time() - t0, 3)
         spark.catalog.clearCache()
     for _ in range(n_runs):
         for name, fn in {**headline, **aux}.items():
@@ -215,6 +223,11 @@ def main() -> None:
         # explicit train-vs-indexed split the r04 verdict asked for.
         "aux_queries": {name: median_of(samples[name]) for name in aux},
     }
+    if cold:
+        # First-execution times (codegen + JIT + page-cache cold): the
+        # comparable column for the cold-recorded round-1 baseline.
+        out["cold_queries"] = {name: cold[name] for name in headline}
+        out["cold_total"] = round(sum(out["cold_queries"].values()), 3)
 
     # Scale-curve datapoint: the five most expensive headliners once each
     # at a 10x dataset (generated by tools/gen_scale_data.py; skipped when
