@@ -95,7 +95,15 @@ def _wants_huge_method_fallback(
     """Decision core of ensure_codegen_confs, factored pure for tests:
     lower the codegen huge-method limit only when (a) no JVM in the job
     carries the -XX:-DontCompileHugeMethods flag and (b) the limit still
-    sits at Spark's default (an explicit user setting wins)."""
+    sits at Spark's default (an explicit user setting wins).
+
+    Known blind spot, accepted: a user who explicitly pins the limit TO
+    the default 65535 is indistinguishable from an unset conf here (the
+    conf API returns the default either way), so the fallback still
+    fires. The override is value-preserving — it only trades fused-
+    interpreted execution for split-JIT — and anyone deliberately
+    pinning 65535 without the JIT flag would be re-enabling interpreted
+    hot loops; pin any OTHER value (e.g. 65534) to opt out exactly."""
     if _HUGE_METHODS_FLAG in jvm_args or _HUGE_METHODS_FLAG in executor_opts:
         return False
     return current_limit == _SPARK_HUGE_METHOD_DEFAULT
