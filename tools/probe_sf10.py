@@ -96,18 +96,22 @@ def main():
     # timeout lines it is treated as done (the ledger keeps the
     # evidence; delete $PROBE_TIMES to re-probe).
     max_timeouts = int(os.environ.get("PROBE_MAX_TIMEOUTS", "2"))
-    timeouts: dict[str, int] = {}
+    # Hard failures (a borderline id OOM-killing even a pristine JVM —
+    # observed once for the sf10 JSON sink in round 8) are ledgered and
+    # capped the same way, so the auto-restart below cannot loop on an
+    # id that dies every generation.
+    attempts: dict[str, int] = {}
     if os.path.exists(times_path):
         for line in open(times_path):
             try:
                 rec = json.loads(line)
             except ValueError:
                 continue
-            if rec.get("timeout"):
-                timeouts[rec["id"]] = timeouts.get(rec["id"], 0) + 1
-    exhausted = {q for q, n in timeouts.items() if n >= max_timeouts}
+            if rec.get("timeout") or rec.get("fail"):
+                attempts[rec["id"]] = attempts.get(rec["id"], 0) + 1
+    exhausted = {q for q, n in attempts.items() if n >= max_timeouts}
     if exhausted:
-        print(f"SKIP timed-out-{max_timeouts}x: {sorted(exhausted)}",
+        print(f"SKIP failed/timed-out-{max_timeouts}x: {sorted(exhausted)}",
               flush=True)
         ids = [q for q in ids if q not in exhausted]
     n_this_process = 0
@@ -184,11 +188,23 @@ def main():
         except Exception as ex:
             print(f"FAIL {qid} {type(ex).__name__} {str(ex)[:300]}",
                   flush=True)
+            # Ledger the failure (counted toward the retry cap above, so
+            # a persistently-dying id is skipped after MAX_TIMEOUTS
+            # generations instead of wedging the probe forever).
+            with open(times_path, "a") as f:
+                f.write(json.dumps(
+                    {"id": qid, "fail": f"{type(ex).__name__}:"
+                                        f" {str(ex)[:160]}"}
+                ) + "\n")
             try:
                 spark.range(1).count()
             except Exception:
-                print("JVM DEAD — rerun to resume", flush=True)
-                return
+                # Self-heal: a task OOM can take the whole local-mode JVM
+                # with it. Re-exec and resume from the done-ledger (the
+                # failed id retries, bounded by the cap) rather than
+                # abandoning the run for a human to restart.
+                print("JVM DEAD — self-restarting to resume", flush=True)
+                _restart(spark)
     print("PROBE COMPLETE", flush=True)
     # Hard-exit: a wedged (abandoned) worker thread is non-daemon and
     # would otherwise block interpreter shutdown forever. os._exit skips
