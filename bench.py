@@ -183,7 +183,10 @@ def main() -> None:
             t0 = time.time()
             fn()
             cold[name] = round(time.time() - t0, 3)
-        spark.catalog.clearCache()
+            # Per-query, not per-pass: a query later in dict order must
+            # not read frames an earlier query's warmup persisted, or
+            # its recorded cold time partially measures a warm cache.
+            spark.catalog.clearCache()
     for _ in range(n_runs):
         for name, fn in {**headline, **aux}.items():
             t0 = time.time()
@@ -228,6 +231,7 @@ def main() -> None:
         # comparable column for the cold-recorded round-1 baseline.
         out["cold_queries"] = {name: cold[name] for name in headline}
         out["cold_total"] = round(sum(out["cold_queries"].values()), 3)
+        out["cold_aux_queries"] = {name: cold[name] for name in aux}
 
     # Scale-curve datapoint: the five most expensive headliners once each
     # at a 10x dataset (generated by tools/gen_scale_data.py; skipped when

@@ -157,18 +157,22 @@ def global_row_number(
     key = (staged.semanticHash(), staged.schema.json(), npart)
     entries = _GRNK_STAGE_CACHE.setdefault(key, [])
     path = None
+    live = []
     for cached_df, cached_path in entries:
         if not os.path.isdir(cached_path):
-            continue
+            continue  # scratch dir swept — evict (drop from `live`)
         try:
             same = staged.sameSemantics(cached_df)
         except Exception:
             # cached frame belongs to a stopped session (dead JVM
-            # handle) — unusable, treat as a miss
+            # handle) — unusable, evict so later calls neither re-pay
+            # the Py4J exception round-trip nor pin the plan tree on
+            # the heap for process lifetime
             continue
-        if same:
+        live.append((cached_df, cached_path))
+        if path is None and same:
             path = cached_path
-            break
+    entries[:] = live
     if path is None:
         path = scratch_dir("grnk_")
         staged.write.mode("overwrite").parquet(path)

@@ -30,19 +30,30 @@ def times_of(path: str) -> dict[str, float]:
     try:
         d = json.loads(text)
     except json.JSONDecodeError:
-        # raw JSON-lines ledger: {"id": ..., "t": ...} per record
-        out: dict[str, float] = {}
-        for line in text.splitlines():
-            line = line.strip()
-            if not line:
-                continue
+        d = None
+    # A one-record raw ledger parses fine as whole-file JSON but is a
+    # RECORD ({"id", "t", ...}), not an artifact — route it (and any
+    # unparseable multi-line file) through the JSON-lines reader.
+    if isinstance(d, dict) and "id" not in d:
+        t = d.get("times_sec", d)
+        return {k: v for k, v in t.items() if isinstance(v, (int, float))}
+    # raw JSON-lines ledger: {"id": ..., "t": ...} per record; a later
+    # record for the same id wins (harness retry order). Skip unparseable
+    # lines — the appending probe is OOM/kill-prone mid-write, so a
+    # truncated trailing line is an expected input, not an error.
+    out: dict[str, float] = {}
+    for line in text.splitlines():
+        line = line.strip()
+        if not line:
+            continue
+        try:
             rec = json.loads(line)
-            t = rec.get("t")
-            if isinstance(rec.get("id"), str) and isinstance(t, (int, float)):
-                out[rec["id"]] = float(t)
-        return out
-    t = d.get("times_sec", d)
-    return {k: v for k, v in t.items() if isinstance(v, (int, float))}
+        except json.JSONDecodeError:
+            continue
+        t = rec.get("t")
+        if isinstance(rec.get("id"), str) and isinstance(t, (int, float)):
+            out[rec["id"]] = float(t)
+    return out
 
 
 def main(argv: list[str]) -> int:

@@ -185,6 +185,14 @@ def main():
                 n_this_process += 1  # counts toward rotation (r06 ADVICE)
             else:
                 print(f"FAIL {qid} ValueError {str(ex)[:300]}", flush=True)
+                # Same cap discipline as the generic failure path: an
+                # un-ledgered FAIL would be retried by every re-exec
+                # generation forever.
+                with open(times_path, "a") as f:
+                    f.write(json.dumps(
+                        {"id": qid, "fail": f"ValueError: {str(ex)[:160]}"}
+                    ) + "\n")
+                n_this_process += 1  # the id consumed JVM lifetime
         except Exception as ex:
             print(f"FAIL {qid} {type(ex).__name__} {str(ex)[:300]}",
                   flush=True)
@@ -196,6 +204,11 @@ def main():
                     {"id": qid, "fail": f"{type(ex).__name__}:"
                                         f" {str(ex)[:160]}"}
                 ) + "\n")
+            # The failed attempt aged the JVM like any other id (often
+            # more — it typically died mid-allocation); count it toward
+            # the rotation budget so a run of failures can't stretch a
+            # generation far past restart_every.
+            n_this_process += 1
             try:
                 spark.range(1).count()
             except Exception:
