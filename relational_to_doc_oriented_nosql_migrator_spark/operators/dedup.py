@@ -695,10 +695,16 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
 
     The verify is BUCKET-LOCAL: vectors and their (once-per-row) norms
     ride through the bucket-key shuffle — N*L rows, linear in the
-    corpus — and every collision is cosine-scored and threshold-filtered
-    INLINE on the join output, with distinct() applied only to the tiny
-    survivor set (a pair colliding in m tables is scored m times, same
-    rounded value each time). The earlier candidates-first plan
+    corpus — and collisions are cosine-scored and threshold-filtered
+    INLINE on the join output. FIRST-COLLISION EMISSION: at this
+    threshold a true pair collides in ~0.83*L of the tables, so scoring
+    every collision ran the 192-term cosine ~10x per near-dup pair;
+    both sides now carry their L-int key array and the join keeps a
+    collision only at the first agreeing table (table ids ride in the
+    keys' high bits, so cross-table keys never alias and the prefix
+    check is one arrays_overlap over the first `tbl` keys). Pairs come
+    out unique by construction — no distinct — with identical values.
+    The earlier candidates-first plan
     (distinct over ~N*L*pop/2 pairs, then two joins back to the vector
     frame) OOMed at the 100x dataset: Spark elected broadcast-hash for
     both vector fetches — the 50 MB float-compressed parquet estimate
@@ -721,19 +727,22 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     k = _sim.lsh_k(footer_rows(sf_dir, "embeddings"))
-    keys = emb.select(
+    keys = emb.withColumn("keys", F.expr(_sim.tables_expr(k))).select(
         "vec_id",
         "v",
         F.sqrt(F.expr(_sim._unrolled_dot("v", "v"))).alias("nrm"),
-        F.explode(F.expr(_sim.tables_expr(k))).alias("bkey"),
+        "keys",
+        F.posexplode("keys").alias("tbl", "bkey"),
     )
     ka = keys.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("nrm_a"), "bkey",
+        F.col("nrm").alias("nrm_a"), F.col("keys").alias("keys_a"),
+        "tbl", "bkey",
     )
     kb = keys.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nrm_b"), "bkey",
+        F.col("nrm").alias("nrm_b"), F.col("keys").alias("keys_b"),
+        "bkey",
     )
     # MERGE hint: both collision sides are the corpus's exploded bucket
     # keys; post-Generate size estimates stay at pre-explode size, so the
@@ -743,14 +752,17 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
     dot = F.expr(_sim._unrolled_dot("va", "vb"))
     return (
         ka.join(kb.hint("merge"), "bkey")
-        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(
+            (F.col("vec_a") < F.col("vec_b"))
+            & ~F.expr("arrays_overlap(slice(keys_a, 1, tbl),"
+                      " slice(keys_b, 1, tbl))")
+        )
         .select(
             "vec_a", "vec_b",
             F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
             .alias("cosine"),
         )
         .filter(F.col("cosine") >= COSINE_THRESHOLD)
-        .distinct()
     )
 
 

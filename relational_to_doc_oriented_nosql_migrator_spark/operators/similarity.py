@@ -177,6 +177,10 @@ def q_ext_similarity_topk(spark, sf_dir):
 #   sign plane can or should split).
 LSH_K = 4          # fixed top-k layout; dedup floor at oracle/bench scale
 LSH_TABLES = 12
+# An LSH_TABLES-int key array riding a broadcast row (unsafe array
+# header + 8 B/element worst case) — priced by the first-collision
+# prefix check's qkeys column:
+KEYS_ROW_BYTES = 16 + 8 * LSH_TABLES
 LSH_TARGET_POP = 128   # floor region bound: N <= TARGET * 2^K keeps K=4
 LSH_K_MAX = 24
 
@@ -272,9 +276,13 @@ def q_ext_similarity_lsh(spark, sf_dir):
     tables, candidate cost L*N/2^K stays linear in the corpus under
     the bounded-query-set guard, and the scale path for top-k ANN is
     IVF / IVF-PQ (see the K-regime note at LSH_K)."""
-    # widest broadcast: the LSH_TABLES-exploded key frame, vector per row
-    _guard_query_set(sf_dir, "ext_similarity_lsh",
-                     bytes_per_query=LSH_TABLES * VEC_ROW_BYTES)
+    # widest broadcast: the LSH_TABLES-exploded key frame — each row
+    # carries the full vector PLUS its L-int key array (first-collision
+    # prefix check), so the guard prices both
+    _guard_query_set(
+        sf_dir, "ext_similarity_lsh",
+        bytes_per_query=LSH_TABLES * (VEC_ROW_BYTES + KEYS_ROW_BYTES),
+    )
     # Scoring is BUCKET-LOCAL (the dedup path's shape): query vectors
     # and norms ride the bounded strided broadcast — filtered BEFORE
     # the hint so it ships |corpus|/QUERY_STRIDE vectors, never the
@@ -285,37 +293,56 @@ def q_ext_similarity_lsh(spark, sf_dir):
     # to broadcast the 512-byte-per-row corpus side from its 50 MB
     # parquet estimate — the dup_rate OOM class at real scale.
     #
-    # Dedup of multi-table collisions (same rounded cosine each time)
-    # happens AFTER one explicit query_id-keyed shuffle: the subset-key
-    # HashPartitioning satisfies the distinct AND the rank window, so
-    # the whole tail runs exchange-free on _parallelism partitions —
-    # without it, the fused scan+join+partial-distinct spill-sorted
-    # ~600M duplicate-laden pairs inside skewed map tasks (sf10: the
-    # straggler ran 8+ min).
+    # FIRST-COLLISION EMISSION: a pair colliding in m of the L tables
+    # used to be cosine-scored m times and deduplicated by a distinct
+    # over the query_id shuffle — at the 100x dataset that shuffled and
+    # sorted ~600M duplicate-laden scored pairs. Both sides now carry
+    # their full L-key array (12 ints, data not code), and the join
+    # keeps a collision only at the FIRST table where the pair agrees:
+    # table ids ride in each key's high bits, so keys from different
+    # tables can never be equal and the prefix check collapses to one
+    # arrays_overlap over the first `tbl` keys (posexplode's 0-based
+    # table index; slice of length 0 is empty, so table-0 collisions
+    # always pass). The 192-term cosine then runs once per UNIQUE pair
+    # and pairs are unique by construction — no distinct. With the
+    # distinct (and its explicit repartition) gone, Spark plants a
+    # PARTIAL WindowGroupLimit below the rank window's exchange: each
+    # map task locally sorts its scored pairs and ships at most top-3
+    # per query, so the shuffle moves ~3*|queries| rows per task
+    # instead of every candidate pair (sf10: 158s vs 301s recorded, at
+    # identical output). Values are unchanged: same pair set, same
+    # cosines, same ranks.
     #
     # spread=True round-robins the corpus before keying: near-dup
     # clusters are ADJACENT in vec_id order, so file-layout splits give
     # one map task the dense cluster whose bucket-mates (and strided
     # query siblings) dominate pair volume — that task alone generated
-    # most of the ~600M pairs and ran 6+ min while eleven finished in
+    # most of the pair volume and ran 6+ min while eleven finished in
     # seconds; a 110 MB round-robin shuffle of the raw vectors spreads
     # generation evenly.
-    emb = _emb(spark, sf_dir, spread=True).withColumn(
-        "nrm", F.sqrt(F.expr(_unrolled_dot("v", "v")))
+    emb = (
+        _emb(spark, sf_dir, spread=True)
+        .withColumn("nrm", F.sqrt(F.expr(_unrolled_dot("v", "v"))))
+        .withColumn("keys", F.expr(_TABLES_EXPR))
     )
     keys = emb.select(
-        "vec_id", "v", "nrm", F.explode(F.expr(_TABLES_EXPR)).alias("bkey")
+        "vec_id", "v", "nrm", "keys",
+        F.posexplode("keys").alias("tbl", "bkey"),
     )
     queries = keys.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk"),
         F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+        F.col("keys").alias("qkeys"),
     )
     scored = (
-        keys.select(F.col("vec_id").alias("cand_id"), "bkey",
-                    F.col("v").alias("cv"), F.col("nrm").alias("cnrm"))
+        keys.select(F.col("vec_id").alias("cand_id"), "bkey", "tbl",
+                    F.col("v").alias("cv"), F.col("nrm").alias("cnrm"),
+                    F.col("keys").alias("ckeys"))
         .join(F.broadcast(queries),
               (F.col("qk") == F.col("bkey"))
-              & (F.col("query_id") != F.col("cand_id")))
+              & (F.col("query_id") != F.col("cand_id"))
+              & ~F.expr("arrays_overlap(slice(qkeys, 1, tbl),"
+                        " slice(ckeys, 1, tbl))"))
         .select(
             "query_id", "cand_id",
             F.round(
@@ -324,8 +351,6 @@ def q_ext_similarity_lsh(spark, sf_dir):
                 6,
             ).alias("cosine"),
         )
-        .repartition(_parallelism(spark), "query_id")
-        .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("cand_id")
