@@ -43,16 +43,20 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # the ledger landing and the next freeze. Bump it (and re-paste the
 # literal) exactly once per round, when rotating the window.
 #
-# Round-8 window: no ids materially changed at rotation time, so all 50
-# slots are freshness — the 45 r05-latest ids (ledger state after r07:
-# r07 50, r06 50, r05 45), then the 5 canonically-first r06-latest ids
-# (proj_*/filter_*) fill the window. Invariant after the r08 driver run:
+# Round-8 window: the two LSH ops whose plans were rewritten this round
+# (first-collision emission — values identical, plan materially changed)
+# are promoted to the head per the changed-op principle; the remaining
+# 48 slots are freshness — the 45 r05-latest ids (ledger state after
+# r07: r07 50, r06 50, r05 45), then the canonically-first r06-latest
+# ids (proj_*) fill the window. Invariant after the r08 driver run:
 # every id's latest row is r06+ (<= 2 rounds stale).
 WINDOW_LEDGER_MAX = 7
 
-ROUND_CHANGED_IDS = ()
+ROUND_CHANGED_IDS = ("ext_dedup_embedding_lsh", "ext_similarity_lsh")
 
 DRIVER_WINDOW_FIRST = (
+    "ext_dedup_embedding_lsh",
+    "ext_similarity_lsh",
     "sink_json_collections",
     "join_nest_one_to_many",
     "join_nest_salted",
@@ -101,8 +105,6 @@ DRIVER_WINDOW_FIRST = (
     "proj_attribute_select",
     "proj_drop_fk_column",
     "proj_rename_ref",
-    "filter_fk_match",
-    "filter_nonempty_doc",
 )
 
 
