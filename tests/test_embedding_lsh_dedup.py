@@ -59,10 +59,13 @@ def planted_dir(tmp_path_factory):
 
 
 def test_lsh_matches_brute_force_on_planted_dups(spark, planted_dir):
-    lsh = {
-        (r.vec_a, r.vec_b): r.cosine
-        for r in D.q_ext_dedup_embedding_lsh(spark, planted_dir).collect()
-    }
+    rows = D.q_ext_dedup_embedding_lsh(spark, planted_dir).collect()
+    # First-collision emission must yield each pair EXACTLY once: a dict
+    # comprehension would silently collapse duplicates (the pre-r08 plan
+    # guaranteed uniqueness with a distinct; the rewrite guarantees it
+    # structurally, so duplicates here mean the prefix check regressed).
+    assert len(rows) == len({(r.vec_a, r.vec_b) for r in rows})
+    lsh = {(r.vec_a, r.vec_b): r.cosine for r in rows}
     bf = {
         (r.vec_a, r.vec_b): r.cosine
         for r in D.q_ext_dedup_embedding(spark, planted_dir).collect()
