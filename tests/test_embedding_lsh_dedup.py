@@ -79,6 +79,54 @@ def test_lsh_matches_brute_force_on_planted_dups(spark, planted_dir):
         assert (i, N_BACKGROUND + i) in lsh
 
 
+@pytest.mark.parametrize("k", [4, 24])
+def test_first_collision_equals_all_collisions_distinct(spark, planted_dir, k):
+    """The first-collision prefix check must emit EXACTLY the distinct
+    colliding pair set — the pre-r08 reference plan (score every
+    collision, distinct after). Parametrized over both K regimes: K=24
+    exercises the coordinate-DIFFERENCE planes (bits past the 64-dim
+    coordinate budget), which the planted corpus (lsh_k(126)=4) never
+    reaches through the public builder."""
+    from pyspark.sql import functions as F
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = spark.read.parquet(f"{planted_dir}/embeddings.parquet").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    keys = emb.withColumn("keys", F.expr(sim.tables_expr(k))).select(
+        "vec_id", "keys", F.posexplode("keys").alias("tbl", "bkey")
+    )
+    ka = keys.select(F.col("vec_id").alias("vec_a"),
+                     F.col("keys").alias("keys_a"), "tbl", "bkey")
+    kb = keys.select(F.col("vec_id").alias("vec_b"),
+                     F.col("keys").alias("keys_b"), "bkey")
+    first = (
+        ka.join(kb, "bkey")
+        .filter(
+            (F.col("vec_a") < F.col("vec_b"))
+            & ~F.expr("arrays_overlap(slice(keys_a, 1, tbl),"
+                      " slice(keys_b, 1, tbl))")
+        )
+        .select("vec_a", "vec_b")
+        .collect()
+    )
+    ref = (
+        ka.join(kb, "bkey")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+        .collect()
+    )
+    first_pairs = [(r.vec_a, r.vec_b) for r in first]
+    # exactly once each, and exactly the distinct reference set
+    assert len(first_pairs) == len(set(first_pairs))
+    assert set(first_pairs) == {(r.vec_a, r.vec_b) for r in ref}
+
+
 def test_entropy_skips_empty_documents(spark, tmp_path):
     """Spark's sequence(1, 0) is the DESCENDING [1, 0]; without the
     length filter an empty doc would crash the entropy query under ANSI
