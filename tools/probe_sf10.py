@@ -82,14 +82,18 @@ def main():
     restart_every = int(os.environ.get("PROBE_RESTART_EVERY", "25"))
     # ENFORCED fresh-JVM contract (r06 verdict watch item #1): these ids
     # OOMed an AGED probe JVM but pass leading a fresh one — the sf10
-    # JSON sink died after 32 ids, then passed at 99.7s first-up. Rather
-    # than narrating "needs a fresh JVM", the probe rotates BEFORE such
-    # an id whenever this process has already run anything (session.py's
-    # periodicGC=1min attacks the residue class too; this is the
-    # belt-and-braces isolation assert).
+    # JSON sink died after 32 ids, then passed at 99.7s first-up, and
+    # pagerank (whose localCheckpoint pins RDD blocks in the shared
+    # local-mode heap) died 20 ids into a generation in the round-8
+    # re-freeze, then passed its automatic fresh-JVM retry at 96s.
+    # Rather than narrating "needs a fresh JVM", the probe rotates
+    # BEFORE such an id whenever this process has already run anything
+    # (session.py's periodicGC=1min attacks the residue class too; this
+    # is the belt-and-braces isolation assert).
     fresh_jvm_ids = set(
         os.environ.get("PROBE_FRESH_JVM_IDS",
-                       "sink_json_collections").split(",")
+                       "sink_json_collections,ext_graph_pagerank")
+        .split(",")
     )
     # A persistently-timing-out id must not be silently retried in every
     # re-exec generation (r06 ADVICE): after MAX_TIMEOUTS recorded
