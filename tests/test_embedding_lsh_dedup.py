@@ -127,6 +127,47 @@ def test_first_collision_equals_all_collisions_distinct(spark, planted_dir, k):
     assert set(first_pairs) == {(r.vec_a, r.vec_b) for r in ref}
 
 
+def test_lsh_plan_contract(spark, planted_dir):
+    """Pin the perf-load-bearing plan shape of the first-collision
+    rewrite — invisible to every value test, and exactly what a
+    careless refactor would silently lose:
+
+    - similarity: the rank window plants a PARTIAL WindowGroupLimit
+      below its exchange (each map task ships at most top-3 per query
+      instead of every scored pair), there is NO distinct aggregation,
+      and the prefix check rides the join condition (fused into the
+      join stage, not a post-shuffle filter);
+    - dedup: bucket-keyed SortMergeJoin (the merge hint holding off the
+      corpus-broadcast election), no distinct aggregation.
+    """
+    import contextlib
+    import io
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as sim,
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    spark.catalog.clearCache()
+    p = plan(sim.q_ext_similarity_lsh(spark, planted_dir))
+    # formatted explain prints each node twice (tree line + detail
+    # block): 4 mentions = the Partial and Final WindowGroupLimit nodes
+    assert p.count("WindowGroupLimit") == 4, "partial map-side top-k lost"
+    assert "BroadcastHashJoin" in p
+    assert "arrays_overlap" in p.split("Join condition")[1].split("\n")[0], (
+        "prefix check must be fused into the join condition"
+    )
+    d = plan(D.q_ext_dedup_embedding_lsh(spark, planted_dir))
+    assert "SortMergeJoin" in d and "BroadcastHashJoin" not in d
+    for shape in (p, d):
+        assert "HashAggregate" not in shape, "a distinct crept back in"
+
+
 def test_entropy_skips_empty_documents(spark, tmp_path):
     """Spark's sequence(1, 0) is the DESCENDING [1, 0]; without the
     length filter an empty doc would crash the entropy query under ANSI
