@@ -53,9 +53,11 @@ def test_scaled_oracles_cover_every_adaptive_id():
         "ext_similarity_ivfpq",
         "ext_similarity_ivfpq_indexed",
     }
-    assert dedup.SCALED_ORACLES.keys() <= scaled.keys()
-    assert pipeline.SCALED_ORACLES.keys() <= scaled.keys()
-    assert similarity.SCALED_ORACLES.keys() <= scaled.keys()
+    # Every adaptive id must ALSO have a static registered oracle — the
+    # scaled rendering substitutes it, never introduces a new id. (The
+    # per-module subset asserts that used to sit here were tautologies:
+    # `scaled` is the union of those very modules' dicts.)
+    assert set(scaled) <= set(all_oracles())
     # a past-floor corpus renders DIFFERENT SQL than the static entry:
     # LSH key width, IVF centroid width, and the IVF-PQ training sample
     # all scale with the corpus

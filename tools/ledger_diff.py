@@ -53,6 +53,16 @@ def times_of(path: str) -> dict[str, float]:
         t = rec.get("t")
         if isinstance(rec.get("id"), str) and isinstance(t, (int, float)):
             out[rec["id"]] = float(t)
+    if not out:
+        # Zero parseable records means the argument is not a ledger at
+        # all (typo'd path, wrong file): a silent empty dict would
+        # produce a plausible-looking "shared ids: 0 ... no regressions"
+        # green report from garbage input. The per-line skip above is
+        # only for a truncated TRAILING line of a real ledger.
+        raise SystemExit(
+            f"ledger_diff: {path} contains no ledger records"
+            " (not a frozen artifact, and no JSON-lines {id, t} rows)"
+        )
     return out
 
 

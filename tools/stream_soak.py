@@ -45,12 +45,20 @@ def build_slices(sf_dir: str, n_slices: int, out_dir: str) -> int:
     strictly increasing mtimes (the file-stream source processes oldest
     modification time first; maxFilesPerTrigger=1 then yields exactly one
     slice per micro-batch)."""
+    import pyarrow as pa
     import pyarrow.parquet as pq
 
-    src = sorted(glob.glob(os.path.join(sf_dir, "events.parquet*")))[0]
-    if os.path.isdir(src):
-        src = sorted(glob.glob(os.path.join(src, "*.parquet")))[0]
-    table = pq.read_table(src)
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        parquet_paths,
+    )
+
+    # parquet_paths owns the layout rule (single file OR a directory of
+    # part files — the production layout); reading only part-00000 of a
+    # multi-part directory would silently soak a fraction of the corpus
+    # and report it as n_events.
+    table = pa.concat_tables(
+        [pq.read_table(p) for p in parquet_paths(sf_dir, "events")]
+    )
     table = table.sort_by([("ts", "ascending")])
     n = table.num_rows
     os.makedirs(out_dir, exist_ok=True)
@@ -117,6 +125,17 @@ def main() -> None:
         "ext_stream_sessionize": (ops.stream_sessionize, "update",
                                   "memory", False),
     }
+    # Stream-static enrich + windowed agg: the dim side is a batch
+    # relation (mirroring q_ext_stream_enrich_agg); its watermarked
+    # window state must evict like the other append-mode aggs.
+    from relational_to_doc_oriented_nosql_migrator_spark.sources.parquet import load_table
+
+    _dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    soak_ops["ext_stream_enrich_agg"] = (
+        lambda ev: ops.stream_enrich_agg(ev, _dim), "append", "files", True,
+    )
 
     out: dict = {
         "what": ("watermark-eviction soak: one micro-batch per time "
