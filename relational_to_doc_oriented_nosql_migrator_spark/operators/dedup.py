@@ -699,10 +699,10 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
     INLINE on the join output. FIRST-COLLISION EMISSION: at this
     threshold a true pair collides in ~0.83*L of the tables, so scoring
     every collision ran the 192-term cosine ~10x per near-dup pair;
-    both sides now carry their L-int key array and the join keeps a
-    collision only at the first agreeing table (table ids ride in the
-    keys' high bits, so cross-table keys never alias and the prefix
-    check is one arrays_overlap over the first `tbl` keys). Pairs come
+    both sides now carry their explode-time collision_prefix and the
+    join keeps a collision only at the first agreeing table
+    (similarity.first_collision_cond owns the table-id-high-bits
+    invariant the check rides on). Pairs come
     out unique by construction — no distinct — with identical values.
     The earlier candidates-first plan
     (distinct over ~N*L*pop/2 pairs, then two joins back to the vector
@@ -727,21 +727,29 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
     k = _sim.lsh_k(footer_rows(sf_dir, "embeddings"))
+    # collision_prefix at explode time: only the first-`tbl` slice rides
+    # through the merge-join shuffle (avg (L-1)/2 ints vs the full
+    # L-int array — r08 verdict #3); the bucket-key equi-join forces
+    # both sides to the same table, so slicing each side at its OWN
+    # explode index is the original condition exactly.
     keys = emb.withColumn("keys", F.expr(_sim.tables_expr(k))).select(
         "vec_id",
         "v",
         F.sqrt(F.expr(_sim._unrolled_dot("v", "v"))).alias("nrm"),
         "keys",
         F.posexplode("keys").alias("tbl", "bkey"),
+    ).select(
+        "vec_id", "v", "nrm", "bkey",
+        F.expr(_sim.collision_prefix("keys", "tbl")).alias("pfx"),
     )
     ka = keys.select(
         F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-        F.col("nrm").alias("nrm_a"), F.col("keys").alias("keys_a"),
-        "tbl", "bkey",
+        F.col("nrm").alias("nrm_a"), F.col("pfx").alias("pfx_a"),
+        "bkey",
     )
     kb = keys.select(
         F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-        F.col("nrm").alias("nrm_b"), F.col("keys").alias("keys_b"),
+        F.col("nrm").alias("nrm_b"), F.col("pfx").alias("pfx_b"),
         "bkey",
     )
     # MERGE hint: both collision sides are the corpus's exploded bucket
@@ -754,8 +762,7 @@ def q_ext_dedup_embedding_lsh(spark, sf_dir):
         ka.join(kb.hint("merge"), "bkey")
         .filter(
             (F.col("vec_a") < F.col("vec_b"))
-            & ~F.expr("arrays_overlap(slice(keys_a, 1, tbl),"
-                      " slice(keys_b, 1, tbl))")
+            & _sim.first_collision_cond("pfx_a", "pfx_b")
         )
         .select(
             "vec_a", "vec_b",

@@ -177,10 +177,13 @@ def q_ext_similarity_topk(spark, sf_dir):
 #   sign plane can or should split).
 LSH_K = 4          # fixed top-k layout; dedup floor at oracle/bench scale
 LSH_TABLES = 12
-# An LSH_TABLES-int key array riding a broadcast row (unsafe array
-# header + 8 B/element worst case) — priced by the first-collision
-# prefix check's qkeys column:
-KEYS_ROW_BYTES = 16 + 8 * LSH_TABLES
+# The first-collision PREFIX array riding a broadcast row: worst case
+# LSH_TABLES - 1 elements (a table-(L-1) collision carries every earlier
+# key). Priced at 8 B/element — a deliberate 2x safety margin over the
+# 4-byte int width tables_expr actually produces (r08 ADVICE: the
+# previous comment claimed 8 B was the true width) — plus the unsafe
+# array header.
+KEYS_ROW_BYTES = 16 + 8 * (LSH_TABLES - 1)
 LSH_TARGET_POP = 128   # floor region bound: N <= TARGET * 2^K keeps K=4
 LSH_K_MAX = 24
 
@@ -247,6 +250,32 @@ def tables_expr(k: int, col: str = "v") -> str:
     )
 
 
+def collision_prefix(keys_col: str = "keys", tbl_col: str = "tbl") -> str:
+    """SQL expression for the first `tbl` keys of a row's LSH key array —
+    everything the first-collision check needs downstream of the
+    posexplode. Compute it ONCE per exploded row, at explode time, and
+    ship THIS through the collision join instead of the full
+    LSH_TABLES-int array: the prefix averages (L-1)/2 elements, so the
+    dedup merge-join shuffle and the similarity query broadcast move
+    roughly half the key bytes (r08 verdict #3)."""
+    return f"slice({keys_col}, 1, {tbl_col})"
+
+
+def first_collision_cond(pfx_a: str, pfx_b: str):
+    """Join condition keeping a collision only at the FIRST table where
+    the pair agrees. Single owner of the invariant it rides on (r08
+    verdict #3): tables_expr puts the table id in each key's HIGH bits,
+    so keys from different tables can never be equal and "no agreement
+    at any earlier table" collapses to one arrays_overlap over the two
+    prefixes (both sides sliced at their own explode-time table index,
+    which the bucket-key equi-join forces to be the same table; a
+    zero-length slice is empty, so table-0 collisions always pass).
+    Consumed by q_ext_similarity_lsh, dedup.q_ext_dedup_embedding_lsh,
+    and the planted-corpus reference plan in
+    tests/test_embedding_lsh_dedup.py."""
+    return ~F.expr(f"arrays_overlap({pfx_a}, {pfx_b})")
+
+
 def sql_table_keys(k: int, col: str = "e") -> str:
     """DuckDB mirror of tables_expr (1-based list indexing, same literal
     plane indices and bit weights)."""
@@ -277,8 +306,8 @@ def q_ext_similarity_lsh(spark, sf_dir):
     the bounded-query-set guard, and the scale path for top-k ANN is
     IVF / IVF-PQ (see the K-regime note at LSH_K)."""
     # widest broadcast: the LSH_TABLES-exploded key frame — each row
-    # carries the full vector PLUS its L-int key array (first-collision
-    # prefix check), so the guard prices both
+    # carries the full vector PLUS its first-collision prefix (worst
+    # case L-1 keys), so the guard prices both
     _guard_query_set(
         sf_dir, "ext_similarity_lsh",
         bytes_per_query=LSH_TABLES * (VEC_ROW_BYTES + KEYS_ROW_BYTES),
@@ -297,13 +326,10 @@ def q_ext_similarity_lsh(spark, sf_dir):
     # used to be cosine-scored m times and deduplicated by a distinct
     # over the query_id shuffle — at the 100x dataset that shuffled and
     # sorted ~600M duplicate-laden scored pairs. Both sides now carry
-    # their full L-key array (12 ints, data not code), and the join
-    # keeps a collision only at the FIRST table where the pair agrees:
-    # table ids ride in each key's high bits, so keys from different
-    # tables can never be equal and the prefix check collapses to one
-    # arrays_overlap over the first `tbl` keys (posexplode's 0-based
-    # table index; slice of length 0 is empty, so table-0 collisions
-    # always pass). The 192-term cosine then runs once per UNIQUE pair
+    # their explode-time collision_prefix (the first `tbl` keys — data
+    # not code), and the join keeps a collision only at the FIRST table
+    # where the pair agrees (first_collision_cond above owns the
+    # high-bits invariant). The 192-term cosine then runs once per UNIQUE pair
     # and pairs are unique by construction — no distinct. With the
     # distinct (and its explicit repartition) gone, Spark plants a
     # PARTIAL WindowGroupLimit below the rank window's exchange: each
@@ -325,24 +351,29 @@ def q_ext_similarity_lsh(spark, sf_dir):
         .withColumn("nrm", F.sqrt(F.expr(_unrolled_dot("v", "v"))))
         .withColumn("keys", F.expr(_TABLES_EXPR))
     )
+    # Prefix computed at explode time (collision_prefix): only the
+    # first-`tbl` slice rides past this select — the full key array is
+    # dropped before anything is broadcast or joined.
     keys = emb.select(
         "vec_id", "v", "nrm", "keys",
         F.posexplode("keys").alias("tbl", "bkey"),
+    ).select(
+        "vec_id", "v", "nrm", "bkey",
+        F.expr(collision_prefix("keys", "tbl")).alias("pfx"),
     )
     queries = keys.filter(F.col("vec_id") % QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk"),
         F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
-        F.col("keys").alias("qkeys"),
+        F.col("pfx").alias("qpfx"),
     )
     scored = (
-        keys.select(F.col("vec_id").alias("cand_id"), "bkey", "tbl",
+        keys.select(F.col("vec_id").alias("cand_id"), "bkey",
                     F.col("v").alias("cv"), F.col("nrm").alias("cnrm"),
-                    F.col("keys").alias("ckeys"))
+                    F.col("pfx").alias("cpfx"))
         .join(F.broadcast(queries),
               (F.col("qk") == F.col("bkey"))
               & (F.col("query_id") != F.col("cand_id"))
-              & ~F.expr("arrays_overlap(slice(qkeys, 1, tbl),"
-                        " slice(ckeys, 1, tbl))"))
+              & first_collision_cond("qpfx", "cpfx"))
         .select(
             "query_id", "cand_id",
             F.round(

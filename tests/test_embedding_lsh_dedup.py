@@ -99,17 +99,19 @@ def test_first_collision_equals_all_collisions_distinct(spark, planted_dir, k):
     )
     keys = emb.withColumn("keys", F.expr(sim.tables_expr(k))).select(
         "vec_id", "keys", F.posexplode("keys").alias("tbl", "bkey")
+    ).select(
+        "vec_id", "bkey",
+        F.expr(sim.collision_prefix("keys", "tbl")).alias("pfx"),
     )
     ka = keys.select(F.col("vec_id").alias("vec_a"),
-                     F.col("keys").alias("keys_a"), "tbl", "bkey")
+                     F.col("pfx").alias("pfx_a"), "bkey")
     kb = keys.select(F.col("vec_id").alias("vec_b"),
-                     F.col("keys").alias("keys_b"), "bkey")
+                     F.col("pfx").alias("pfx_b"), "bkey")
     first = (
         ka.join(kb, "bkey")
         .filter(
             (F.col("vec_a") < F.col("vec_b"))
-            & ~F.expr("arrays_overlap(slice(keys_a, 1, tbl),"
-                      " slice(keys_b, 1, tbl))")
+            & sim.first_collision_cond("pfx_a", "pfx_b")
         )
         .select("vec_a", "vec_b")
         .collect()
@@ -155,10 +157,15 @@ def test_lsh_plan_contract(spark, planted_dir):
 
     spark.catalog.clearCache()
     p = plan(sim.q_ext_similarity_lsh(spark, planted_dir))
-    # formatted explain prints each node twice (tree line + detail
-    # block): 4 mentions = the Partial and Final WindowGroupLimit nodes
-    assert p.count("WindowGroupLimit") == 4, "partial map-side top-k lost"
+    # Presence asserts, not node-print counts: formatted explain's
+    # double-print convention (tree line + detail block) is a rendering
+    # detail a Spark upgrade may change (r08 ADVICE). What matters is
+    # that BOTH window-group-limit modes exist — the Partial one is the
+    # map-side top-k that keeps the rank shuffle at ~3 rows/query.
+    assert "WindowGroupLimit" in p, "map-side top-k lost"
+    assert "Partial" in p and "Final" in p, "partial map-side top-k lost"
     assert "BroadcastHashJoin" in p
+    assert "Join condition" in p, "broadcast join lost its condition"
     assert "arrays_overlap" in p.split("Join condition")[1].split("\n")[0], (
         "prefix check must be fused into the join condition"
     )

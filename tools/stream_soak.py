@@ -44,7 +44,13 @@ def build_slices(sf_dir: str, n_slices: int, out_dir: str) -> int:
     """Time-slice the events table into n single-file parquet slices with
     strictly increasing mtimes (the file-stream source processes oldest
     modification time first; maxFilesPerTrigger=1 then yields exactly one
-    slice per micro-batch)."""
+    slice per micro-batch).
+
+    Memory bound (r08 ADVICE): this materializes the ENTIRE events table
+    in Arrow memory (concat + sort) before slicing — fine for the
+    sf0.1/sf1.0 soak scales this harness targets (~10^5-10^6 narrow
+    rows), NOT for sf10-class corpora. If the soak is ever pointed at a
+    larger SF, sort/slice per row-group instead of concatenating."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
