@@ -46,6 +46,7 @@ def test_scaled_oracles_cover_every_adaptive_id():
     for m in MODULES:
         scaled.update(getattr(m, "SCALED_ORACLES", {}))
     assert set(scaled) == {
+        "ext_dedup_embedding",
         "ext_dedup_embedding_lsh",
         "ext_pack_sequences",
         "ext_curation_pipeline",
