@@ -43,68 +43,74 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # the ledger landing and the next freeze. Bump it (and re-paste the
 # literal) exactly once per round, when rotating the window.
 #
-# Round-8 window: the two LSH ops whose plans were rewritten this round
-# (first-collision emission — values identical, plan materially changed)
-# are promoted to the head per the changed-op principle; the remaining
-# 48 slots are freshness — the 45 r05-latest ids (ledger state after
-# r07: r07 50, r06 50, r05 45), then the canonically-first r06-latest
-# ids (proj_*) fill the window. Invariant after the r08 driver run:
-# every id's latest row is r06+ (<= 2 rounds stale).
-WINDOW_LEDGER_MAX = 7
+# Round-9 window: the two embedding-dedup ops are promoted per the
+# changed-op principle — their registered VALUES changed this round
+# (dedup_cosine_threshold floor makes the driver rows non-vacuous, r08
+# verdict #4). ext_similarity_lsh also changed this round but is NOT
+# promoted, deliberately: its delta is the prefix-shipping refactor —
+# same join condition, same values (oracle parity re-verified at
+# sf0.01), plan family already hard-signal-proven by its r08 row — and
+# promoting it would push one of the 47 three-rounds-stale r06 ids out
+# of the window. The remaining 48 slots are freshness: the never-proven
+# round-9 add (ext_knn_classify_indexed) sorts first, then the 47
+# r06-latest ids (ledger state after r08: r08 50, r07 48, r06 47).
+# Invariant after the r09 driver run: every id's latest row is r07+
+# (<= 2 rounds stale).
+WINDOW_LEDGER_MAX = 8
 
-ROUND_CHANGED_IDS = ("ext_dedup_embedding_lsh", "ext_similarity_lsh")
+ROUND_CHANGED_IDS = ("ext_dedup_embedding", "ext_dedup_embedding_lsh")
 
 DRIVER_WINDOW_FIRST = (
-    "ext_dedup_embedding_lsh",
-    "ext_similarity_lsh",
-    "sink_json_collections",
-    "join_nest_one_to_many",
-    "join_nest_salted",
-    "agg_collect_children",
-    "fn_split_trim",
-    "ext_window_ntile",
-    "ext_approx_distinct",
-    "ext_text_stats",
-    "ext_text_quality",
-    "ext_text_langid",
-    "ext_text_fingerprint",
-    "ext_text_perplexity_bucket",
-    "ext_dedup_exact",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_simhash",
-    "ext_dedup_simhash_pairs",
     "ext_dedup_embedding",
-    "ext_similarity_topk",
-    "stream_to_json_files",
-    "ext_stream_tumbling_agg",
-    "ext_stream_sliding_agg",
-    "ext_stream_session_agg",
-    "ext_stream_dedup",
-    "ext_stream_stateful",
-    "ext_mm_attach_meta",
-    "ext_mm_decode_features",
-    "ext_mm_resize",
-    "ext_mm_frame_sample",
-    "ext_asof_join",
-    "ext_range_join",
-    "plan_topo_order",
-    "plan_self_ref_detect",
-    "plan_embed_or_reference",
-    "plan_one_way_embed",
-    "plan_two_way_embed",
-    "plan_referencing",
-    "sink_http_response",
-    "sink_parquet_partitioned",
-    "ext_curation_pipeline",
-    "ext_text_pii_scrub",
-    "ext_decontaminate",
-    "ext_repetition_filter",
-    "ext_domain_mix",
-    "ext_sample_stratified",
-    "ext_graph_pagerank",
-    "proj_attribute_select",
-    "proj_drop_fk_column",
-    "proj_rename_ref",
+    "ext_dedup_embedding_lsh",
+    "ext_knn_classify_indexed",
+    "filter_fk_match",
+    "filter_nonempty_doc",
+    "filter_nonempty_collection",
+    "join_denormalize_m2m",
+    "join_meta_left",
+    "join_meta_pg_catalog",
+    "fn_case_when_referenced",
+    "agg_count_star",
+    "agg_fk_count_grouped",
+    "agg_group_concat_ordered",
+    "agg_group_concat_distinct",
+    "agg_pricing_summary",
+    "sort_meta_output",
+    "fn_date_normalize",
+    "fn_whitespace_normalize",
+    "src_log_text",
+    "fn_regex_log_extract_mysql",
+    "fn_regex_log_extract_pg",
+    "filter_statement_type",
+    "fn_sql_tablelist",
+    "fn_split_tableref",
+    "filter_dml_type",
+    "agg_workload_gaf_uaf",
+    "agg_maf_scalar",
+    "ext_window_rank",
+    "ext_window_lag_lead",
+    "ext_tumbling_agg",
+    "ext_sliding_agg",
+    "ext_session_agg",
+    "ext_grouping_sets",
+    "ext_cube",
+    "ext_window_running",
+    "ext_setops",
+    "ext_json_extract",
+    "ext_percentiles",
+    "ext_text_tokens",
+    "ext_split_assign",
+    "ext_token_bigrams",
+    "ext_text_unigram_logprob",
+    "ext_text_tfidf_top",
+    "ext_dedup_common_ngrams",
+    "ext_dedup_components",
+    "ext_knn_classify",
+    "ext_stream_enrich_agg",
+    "ext_stream_interval_join",
+    "ext_domain_mix_temperature",
+    "ext_pack_sequences",
 )
 
 

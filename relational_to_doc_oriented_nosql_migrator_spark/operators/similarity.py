@@ -572,16 +572,38 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     At 100 TB this is the index table a nightly job writes (partitioned
     by cent_id for list pruning); searches then touch only these
     compact relations plus |queries| x ADC_SHORTLIST raw rows.
+
+    Persistent mode (the nightly-job seam made literal): when
+    SPARK_GRAFT_INDEX_DIR is set, the index lands under a
+    corpus-fingerprint-keyed directory there and a LATER PROCESS reuses
+    it without rebuilding — searches then pay only search. The
+    fingerprint (file mtimes + sizes) keys the directory name, so a
+    regenerated corpus can never be served a stale index; a partial
+    build (missing relation dirs) is rebuilt. Default stays a
+    process-scoped tempdir removed at exit.
     """
     import atexit
+    import hashlib
     import shutil
     import tempfile
 
     key = _corpus_fingerprint(sf_dir)
     if key in _IVFPQ_INDEX_DIRS:
         return _IVFPQ_INDEX_DIRS[key]
-    out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
-    atexit.register(shutil.rmtree, out, ignore_errors=True)
+    persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    if persist_root:
+        tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+        out = os.path.join(persist_root, f"ivfpq_{tag}")
+        if all(
+            os.path.exists(os.path.join(out, rel, "_SUCCESS"))
+            for rel in ("centroids", "inverted", "codebook", "codes")
+        ):
+            _IVFPQ_INDEX_DIRS[key] = out
+            return out
+        os.makedirs(out, exist_ok=True)
+    else:
+        out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
+        atexit.register(shutil.rmtree, out, ignore_errors=True)
     emb = _emb(spark, sf_dir, spread=True)
     embn = emb.select(
         "vec_id", F.expr(_NORM).alias("nrm"), "v"
@@ -708,6 +730,22 @@ def q_ext_knn_classify(spark, sf_dir):
     for the ANN-backed variant (tests pin ANN-vs-exact agreement)."""
     labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
     return knn_classify_from(q_ext_similarity_topk(spark, sf_dir), labels)
+
+
+def q_ext_knn_classify_indexed(spark, sf_dir):
+    """k-NN label prediction over the IVF-PQ-INDEXED neighbor frame —
+    the SCALE path for q_ext_knn_classify (r08 verdict #6): the
+    brute-force variant above votes over the guarded all-pairs topk
+    (|corpus| x |queries| cosines), while this one votes over
+    q_ext_similarity_ivfpq_indexed's shortlist, whose search plan reads
+    only the materialized index relations plus |queries| x ADC_SHORTLIST
+    refine rows. Vote/argmax shape is shared (knn_classify_from) and
+    runs at index-output size either way; the oracle applies the same
+    vote SQL to the IVF-PQ top-k oracle (oracle_knn_from)."""
+    labels = t(spark, sf_dir, "embeddings").select("vec_id", "label")
+    return knn_classify_from(
+        q_ext_similarity_ivfpq_indexed(spark, sf_dir), labels
+    )
 
 
 def q_ext_embed_centroids(spark, sf_dir):
@@ -1196,6 +1234,7 @@ QUERIES = {
     "ext_similarity_ivfpq": q_ext_similarity_ivfpq,
     "ext_similarity_ivfpq_indexed": q_ext_similarity_ivfpq_indexed,
     "ext_knn_classify": q_ext_knn_classify,
+    "ext_knn_classify_indexed": q_ext_knn_classify_indexed,
     "ext_embed_centroids": q_ext_embed_centroids,
     "ext_embed_quantize": q_ext_embed_quantize,
     "ext_embed_pq": q_ext_embed_pq,
@@ -1504,20 +1543,13 @@ ORACLES["ext_similarity_ivfpq"] = oracle_ivfpq(0)
 # index relations round-tripped through parquet losslessly) — same oracle.
 ORACLES["ext_similarity_ivfpq_indexed"] = ORACLES["ext_similarity_ivfpq"]
 
-SCALED_ORACLES = {
-    "ext_similarity_ivf": lambda sf_dir: oracle_ivf(
-        footer_rows(sf_dir, "embeddings")
-    ),
-    "ext_similarity_ivfpq": lambda sf_dir: oracle_ivfpq(
-        footer_rows(sf_dir, "embeddings")
-    ),
-    "ext_similarity_ivfpq_indexed": lambda sf_dir: oracle_ivfpq(
-        footer_rows(sf_dir, "embeddings")
-    ),
-}
-
-ORACLES["ext_knn_classify"] = f"""
-WITH topk AS ({ORACLES['ext_similarity_topk']}),
+def oracle_knn_from(topk_sql: str) -> str:
+    """Vote/argmax SQL over ANY (query_id, cand_id, ...) neighbor-frame
+    oracle — the single owner of the kNN oracle shape, rendered over the
+    exact top-k oracle for ext_knn_classify and over the IVF-PQ oracle
+    for ext_knn_classify_indexed (mirroring knn_classify_from)."""
+    return f"""
+WITH topk AS ({topk_sql}),
 votes AS (
   SELECT t.query_id, e.label, COUNT(*) AS votes
   FROM topk t JOIN embeddings e ON e.vec_id = t.cand_id
@@ -1534,3 +1566,24 @@ pred AS (
 SELECT p.query_id, p.pred_label, p.votes, e.label AS true_label
 FROM pred p JOIN embeddings e ON e.vec_id = p.query_id
 """
+
+
+ORACLES["ext_knn_classify"] = oracle_knn_from(ORACLES["ext_similarity_topk"])
+ORACLES["ext_knn_classify_indexed"] = oracle_knn_from(
+    ORACLES["ext_similarity_ivfpq"]
+)
+
+SCALED_ORACLES = {
+    "ext_similarity_ivf": lambda sf_dir: oracle_ivf(
+        footer_rows(sf_dir, "embeddings")
+    ),
+    "ext_similarity_ivfpq": lambda sf_dir: oracle_ivfpq(
+        footer_rows(sf_dir, "embeddings")
+    ),
+    "ext_similarity_ivfpq_indexed": lambda sf_dir: oracle_ivfpq(
+        footer_rows(sf_dir, "embeddings")
+    ),
+    "ext_knn_classify_indexed": lambda sf_dir: oracle_knn_from(
+        oracle_ivfpq(footer_rows(sf_dir, "embeddings"))
+    ),
+}

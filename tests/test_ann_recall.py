@@ -87,6 +87,54 @@ def test_indexed_ivfpq_is_result_identical(spark):
     assert len(live) > 0
 
 
+def test_knn_indexed_votes_over_ivfpq_shortlist(spark):
+    """The registered scale-path kNN (r08 verdict #6) must equal
+    knn_classify_from applied to the IVF-PQ-indexed neighbor frame —
+    i.e. the same vote/argmax plumbing the exact variant uses, fed by
+    the index instead of the guarded all-pairs topk."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+
+    labels = t(spark, SF001, "embeddings").select("vec_id", "label")
+    want = {
+        r.query_id: (r.pred_label, r.votes, r.true_label)
+        for r in S.knn_classify_from(
+            S.q_ext_similarity_ivfpq_indexed(spark, SF001), labels
+        ).collect()
+    }
+    got = {
+        r.query_id: (r.pred_label, r.votes, r.true_label)
+        for r in S.q_ext_knn_classify_indexed(spark, SF001).collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_persistent_index_reused_across_processes(spark, tmp_path,
+                                                  monkeypatch):
+    """SPARK_GRAFT_INDEX_DIR makes the IVF-PQ index build a NIGHTLY-JOB
+    artifact: a later process (simulated by clearing the in-process
+    cache) must find the fingerprint-keyed directory complete and reuse
+    it without rewriting, and search results must be identical."""
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
+    first = S.build_ivfpq_index(spark, SF001)
+    assert first.startswith(str(tmp_path))
+    marker = os.path.join(first, "codes", "_SUCCESS")
+    mtime = os.stat(marker).st_mtime_ns
+    rows = {(r.query_id, r.rank): (r.cand_id, r.cosine)
+            for r in S.q_ext_similarity_ivfpq_indexed(spark, SF001).collect()}
+    # "new process": empty in-process cache, same persistent root
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
+    again = S.build_ivfpq_index(spark, SF001)
+    assert again == first
+    assert os.stat(marker).st_mtime_ns == mtime, "index was rebuilt"
+    rows2 = {(r.query_id, r.rank): (r.cand_id, r.cosine)
+             for r in S.q_ext_similarity_ivfpq_indexed(spark, SF001).collect()}
+    assert rows2 == rows
+
+
 def test_sampled_training_parity_and_recall(spark, monkeypatch):
     """Lloyd/PQ training runs on a bounded md5-ordered sample past
     TRAIN_SAMPLE_MAX (r06 verdict task #4). At sf0.01 the cap (16384)

@@ -37,6 +37,8 @@ TINY_BROADCAST_CROSS = {
     "ext_similarity_ivfpq_indexed",  # query-side assign vs the 64-row
                                      # centroid relation read from the
                                      # materialized index
+    "ext_knn_classify_indexed",      # votes over ivfpq_indexed's frame
+                                     # (same 64-row assign cross)
     "ext_text_unigram_logprob",  # 1-row corpus-total cross join
     "ext_skew_report",           # 1-row total cross join
     "ext_text_perplexity_bucket",  # built on unigram_logprob's 1-row cross
@@ -93,7 +95,7 @@ def _walk(node):
     "qid",
     ["ext_similarity_topk", "ext_similarity_lsh", "ext_similarity_ivf",
      "ext_similarity_ivfpq", "ext_similarity_ivfpq_indexed",
-     "ext_knn_classify"],
+     "ext_knn_classify", "ext_knn_classify_indexed"],
 )
 def test_no_unfiltered_embeddings_broadcast(qid, spark):
     """Every broadcast build side whose subtree scans `embeddings` must
@@ -163,6 +165,9 @@ EXPLODE_BROADCAST_BOUNDED = {
     # same codebook relations as ivfpq, read back from the materialized
     # index
     "ext_similarity_ivfpq_indexed",
+    # votes over ivfpq_indexed's neighbor frame — same bounded codebook /
+    # ADC-table broadcasts
+    "ext_knn_classify_indexed",
     #   - similarity_lsh: the build side is the QUERY-stride-filtered key
     #     set (filter below the Generate — query-set-sized, not corpus);
     #     test_no_unfiltered_embeddings_broadcast pins the filter's
@@ -342,6 +347,8 @@ UNSPREAD_EXPLODES_AUDITED = {
     "ext_range_join",           # bounded bucket-span explode (few buckets)
     "ext_setops",               # tiny set-literal explode
     "ext_similarity_ivfpq_indexed",  # PQ_M(8)-wide code pivot explode
+    "ext_knn_classify_indexed",      # same pivot explode via its
+                                     # ivfpq_indexed neighbor frame
     "ext_text_chunk",           # chunk-boundary explode, ~n_tokens/500,
                                 # 5.8s at sf10 measured
     # gated-spread family: unspread below SPREAD_MIN_DOCS by design

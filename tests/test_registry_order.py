@@ -84,7 +84,8 @@ def test_registry_complete_and_oracle_backed():
     # text_chunk, text_pmi, dedup_dup_rate, window_ntile, corr_stats,
     # graph_pagerank, incremental_agg, stream_cdc_upsert,
     # text_quality_score, sink_parquet_sorted, src_parquet_mergeschema
-    assert len(qs) == 145
+    # + 1 round-9 add: knn_classify_indexed (the scale-path kNN)
+    assert len(qs) == 146
     assert set(ors) == set(qs)  # every query oracle-checked as of round 2
     # entry module passes through the same ordering
     assert list(entrymod.queries()) == list(qs)

@@ -53,6 +53,7 @@ def test_scaled_oracles_cover_every_adaptive_id():
         "ext_similarity_ivf",
         "ext_similarity_ivfpq",
         "ext_similarity_ivfpq_indexed",
+        "ext_knn_classify_indexed",
     }
     # Every adaptive id must ALSO have a static registered oracle — the
     # scaled rendering substitutes it, never introduces a new id. (The
