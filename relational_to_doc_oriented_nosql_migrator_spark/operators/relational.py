@@ -662,18 +662,25 @@ def q_sink_json_collections(spark, sf_dir):
     as distributed JSON, read it back, return per-collection doc counts.
     Oracle: nesting preserves root-table row counts, so the expected frame
     is COUNT(*) per root collection straight from the base tables (the
-    root set is pinned by the plan golden, operators/plan_golden.json)."""
+    root set is pinned by the plan golden, operators/plan_golden.json).
+    Heavy roots (subtree past nesting.HEAVY_ROOT_SUBTREE_ROWS — the sf10
+    probe corpus, never the driver/bench scales) assemble per-root in
+    file space via migrate_streamed, removing the single-row root-
+    document heap floor (r08 verdict #2)."""
     import shutil
 
-    from relational_to_doc_oriented_nosql_migrator_spark.engine import migrate
+    from relational_to_doc_oriented_nosql_migrator_spark.engine import (
+        migrate_streamed,
+    )
     from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
         write_json_collections,
     )
 
     out_dir = __import__("tempfile").mkdtemp(prefix="sink_json_")
     try:
-        collections = migrate(spark, sf_dir)
-        written = write_json_collections(collections, out_dir)
+        collections, streamed = migrate_streamed(spark, sf_dir)
+        written = write_json_collections(collections, out_dir,
+                                         streamed=streamed)
         # Read back with the writer's schema: json without one pays a full
         # schema-inference scan per collection (2x the read cost).
         rows = [

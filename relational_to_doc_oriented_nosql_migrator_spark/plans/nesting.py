@@ -24,6 +24,8 @@ SURVEY §2.5 fidelity note).
 
 from __future__ import annotations
 
+from dataclasses import dataclass
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -61,6 +63,125 @@ SMALL_PARENT_ROWS = 256
 # At or below ~200k subtree rows per task the buffers stay tens of MB;
 # small inputs keep the configured partition count unchanged.
 TARGET_NEST_ROWS_PER_TASK = 200_000
+
+
+# Per-root STREAMED ASSEMBLY threshold (r08 verdict #2). Materializing a
+# root document as one row has an inherent heap floor: with a tiny root
+# cardinality each document holds ~|subtree|/|roots| rows (a region at
+# the 100x dataset embeds ~1/5 of the corpus — a ~420 MB single row,
+# then a comparably-sized JSON string in ONE task at write time), and
+# that floor grows linearly with scale under the same root count. Past
+# this subtree-row bound the JSON sink assembles such roots in FILE
+# space instead of row space: the heaviest embedded child is written as
+# per-root sorted JSON fragments (one nesting level down — bounded by
+# the LEVEL-2 document size, |subtree|/|level-2 groups|) and the root
+# line is stitched by streaming concatenation, so no task ever holds a
+# root-document-sized buffer. Below the bound nothing changes — the
+# recorded sf0.1 bench and sf1.0 sweep plans are untouched. The same
+# trick applies recursively if level-2 documents ever hit the floor;
+# one level is sufficient for the 25-nations-under-5-regions shape.
+HEAVY_ROOT_SUBTREE_ROWS = 5_000_000
+
+
+@dataclass
+class StreamedRoot:
+    """Pieces the JSON sink needs to assemble one heavy root collection
+    by streaming (sinks/json_collections._write_streamed):
+
+    - roots: one row per root document — the root's FK value (__fk) and
+      the document's JSON split at the heavy child's schema position
+      (__left / __right halves, to_json rendered with the same
+      null-omission semantics as the distributed writer);
+    - child_rows: (__fk, __st) — one row per heavy-child DOCUMENT (its
+      own nested arrays already attached), struct-typed so the sink can
+      sort by __st (field-by-field struct ordering == array_sort's
+      element comparator) before rendering with to_json.
+    """
+
+    roots: DataFrame
+    child_name: str
+    child_rows: DataFrame
+
+
+def stream_plan(
+    catalog: Catalog,
+    plan: NoSQLPlan,
+    threshold: int = HEAVY_ROOT_SUBTREE_ROWS,
+) -> dict[str, str]:
+    """root collection name -> heaviest embedded child to stream, for
+    roots whose tiny cardinality makes single-row documents a heap
+    hazard (see HEAVY_ROOT_SUBTREE_ROWS). Catalog-metadata only — no
+    Spark job."""
+    out: dict[str, str] = {}
+    for root in plan.collections:
+        if not root.embedded:
+            continue
+        parent_rows = catalog.get_table(root.name).num_rows or 0
+        if parent_rows == 0 or parent_rows > SMALL_PARENT_ROWS:
+            continue
+        heavy = max(root.embedded, key=lambda e: _subtree_rows(catalog, e))
+        if _subtree_rows(catalog, heavy) >= threshold:
+            out[root.name] = heavy.name
+    return out
+
+
+def materialize_streamed_root(
+    tables: dict[str, DataFrame],
+    catalog: Catalog,
+    plan: NoSQLPlan,
+    root_name: str,
+    child_name: str,
+    normalize_dates: bool = True,
+    drop_all_null_docs: bool = True,
+) -> StreamedRoot:
+    """Build the streamed-assembly pieces for one heavy root: the root
+    frame WITHOUT the heavy child (all other children attached as
+    usual), split into JSON halves around the heavy child's schema
+    position, plus the heavy child's per-document struct rows keyed by
+    the root FK value. Field order and null-omission match the normal
+    nested frame exactly, so the assembled NDJSON parses identically
+    under the nested schema (pinned by tests/test_streamed_sink.py)."""
+    root = next(c for c in plan.collections if c.name == root_name)
+    heavy = next(e for e in root.embedded if e.name == child_name)
+    meta = catalog.get_table(root.name)
+    df = tables[root.name]
+    if normalize_dates:
+        df = normalize_date_columns(df)
+    attrs = _dedupe(root.attributes)
+    df = _root_projection(df, attrs, meta.columns)
+    if drop_all_null_docs:
+        df = df.na.drop(how="all", subset=attrs)
+    for emb in root.embedded:
+        if emb.name == child_name:
+            continue
+        df = _attach_embedded(tables, catalog, df, root.name, emb,
+                              normalize_dates)
+    # Normal-mode column order is attrs..., then embedded children in
+    # plan order (each attach appends its array column): splice the
+    # heavy child back at its position.
+    projected = [a for a in attrs if a in df.columns]
+    order = projected + [e.name for e in root.embedded]
+    heavy_pos = order.index(child_name)
+    left_cols = [c for c in order[:heavy_pos] if c != child_name]
+    right_cols = [c for c in order[heavy_pos + 1:]]
+    fk = _find_fk(catalog, child_name, root_name)
+    roots = df.select(
+        F.col(fk.referenced_column).alias("__fk"),
+        F.to_json(F.struct(*[F.col(c) for c in left_cols])).alias("__left"),
+        (
+            F.to_json(F.struct(*[F.col(c) for c in right_cols]))
+            if right_cols else F.lit("{}")
+        ).alias("__right"),
+    )
+    child_df, fields, fk_col = _prepare_child(
+        tables, catalog, heavy, root_name, normalize_dates
+    )
+    child_rows = child_df.select(
+        F.col(fk_col).alias("__fk"),
+        F.struct(*[F.col(f_) for f_ in fields]).alias("__st"),
+    )
+    return StreamedRoot(roots=roots, child_name=child_name,
+                        child_rows=child_rows)
 
 
 def normalize_date_columns(df: DataFrame) -> DataFrame:

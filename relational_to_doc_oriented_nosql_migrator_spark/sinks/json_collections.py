@@ -13,11 +13,15 @@ reference's key-absent semantics for unmatched attributes / empty embeds.
 from __future__ import annotations
 
 import contextlib
+import glob
 import json
 import os
+import shutil
+import urllib.parse
 import zipfile
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Hash aggregation holds EVERY group's collect_list buffer of a partition
 # in memory before emitting; for the top nesting levels a group is a
@@ -68,18 +72,112 @@ def _replanned(df: DataFrame) -> DataFrame:
     return df.select("*")
 
 
+def _iter_part_lines(dirpath: str):
+    for f in sorted(glob.glob(os.path.join(dirpath, "part-*"))):
+        with open(f) as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                if line:
+                    yield line
+
+
+def _write_streamed(pieces, target: str) -> bool:
+    """Assemble one HEAVY root collection in file space (r08 verdict #2):
+    the heavy child's documents are written by Spark as per-root sorted
+    JSON fragments (text files partitioned by the root FK), and each
+    root's NDJSON line is stitched by streaming concatenation — root
+    scalars + '"child":[' + fragment lines joined with commas + ']'. No
+    task (and no driver buffer) ever holds more than ONE level-2
+    document, versus the one-row-per-root representation whose buffer is
+    the whole root subtree. Content is byte-compatible with the
+    distributed writer's NDJSON (same to_json machinery, same
+    null-omission, array order = array_sort order via the __st struct
+    sort), so the schema-guided read-back parses identically.
+
+    Returns False for an empty collection (nothing written)."""
+    spark = pieces.roots.sparkSession
+    tmp = target + ".__children__"
+    with _sort_based_collects(spark):
+        # One partition per root FK value and a struct sort within it:
+        # the writer's required ordering (partition cols) is satisfied
+        # by our (fk, st) prefix, so rows land in ONE file per root in
+        # array_sort element order.
+        (
+            _replanned(pieces.child_rows)
+            .repartition(F.col("__fk"))
+            .sortWithinPartitions("__fk", "__st")
+            .select("__fk", F.to_json("__st").alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("__fk")
+            .text(tmp)
+        )
+        roots = _replanned(pieces.roots).collect()
+    try:
+        if not roots:
+            return False
+        child_dirs = {}
+        for d in glob.glob(os.path.join(tmp, "__fk=*")):
+            val = urllib.parse.unquote(os.path.basename(d).split("=", 1)[1])
+            child_dirs[val] = d
+        os.makedirs(target, exist_ok=True)
+        with open(os.path.join(target, "part-00000.json"), "w") as out:
+            for r in sorted(roots, key=lambda r: str(r["__fk"])):
+                left_body = r["__left"][1:-1]
+                right_body = r["__right"][1:-1]
+                cdir = (
+                    child_dirs.get(str(r["__fk"]))
+                    if r["__fk"] is not None else None
+                )
+                out.write("{")
+                out.write(left_body)
+                wrote_any = bool(left_body)
+                if cdir is not None:
+                    first = True
+                    for line in _iter_part_lines(cdir):
+                        if first:
+                            if wrote_any:
+                                out.write(",")
+                            out.write(json.dumps(pieces.child_name) + ":[")
+                            first = False
+                        else:
+                            out.write(",")
+                        out.write(line)
+                    if not first:
+                        out.write("]")
+                        wrote_any = True
+                if right_body:
+                    if wrote_any:
+                        out.write(",")
+                    out.write(right_body)
+                out.write("}\n")
+        return True
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def write_json_collections(
     collections: dict[str, DataFrame],
     out_dir: str,
     single_file: bool = False,
     zip_path: str | None = None,
+    streamed: dict | None = None,
 ) -> list[str]:
-    """Write each non-empty collection; returns the names written."""
+    """Write each non-empty collection; returns the names written.
+
+    streamed: optional {collection name: plans.nesting.StreamedRoot} —
+    those collections are assembled per-root in file space instead of
+    materializing root-document rows (see _write_streamed). Ignored in
+    single_file parity mode (explicitly non-scale)."""
     written: list[str] = []
+    streamed = streamed or {}
     os.makedirs(out_dir, exist_ok=True)
     for name, df in collections.items():
         df = _replanned(df)
         target = os.path.join(out_dir, name)
+        if name in streamed and not single_file:
+            if _write_streamed(streamed[name], target):
+                written.append(name)
+            continue
         with _sort_based_collects(df.sparkSession):
             if single_file:
                 # Parity mode: one JSON array per collection file, like
