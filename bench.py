@@ -141,6 +141,14 @@ def main() -> None:
             "similarity_ivfpq_train_full": lambda: force(
                 similarity.q_ext_similarity_ivfpq(spark, sf_dir)
             ),
+            # round-9 add: the scale-path kNN (vote over the IVF-PQ
+            # index shortlist). Aux, not headline: its cost is the
+            # already-tracked ivfpq_indexed search plus an index-output-
+            # sized vote, and headline membership is frozen for
+            # cross-round delta comparability.
+            "knn_classify_indexed": lambda: force(
+                similarity.q_ext_knn_classify_indexed(spark, sf_dir)
+            ),
         }
 
     aux = make_aux(SF_DIR)

@@ -62,8 +62,8 @@ def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
     from relational_to_doc_oriented_nosql_migrator_spark.engine import (
-        migrate,
         migrate_from_dump,
+        migrate_streamed,
     )
     from relational_to_doc_oriented_nosql_migrator_spark.session import (
         get_spark,
@@ -78,6 +78,7 @@ def main(argv: list[str] | None = None) -> int:
         with open(args.log) as fh:
             log_content = fh.read()
 
+    streamed = {}
     if args.dump:
         with open(args.dump) as fh:
             collections = migrate_from_dump(
@@ -88,7 +89,10 @@ def main(argv: list[str] | None = None) -> int:
                 normalize_dates=not args.no_normalize_dates,
             )
     else:
-        collections = migrate(
+        # Heavy roots (plans/nesting.stream_plan) assemble per-root in
+        # file space — the parquet-tables path carries the catalog row
+        # counts the decision needs; dump inputs are small by nature.
+        collections, streamed = migrate_streamed(
             spark,
             args.tables,
             log_content=log_content,
@@ -101,8 +105,18 @@ def main(argv: list[str] | None = None) -> int:
         args.out,
         single_file=args.single_file,
         zip_path=args.zip_path,
+        streamed=streamed,
     )
-    counts = {name: collections[name].count() for name in written}
+    counts = {}
+    for name in written:
+        if name in streamed and not args.single_file:
+            # Count the written NDJSON lines instead of executing the
+            # one-row-per-root nested plan the streamed path avoided.
+            counts[name] = spark.read.text(
+                __import__("os").path.join(args.out, name)
+            ).count()
+        else:
+            counts[name] = collections[name].count()
     print(json.dumps({"out": args.out, "collections": counts}))
     return 0
 
