@@ -105,15 +105,14 @@ def migrate_streamed(
     plan = convert_schema(catalog)
     collections = materialize(tables, catalog, plan,
                               normalize_dates=normalize_dates)
+    thr = HEAVY_ROOT_SUBTREE_ROWS if threshold is None else threshold
     streamed = {
         root_name: materialize_streamed_root(
             tables, catalog, plan, root_name, child_name,
-            normalize_dates=normalize_dates,
+            normalize_dates=normalize_dates, threshold=thr,
         )
         for root_name, child_name in stream_plan(
-            catalog, plan,
-            threshold=(HEAVY_ROOT_SUBTREE_ROWS
-                       if threshold is None else threshold),
+            catalog, plan, threshold=thr,
         ).items()
     }
     return collections, streamed

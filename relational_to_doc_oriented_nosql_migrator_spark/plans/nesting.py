@@ -77,9 +77,19 @@ TARGET_NEST_ROWS_PER_TASK = 200_000
 # the LEVEL-2 document size, |subtree|/|level-2 groups|) and the root
 # line is stitched by streaming concatenation, so no task ever holds a
 # root-document-sized buffer. Below the bound nothing changes — the
-# recorded sf0.1 bench and sf1.0 sweep plans are untouched. The same
-# trick applies recursively if level-2 documents ever hit the floor;
-# one level is sufficient for the 25-nations-under-5-regions shape.
+# recorded sf0.1 bench and sf1.0 sweep plans are untouched.
+#
+# The trick applies RECURSIVELY: when the heavy child's own documents
+# would still be row-materialization hazards (its heaviest embedded
+# subtree is itself past the threshold and the child cardinality is
+# SMALL_PARENT_ROWS-tiny), the child level is also split — child
+# fragments carry only scalars + light sibling arrays (to_json halves
+# around the heavy grandchild's position) and the grandchild documents
+# become the text fragments. At the 100x dataset that takes the largest
+# executor-side row from a ~120 MB nation document (whose sorter-page
+# copies were humongous G1 allocations — a 4 GB heap OOMed in the
+# fragment sort) down to a ~KB customer document; the floor stops
+# scaling with the corpus entirely.
 HEAVY_ROOT_SUBTREE_ROWS = 5_000_000
 
 
@@ -92,15 +102,28 @@ class StreamedRoot:
       the document's JSON split at the heavy child's schema position
       (__left / __right halves, to_json rendered with the same
       null-omission semantics as the distributed writer);
-    - child_rows: (__fk, __st) — one row per heavy-child DOCUMENT (its
-      own nested arrays already attached), struct-typed so the sink can
-      sort by __st (field-by-field struct ordering == array_sort's
-      element comparator) before rendering with to_json.
+    - SINGLE-LEVEL mode: child_rows = (__fk, __st), one row per
+      heavy-child DOCUMENT (its own nested arrays already attached),
+      struct-typed so the sink can sort by __st (field-by-field struct
+      ordering == array_sort's element comparator) before rendering
+      with to_json;
+    - TWO-LEVEL mode (child_rows None; heavy grandchild split out too):
+      child_fragments = (__fk, __k, __stl, __str) — the child document
+      minus the heavy grandchild array, as sortable struct halves
+      around the grandchild's schema position, keyed by the child's own
+      key __k; grandchild_rows = (__k, __st), one row per grandchild
+      document. The array order contract weakens only on exact
+      scalar+light-array ties (array_sort would compare the embedded
+      heavy arrays too); with unique leading keys — every planner
+      catalog here — the orders are identical.
     """
 
     roots: DataFrame
     child_name: str
-    child_rows: DataFrame
+    child_rows: DataFrame | None
+    grandchild_name: str | None = None
+    child_fragments: DataFrame | None = None
+    grandchild_rows: DataFrame | None = None
 
 
 def stream_plan(
@@ -133,6 +156,7 @@ def materialize_streamed_root(
     child_name: str,
     normalize_dates: bool = True,
     drop_all_null_docs: bool = True,
+    threshold: int = HEAVY_ROOT_SUBTREE_ROWS,
 ) -> StreamedRoot:
     """Build the streamed-assembly pieces for one heavy root: the root
     frame WITHOUT the heavy child (all other children attached as
@@ -173,6 +197,57 @@ def materialize_streamed_root(
             if right_cols else F.lit("{}")
         ).alias("__right"),
     )
+    # Recurse when the child's own documents are still heap hazards:
+    # its heaviest embedded subtree is past the threshold too, and the
+    # child cardinality is tiny enough that per-child fragment dirs are
+    # metadata-scale. Then the child level is fragments (scalars + light
+    # siblings, split around the heavy grandchild) and the GRANDCHILD
+    # documents are the text rows — executor-side row sizes drop from
+    # level-2-document to level-3-document scale.
+    child_rows_meta = catalog.get_table(child_name).num_rows or 0
+    grand = (
+        max(heavy.embedded, key=lambda e: _subtree_rows(catalog, e))
+        if heavy.embedded else None
+    )
+    if (
+        grand is not None
+        and 0 < child_rows_meta <= SMALL_PARENT_ROWS
+        and _subtree_rows(catalog, grand) >= threshold
+    ):
+        frag_df, frag_fields, frag_fk = _prepare_child(
+            tables, catalog, heavy, root_name, normalize_dates,
+            skip_child=grand.name,
+        )
+        # frag_fields lacks the grandchild; its normal-mode position is
+        # attrs..., then embedded in plan order.
+        full_order = _dedupe(heavy.attributes) + [
+            n.name for n in heavy.embedded
+        ]
+        gpos = full_order.index(grand.name)
+        fl = [c for c in full_order[:gpos] if c in frag_fields]
+        fr = [c for c in full_order[gpos + 1:] if c in frag_fields]
+        gfk = _find_fk(catalog, grand.name, child_name)
+        child_fragments = frag_df.select(
+            F.col(frag_fk).alias("__fk"),
+            F.col(gfk.referenced_column).cast("string").alias("__k"),
+            F.struct(*[F.col(c) for c in fl]).alias("__stl"),
+            (
+                F.struct(*[F.col(c) for c in fr]) if fr
+                else F.struct(F.lit(None).alias("__none"))
+            ).alias("__str"),
+        )
+        gdf, gfields, gfk_col = _prepare_child(
+            tables, catalog, grand, child_name, normalize_dates
+        )
+        grandchild_rows = gdf.select(
+            F.col(gfk_col).cast("string").alias("__k"),
+            F.struct(*[F.col(f_) for f_ in gfields]).alias("__st"),
+        )
+        return StreamedRoot(
+            roots=roots, child_name=child_name, child_rows=None,
+            grandchild_name=grand.name, child_fragments=child_fragments,
+            grandchild_rows=grandchild_rows,
+        )
     child_df, fields, fk_col = _prepare_child(
         tables, catalog, heavy, root_name, normalize_dates
     )
@@ -242,12 +317,15 @@ def _prepare_child(
     emb: Collection,
     parent_table: str,
     normalize_dates: bool,
+    skip_child: str | None = None,
 ) -> tuple[DataFrame, list[str], str]:
     """Build the child DataFrame for one embedded collection.
 
     Returns (df, struct_field_names, fk_column): df carries the deduped
     attribute columns, any already-nested child arrays, and the FK column
-    linking it to the parent.
+    linking it to the parent. skip_child omits one embedded collection
+    (the two-level streamed-assembly path splices it back in file
+    space — see StreamedRoot).
     """
     fk = _find_fk(catalog, emb.name, parent_table)
     df = tables[emb.name]
@@ -256,7 +334,8 @@ def _prepare_child(
 
     # Bottom-up: attach this collection's own embedded children first, so
     # their arrays become ordinary columns of the child.
-    for nested in emb.embedded:
+    embedded = [n for n in emb.embedded if n.name != skip_child]
+    for nested in embedded:
         df = _attach_embedded(tables, catalog, df, emb.name, nested,
                               normalize_dates)
 
@@ -294,17 +373,17 @@ def _prepare_child(
             return F.col(attr)
 
         keep = [resolve(a) for a in attrs]
-        keep += [F.col(n.name) for n in emb.embedded]
+        keep += [F.col(n.name) for n in embedded]
         keep.append(F.col(fk.column))
         df = df.select(*keep)
     else:
         keep = [F.col(a) for a in attrs]
-        keep += [F.col(n.name) for n in emb.embedded]
+        keep += [F.col(n.name) for n in embedded]
         if fk.column not in attrs:
             keep.append(F.col(fk.column))
         df = df.select(*keep)
 
-    fields = attrs + [n.name for n in emb.embedded]
+    fields = attrs + [n.name for n in embedded]
     return df, fields, fk.column
 
 

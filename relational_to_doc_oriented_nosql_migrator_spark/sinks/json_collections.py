@@ -81,6 +81,49 @@ def _iter_part_lines(dirpath: str):
                     yield line
 
 
+def _partition_dirs(tmp: str, key: str) -> dict[str, str]:
+    """partition-value string -> directory, for a partitionBy(key) text
+    write (Spark URL-escapes values in directory names)."""
+    out = {}
+    for d in glob.glob(os.path.join(tmp, f"{key}=*")):
+        val = urllib.parse.unquote(os.path.basename(d).split("=", 1)[1])
+        out[val] = d
+    return out
+
+
+def _write_obj(out, left_body, array_name, elems, write_elem, right_body):
+    """One JSON object: '{' left_body ',"name":[' elements ']' ','
+    right_body '}' with every separator contingent on the parts actually
+    present — matching the distributed writer's null-omission (a root
+    with no children omits the array field entirely, like the left
+    join's null array). write_elem renders one element into `out`
+    (a pre-rendered line at the leaf level, a recursive _write_obj for
+    fragment levels)."""
+    any_ = False
+    out.write("{")
+    if left_body:
+        out.write(left_body)
+        any_ = True
+    first = True
+    for el in elems:
+        if first:
+            if any_:
+                out.write(",")
+            out.write(json.dumps(array_name) + ":[")
+            first = False
+        else:
+            out.write(",")
+        write_elem(el)
+    if not first:
+        out.write("]")
+        any_ = True
+    if right_body:
+        if any_:
+            out.write(",")
+        out.write(right_body)
+    out.write("}")
+
+
 def _write_streamed(pieces, target: str) -> bool:
     """Assemble one HEAVY root collection in file space (r08 verdict #2):
     the heavy child's documents are written by Spark as per-root sorted
@@ -96,63 +139,86 @@ def _write_streamed(pieces, target: str) -> bool:
 
     Returns False for an empty collection (nothing written)."""
     spark = pieces.roots.sparkSession
+    two_level = pieces.child_rows is None
     tmp = target + ".__children__"
+    tmp2 = target + ".__grandchildren__"
     with _sort_based_collects(spark):
-        # One partition per root FK value and a struct sort within it:
-        # the writer's required ordering (partition cols) is satisfied
-        # by our (fk, st) prefix, so rows land in ONE file per root in
-        # array_sort element order.
-        (
-            _replanned(pieces.child_rows)
-            .repartition(F.col("__fk"))
-            .sortWithinPartitions("__fk", "__st")
-            .select("__fk", F.to_json("__st").alias("value"))
-            .write.mode("overwrite")
-            .partitionBy("__fk")
-            .text(tmp)
-        )
+        # One partition per key value and a struct sort within it: the
+        # writer's required ordering (partition cols) is satisfied by
+        # our (key, struct...) prefix, so rows land in ONE file per key
+        # in array_sort element order.
+        if two_level:
+            (
+                _replanned(pieces.child_fragments)
+                .repartition(F.col("__fk"))
+                .sortWithinPartitions("__fk", "__stl", "__str")
+                .select(
+                    "__fk",
+                    F.concat_ws(
+                        "\t", "__k",
+                        F.to_json("__stl"), F.to_json("__str"),
+                    ).alias("value"),
+                )
+                .write.mode("overwrite")
+                .partitionBy("__fk")
+                .text(tmp)
+            )
+            (
+                _replanned(pieces.grandchild_rows)
+                .repartition(F.col("__k"))
+                .sortWithinPartitions("__k", "__st")
+                .select("__k", F.to_json("__st").alias("value"))
+                .write.mode("overwrite")
+                .partitionBy("__k")
+                .text(tmp2)
+            )
+        else:
+            (
+                _replanned(pieces.child_rows)
+                .repartition(F.col("__fk"))
+                .sortWithinPartitions("__fk", "__st")
+                .select("__fk", F.to_json("__st").alias("value"))
+                .write.mode("overwrite")
+                .partitionBy("__fk")
+                .text(tmp)
+            )
         roots = _replanned(pieces.roots).collect()
     try:
         if not roots:
             return False
-        child_dirs = {}
-        for d in glob.glob(os.path.join(tmp, "__fk=*")):
-            val = urllib.parse.unquote(os.path.basename(d).split("=", 1)[1])
-            child_dirs[val] = d
+        child_dirs = _partition_dirs(tmp, "__fk")
+        gchild_dirs = _partition_dirs(tmp2, "__k") if two_level else {}
         os.makedirs(target, exist_ok=True)
         with open(os.path.join(target, "part-00000.json"), "w") as out:
+
+            def write_fragment(line: str) -> None:
+                # two-level element: child scalars + spliced grandchild
+                # array (to_json never emits raw tabs/newlines — control
+                # chars are escaped — so the 3-field split is safe)
+                k, l2, r2 = line.split("\t", 2)
+                gdir = gchild_dirs.get(k)
+                _write_obj(
+                    out, l2[1:-1], pieces.grandchild_name,
+                    _iter_part_lines(gdir) if gdir is not None else (),
+                    out.write, r2[1:-1],
+                )
+
             for r in sorted(roots, key=lambda r: str(r["__fk"])):
-                left_body = r["__left"][1:-1]
-                right_body = r["__right"][1:-1]
                 cdir = (
                     child_dirs.get(str(r["__fk"]))
                     if r["__fk"] is not None else None
                 )
-                out.write("{")
-                out.write(left_body)
-                wrote_any = bool(left_body)
-                if cdir is not None:
-                    first = True
-                    for line in _iter_part_lines(cdir):
-                        if first:
-                            if wrote_any:
-                                out.write(",")
-                            out.write(json.dumps(pieces.child_name) + ":[")
-                            first = False
-                        else:
-                            out.write(",")
-                        out.write(line)
-                    if not first:
-                        out.write("]")
-                        wrote_any = True
-                if right_body:
-                    if wrote_any:
-                        out.write(",")
-                    out.write(right_body)
-                out.write("}\n")
+                _write_obj(
+                    out, r["__left"][1:-1], pieces.child_name,
+                    _iter_part_lines(cdir) if cdir is not None else (),
+                    write_fragment if two_level else out.write,
+                    r["__right"][1:-1],
+                )
+                out.write("\n")
         return True
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(tmp2, ignore_errors=True)
 
 
 def write_json_collections(

@@ -45,8 +45,13 @@ def test_stream_plan_thresholds(spark):
 
 @pytest.fixture(scope="module")
 def both_outputs(spark, tmp_path_factory):
+    # threshold=0 engages the DEEPEST path: region streams AND the
+    # nation level recurses (customer is the heavy grandchild), so this
+    # parity fixture covers the exact mode the sf10 probe runs.
     collections, streamed = migrate_streamed(spark, SF0001, threshold=0)
     assert set(streamed) == {"region"}
+    assert streamed["region"].child_rows is None  # two-level engaged
+    assert streamed["region"].grandchild_name == "customer"
     normal_dir = str(tmp_path_factory.mktemp("sink_normal"))
     stream_dir = str(tmp_path_factory.mktemp("sink_streamed"))
     wrote_normal = write_json_collections(collections, normal_dir)
@@ -88,6 +93,44 @@ def test_streamed_region_parses_identical(spark, both_outputs):
     # _corrupt_record would surface as nulls everywhere under a strict
     # schema; make the non-degeneracy explicit:
     assert all('"nation":[' in line for line in streamed)
+
+
+def test_single_level_mode_parses_identical(spark, both_outputs, tmp_path):
+    """SINGLE-LEVEL mode (child documents materialized as rows, only the
+    root split) must also parse identically — this is the shape for a
+    heavy root whose child level is NOT itself a hazard (large child
+    cardinality or small grandchild subtrees). Forced by streaming the
+    root at threshold 0 while the recursion threshold stays high."""
+    from relational_to_doc_oriented_nosql_migrator_spark.plans.nesting import (
+        materialize_streamed_root,
+    )
+
+    collections, normal_dir, _s, _w, _w2 = both_outputs
+    catalog, tables = build_testdata_catalog(spark, SF0001)
+    plan = convert_schema(catalog)
+    pieces = materialize_streamed_root(
+        tables, catalog, plan, "region", "nation", threshold=10**9
+    )
+    assert pieces.child_rows is not None  # single-level shape
+    out = str(tmp_path / "single")
+    wrote = write_json_collections(
+        {"region": collections["region"]}, out, streamed={"region": pieces}
+    )
+    assert wrote == ["region"]
+    schema = collections["region"].schema
+    normal = sorted(
+        spark.read.schema(schema)
+        .json(os.path.join(normal_dir, "region"))
+        .toJSON()
+        .collect()
+    )
+    single = sorted(
+        spark.read.schema(schema)
+        .json(os.path.join(out, "region"))
+        .toJSON()
+        .collect()
+    )
+    assert single == normal
 
 
 def test_streamed_empty_root_skipped(spark, both_outputs):
