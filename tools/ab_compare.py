@@ -68,13 +68,16 @@ def main(argv: list[str]) -> int:
         "SPARK_GRAFT_CPUS", "32"))
     args = ap.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+    # The tuned session (8 GB heap via SPARK_GRAFT_DRIVER_MEM, codegen
+    # confs): adjudications compare PLANS, so both sides must run in the
+    # environment the probe/sweep ledgers use — a vanilla 1 GB driver
+    # OOMs the sf10-class ids before any timing happens.
+    from relational_to_doc_oriented_nosql_migrator_spark.session import (
+        get_spark,
+    )
 
-    spark = (
-        SparkSession.builder.master(f"local[{args.cpus}]")
-        .config("spark.sql.shuffle.partitions", "32")
-        .config("spark.ui.enabled", "false")
-        .getOrCreate()
+    spark = get_spark(
+        app_name="ab_compare", master=f"local[{args.cpus}]"
     )
     spark.sparkContext.setLogLevel("ERROR")
 

@@ -1,0 +1,126 @@
+"""Measurement-only reference variants for tools/ab_compare.py.
+
+NOT part of the engine: each function here reconstructs a superseded
+plan shape so a round's rewrite can be adjudicated with the interleaved
+same-JVM protocol instead of cross-run one-shots. Variants must stay
+value-equivalent to their registered counterparts (ab_compare refuses on
+row-count mismatch).
+"""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def q_dedup_embedding_lsh_fullkeys(spark, sf_dir):
+    """The round-8 shape of ext_dedup_embedding_lsh: both merge-join
+    sides ship the FULL key array through the bucket shuffle and slice
+    per collision (round 9 ships the explode-time prefix). Same pairs,
+    same cosines."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        dedup as D,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as sim,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+        t,
+    )
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    n = footer_rows(sf_dir, "embeddings")
+    k = sim.lsh_k(n)
+    thr = D.dedup_cosine_threshold(n)
+    keys = emb.withColumn("keys", F.expr(sim.tables_expr(k))).select(
+        "vec_id",
+        "v",
+        F.sqrt(F.expr(sim._unrolled_dot("v", "v"))).alias("nrm"),
+        "keys",
+        F.posexplode("keys").alias("tbl", "bkey"),
+    )
+    ka = keys.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("nrm").alias("nrm_a"), F.col("keys").alias("keys_a"),
+        "tbl", "bkey",
+    )
+    kb = keys.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("nrm").alias("nrm_b"), F.col("keys").alias("keys_b"),
+        "bkey",
+    )
+    dot = F.expr(sim._unrolled_dot("va", "vb"))
+    return (
+        ka.join(kb.hint("merge"), "bkey")
+        .filter(
+            (F.col("vec_a") < F.col("vec_b"))
+            & ~F.expr("arrays_overlap(slice(keys_a, 1, tbl),"
+                      " slice(keys_b, 1, tbl))")
+        )
+        .select(
+            "vec_a", "vec_b",
+            F.round(dot / (F.col("nrm_a") * F.col("nrm_b")), 6)
+            .alias("cosine"),
+        )
+        .filter(F.col("cosine") >= thr)
+    )
+
+
+def q_similarity_lsh_fullkeys(spark, sf_dir):
+    """The round-8 shape of ext_similarity_lsh: both collision sides
+    carry the FULL 12-int key array and slice it per collision inside
+    the join condition (round 9 ships the explode-time prefix instead —
+    similarity.collision_prefix). Same pair set, same cosines."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as sim,
+    )
+
+    sim._guard_query_set(
+        sf_dir, "ext_similarity_lsh",
+        bytes_per_query=sim.LSH_TABLES
+        * (sim.VEC_ROW_BYTES + 16 + 8 * sim.LSH_TABLES),
+    )
+    emb = (
+        sim._emb(spark, sf_dir, spread=True)
+        .withColumn("nrm", F.sqrt(F.expr(sim._unrolled_dot("v", "v"))))
+        .withColumn("keys", F.expr(sim.tables_expr(sim.LSH_K)))
+    )
+    keys = emb.select(
+        "vec_id", "v", "nrm", "keys",
+        F.posexplode("keys").alias("tbl", "bkey"),
+    )
+    queries = keys.filter(
+        F.col("vec_id") % sim.QUERY_STRIDE == 0
+    ).select(
+        F.col("vec_id").alias("query_id"), F.col("bkey").alias("qk"),
+        F.col("v").alias("qv"), F.col("nrm").alias("qnrm"),
+        F.col("keys").alias("qkeys"),
+    )
+    scored = (
+        keys.select(F.col("vec_id").alias("cand_id"), "bkey", "tbl",
+                    F.col("v").alias("cv"), F.col("nrm").alias("cnrm"),
+                    F.col("keys").alias("ckeys"))
+        .join(F.broadcast(queries),
+              (F.col("qk") == F.col("bkey"))
+              & (F.col("query_id") != F.col("cand_id"))
+              & ~F.expr("arrays_overlap(slice(qkeys, 1, tbl),"
+                        " slice(ckeys, 1, tbl))"))
+        .select(
+            "query_id", "cand_id",
+            F.round(
+                F.expr(sim._unrolled_dot("qv", "cv"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+    )
