@@ -63,6 +63,25 @@ def build_testdata_catalog(
     return tpch_catalog(columns, counts), tables
 
 
+def _pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    log_content: str | None,
+    log_dialect: str,
+    normalize_dates: bool,
+):
+    """Shared catalog -> plan -> nested-frames prefix of migrate() and
+    migrate_streamed() (one owner, so the streamed path can never
+    silently diverge from the plain one)."""
+    catalog, tables = build_testdata_catalog(spark, sf_dir)
+    if log_content:
+        workload_mod.apply_workload(spark, catalog, log_content, log_dialect)
+    plan = convert_schema(catalog)
+    collections = materialize(tables, catalog, plan,
+                              normalize_dates=normalize_dates)
+    return catalog, tables, plan, collections
+
+
 def migrate(
     spark: SparkSession,
     sf_dir: str,
@@ -71,11 +90,8 @@ def migrate(
     normalize_dates: bool = True,
 ) -> dict[str, DataFrame]:
     """Full pipeline: returns {root collection name: nested DataFrame}."""
-    catalog, tables = build_testdata_catalog(spark, sf_dir)
-    if log_content:
-        workload_mod.apply_workload(spark, catalog, log_content, log_dialect)
-    plan = convert_schema(catalog)
-    return materialize(tables, catalog, plan, normalize_dates=normalize_dates)
+    return _pipeline(spark, sf_dir, log_content, log_dialect,
+                     normalize_dates)[3]
 
 
 def migrate_streamed(
@@ -99,12 +115,9 @@ def migrate_streamed(
         stream_plan,
     )
 
-    catalog, tables = build_testdata_catalog(spark, sf_dir)
-    if log_content:
-        workload_mod.apply_workload(spark, catalog, log_content, log_dialect)
-    plan = convert_schema(catalog)
-    collections = materialize(tables, catalog, plan,
-                              normalize_dates=normalize_dates)
+    catalog, tables, plan, collections = _pipeline(
+        spark, sf_dir, log_content, log_dialect, normalize_dates
+    )
     thr = HEAVY_ROOT_SUBTREE_ROWS if threshold is None else threshold
     streamed = {
         root_name: materialize_streamed_root(

@@ -98,10 +98,11 @@ class StreamedRoot:
     """Pieces the JSON sink needs to assemble one heavy root collection
     by streaming (sinks/json_collections._write_streamed):
 
-    - roots: one row per root document — the root's FK value (__fk) and
-      the document's JSON split at the heavy child's schema position
-      (__left / __right halves, to_json rendered with the same
-      null-omission semantics as the distributed writer);
+    - roots: one row per root document — the root's CANONICAL encoded
+      key (__fk, see _stream_key; NULL keys stay NULL and simply get no
+      child array) and the document's JSON split at the heavy child's
+      schema position (__left / __right halves, to_json rendered with
+      the same null-omission semantics as the distributed writer);
     - SINGLE-LEVEL mode: child_rows = (__fk, __st), one row per
       heavy-child DOCUMENT (its own nested arrays already attached),
       struct-typed so the sink can sort by __st (field-by-field struct
@@ -148,6 +149,28 @@ def stream_plan(
     return out
 
 
+def _stream_key(col: Column) -> Column:
+    """Spark-side CANONICAL encoding of a streamed-assembly key: cast to
+    string, URL-encode, prefix 'k'. Both the partition column and the
+    collected lookup value go through this one expression (r09 deferred
+    findings #1/#2), so: bool/decimal/timestamp keys can never mismatch
+    a Python str() rendering (Spark casts both sides); an empty-string
+    key stays a real non-empty partition value instead of falling into
+    __HIVE_DEFAULT_PARTITION__ (where it would be indistinguishable
+    from NULL); and the encoded text contains no tabs or control chars,
+    making the two-level fragment line framing safe for any key value.
+    The writer's escapePathName('%' -> '%25') is exactly reversed by
+    the sink's single urllib unquote, restoring this encoded value."""
+    return F.concat(F.lit("k"), F.url_encode(col.cast("string")))
+
+
+# Fragment rows whose child key is NULL keep their line framing via this
+# sentinel; its directory lookup misses, so the grandchild array is
+# omitted — the same result the distributed path's null-key FK join
+# produces.
+NULL_KEY_SENTINEL = "__sg_null_key__"
+
+
 def materialize_streamed_root(
     tables: dict[str, DataFrame],
     catalog: Catalog,
@@ -190,8 +213,11 @@ def materialize_streamed_root(
     right_cols = [c for c in order[heavy_pos + 1:]]
     fk = _find_fk(catalog, child_name, root_name)
     roots = df.select(
-        F.col(fk.referenced_column).alias("__fk"),
-        F.to_json(F.struct(*[F.col(c) for c in left_cols])).alias("__left"),
+        _stream_key(F.col(fk.referenced_column)).alias("__fk"),
+        (
+            F.to_json(F.struct(*[F.col(c) for c in left_cols]))
+            if left_cols else F.lit("{}")
+        ).alias("__left"),
         (
             F.to_json(F.struct(*[F.col(c) for c in right_cols]))
             if right_cols else F.lit("{}")
@@ -227,10 +253,21 @@ def materialize_streamed_root(
         fl = [c for c in full_order[:gpos] if c in frag_fields]
         fr = [c for c in full_order[gpos + 1:] if c in frag_fields]
         gfk = _find_fk(catalog, grand.name, child_name)
-        child_fragments = frag_df.select(
-            F.col(frag_fk).alias("__fk"),
-            F.col(gfk.referenced_column).cast("string").alias("__k"),
-            F.struct(*[F.col(c) for c in fl]).alias("__stl"),
+        # NULL-keyed child rows never join a root in the distributed
+        # path (FK equality with NULL) — filter rather than letting
+        # concat_ws drop the field and corrupt the line framing.
+        child_fragments = frag_df.filter(
+            F.col(frag_fk).isNotNull()
+        ).select(
+            _stream_key(F.col(frag_fk)).alias("__fk"),
+            F.coalesce(
+                _stream_key(F.col(gfk.referenced_column)),
+                F.lit(NULL_KEY_SENTINEL),
+            ).alias("__k"),
+            (
+                F.struct(*[F.col(c) for c in fl]) if fl
+                else F.struct(F.lit(None).alias("__none"))
+            ).alias("__stl"),
             (
                 F.struct(*[F.col(c) for c in fr]) if fr
                 else F.struct(F.lit(None).alias("__none"))
@@ -239,8 +276,8 @@ def materialize_streamed_root(
         gdf, gfields, gfk_col = _prepare_child(
             tables, catalog, grand, child_name, normalize_dates
         )
-        grandchild_rows = gdf.select(
-            F.col(gfk_col).cast("string").alias("__k"),
+        grandchild_rows = gdf.filter(F.col(gfk_col).isNotNull()).select(
+            _stream_key(F.col(gfk_col)).alias("__k"),
             F.struct(*[F.col(f_) for f_ in gfields]).alias("__st"),
         )
         return StreamedRoot(
@@ -251,8 +288,8 @@ def materialize_streamed_root(
     child_df, fields, fk_col = _prepare_child(
         tables, catalog, heavy, root_name, normalize_dates
     )
-    child_rows = child_df.select(
-        F.col(fk_col).alias("__fk"),
+    child_rows = child_df.filter(F.col(fk_col).isNotNull()).select(
+        _stream_key(F.col(fk_col)).alias("__fk"),
         F.struct(*[F.col(f_) for f_ in fields]).alias("__st"),
     )
     return StreamedRoot(roots=roots, child_name=child_name,

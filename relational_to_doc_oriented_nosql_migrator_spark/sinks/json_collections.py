@@ -143,10 +143,19 @@ def _write_streamed(pieces, target: str) -> bool:
     tmp = target + ".__children__"
     tmp2 = target + ".__grandchildren__"
     with _sort_based_collects(spark):
+        # Roots FIRST: the frame is metadata-light (<= SMALL_PARENT_ROWS
+        # rows of key + JSON halves), and an empty collection must not
+        # pay the corpus-scale child writes before its early return.
+        roots = _replanned(pieces.roots).collect()
+        if not roots:
+            return False
         # One partition per key value and a struct sort within it: the
         # writer's required ordering (partition cols) is satisfied by
         # our (key, struct...) prefix, so rows land in ONE file per key
-        # in array_sort element order.
+        # in array_sort element order. Keys are the canonical encoded
+        # form (nesting._stream_key) on BOTH the partition column and
+        # the collected roots, so directory lookups can never miss on a
+        # rendering mismatch.
         if two_level:
             (
                 _replanned(pieces.child_fragments)
@@ -182,10 +191,7 @@ def _write_streamed(pieces, target: str) -> bool:
                 .partitionBy("__fk")
                 .text(tmp)
             )
-        roots = _replanned(pieces.roots).collect()
     try:
-        if not roots:
-            return False
         child_dirs = _partition_dirs(tmp, "__fk")
         gchild_dirs = _partition_dirs(tmp2, "__k") if two_level else {}
         os.makedirs(target, exist_ok=True)
@@ -193,8 +199,10 @@ def _write_streamed(pieces, target: str) -> bool:
 
             def write_fragment(line: str) -> None:
                 # two-level element: child scalars + spliced grandchild
-                # array (to_json never emits raw tabs/newlines — control
-                # chars are escaped — so the 3-field split is safe)
+                # array. The 3-field split is safe for ANY key value:
+                # __k is the URL-encoded canonical key (tab-free by
+                # construction, NULL coalesced to a sentinel upstream)
+                # and to_json escapes control chars inside l2/r2.
                 k, l2, r2 = line.split("\t", 2)
                 gdir = gchild_dirs.get(k)
                 _write_obj(
@@ -203,9 +211,12 @@ def _write_streamed(pieces, target: str) -> bool:
                     out.write, r2[1:-1],
                 )
 
-            for r in sorted(roots, key=lambda r: str(r["__fk"])):
+            for r in sorted(
+                roots,
+                key=lambda r: (r["__fk"] is None, r["__fk"] or ""),
+            ):
                 cdir = (
-                    child_dirs.get(str(r["__fk"]))
+                    child_dirs.get(r["__fk"])
                     if r["__fk"] is not None else None
                 )
                 _write_obj(

@@ -133,6 +133,82 @@ def test_single_level_mode_parses_identical(spark, both_outputs, tmp_path):
     assert single == normal
 
 
+def test_streamed_assembly_exotic_keys(spark, tmp_path):
+    """The canonical key encoding (nesting._stream_key) must survive key
+    values Python str() would mis-render against Spark's partition-dir
+    naming — booleans, strings with spaces/tabs/percent signs, empty
+    strings — and NULL child keys must yield an omitted grandchild
+    array, not a corrupted fragment line (r09 deferred findings #1/#2).
+    Built directly at the StreamedRoot seam: the frames are plain
+    DataFrames, so the sink contract is testable without a catalog."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from relational_to_doc_oriented_nosql_migrator_spark.plans.nesting import (
+        NULL_KEY_SENTINEL,
+        StreamedRoot,
+        _stream_key,
+    )
+
+    keys = ["plain", "with space", "with\ttab", "100%", "", "True"]
+    roots = spark.createDataFrame(
+        [(k, '{"root_key":%s}' % _json.dumps(k), "{}") for k in keys],
+        "raw string, __left string, __right string",
+    ).select(
+        _stream_key(F.col("raw")).alias("__fk"), "__left", "__right"
+    )
+    # two children per root, one grandchild under the FIRST child of
+    # each root, none under the second; one fragment with a NULL child
+    # key (sentinel path).
+    frag_rows = []
+    for k in keys:
+        frag_rows.append((k, f"{k}/c0", '{"cid":0}'))
+        frag_rows.append((k, None, '{"cid":1}'))
+    frags = spark.createDataFrame(
+        frag_rows, "rfk string, ck string, body string"
+    ).select(
+        _stream_key(F.col("rfk")).alias("__fk"),
+        F.coalesce(_stream_key(F.col("ck")),
+                   F.lit(NULL_KEY_SENTINEL)).alias("__k"),
+        F.struct(F.get_json_object("body", "$.cid").cast("int")
+                 .alias("cid")).alias("__stl"),
+        F.struct(F.lit(None).alias("__none")).alias("__str"),
+    )
+    grands = spark.createDataFrame(
+        [(f"{k}/c0", i) for k in keys for i in range(2)],
+        "gk string, gval int",
+    ).select(
+        _stream_key(F.col("gk")).alias("__k"),
+        F.struct(F.col("gval")).alias("__st"),
+    )
+    pieces = StreamedRoot(
+        roots=roots, child_name="children", child_rows=None,
+        grandchild_name="grand", child_fragments=frags,
+        grandchild_rows=grands,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.sinks.json_collections import (
+        _write_streamed,
+    )
+
+    target = str(tmp_path / "exotic")
+    assert _write_streamed(pieces, target)
+    docs = [
+        _json.loads(line)
+        for line in open(os.path.join(target, "part-00000.json"))
+    ]
+    assert len(docs) == len(keys)
+    by_key = {d["root_key"]: d for d in docs}
+    assert set(by_key) == set(keys)   # every exotic key matched its dir
+    for k in keys:
+        kids = by_key[k]["children"]
+        assert len(kids) == 2
+        with_g = [c for c in kids if "grand" in c]
+        without_g = [c for c in kids if "grand" not in c]
+        assert len(with_g) == 1 and len(without_g) == 1
+        assert [g["gval"] for g in with_g[0]["grand"]] == [0, 1]
+
+
 def test_streamed_empty_root_skipped(spark, both_outputs):
     """filter_nonempty_collection semantics survive streaming: a root
     frame with zero rows writes nothing and is not reported."""
