@@ -121,10 +121,10 @@ def migrate_streamed(
     thr = HEAVY_ROOT_SUBTREE_ROWS if threshold is None else threshold
     streamed = {
         root_name: materialize_streamed_root(
-            tables, catalog, plan, root_name, child_name,
+            tables, catalog, plan, root_name, child_names,
             normalize_dates=normalize_dates, threshold=thr,
         )
-        for root_name, child_name in stream_plan(
+        for root_name, child_names in stream_plan(
             catalog, plan, threshold=thr,
         ).items()
     }

@@ -24,7 +24,7 @@ SURVEY §2.5 fidelity note).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -72,80 +72,97 @@ TARGET_NEST_ROWS_PER_TASK = 200_000
 # then a comparably-sized JSON string in ONE task at write time), and
 # that floor grows linearly with scale under the same root count. Past
 # this subtree-row bound the JSON sink assembles such roots in FILE
-# space instead of row space: the heaviest embedded child is written as
-# per-root sorted JSON fragments (one nesting level down — bounded by
-# the LEVEL-2 document size, |subtree|/|level-2 groups|) and the root
-# line is stitched by streaming concatenation, so no task ever holds a
-# root-document-sized buffer. Below the bound nothing changes — the
-# recorded sf0.1 bench and sf1.0 sweep plans are untouched.
+# space instead of row space: EVERY over-threshold embedded child is
+# written as per-root sorted JSON fragments (one nesting level down —
+# bounded by the LEVEL-2 document size, |subtree|/|level-2 groups|) and
+# the root line is stitched by streaming concatenation, so no task ever
+# holds a root-document-sized buffer. Below the bound nothing changes —
+# the recorded sf0.1 bench and sf1.0 sweep plans are untouched.
 #
-# The trick applies RECURSIVELY: when the heavy child's own documents
-# would still be row-materialization hazards (its heaviest embedded
-# subtree is itself past the threshold and the child cardinality is
-# SMALL_PARENT_ROWS-tiny), the child level is also split — child
-# fragments carry only scalars + light sibling arrays (to_json halves
-# around the heavy grandchild's position) and the grandchild documents
-# become the text fragments. At the 100x dataset that takes the largest
-# executor-side row from a ~120 MB nation document (whose sorter-page
-# copies were humongous G1 allocations — a 4 GB heap OOMed in the
-# fragment sort) down to a ~KB customer document; the floor stops
-# scaling with the corpus entirely.
+# The trick applies RECURSIVELY (StreamedLevel): while a split-out
+# child's own documents would still be row-materialization hazards
+# (>= 1 embedded subtree past the threshold and the child cardinality
+# SMALL_PARENT_ROWS-tiny), the child level splits again — its fragments
+# carry only scalars + light sibling arrays (sortable struct segments
+# around the heavy children's positions) and each heavy descendant
+# becomes its own fragment dataset. At the 100x dataset that takes the
+# largest executor-side row from a ~120 MB nation document (whose
+# sorter-page copies were humongous G1 allocations — a 4 GB heap OOMed
+# in the fragment sort) down to a ~KB customer document; the floor
+# stops scaling with the corpus entirely.
 HEAVY_ROOT_SUBTREE_ROWS = 5_000_000
+
+
+@dataclass
+class StreamedLevel:
+    """One HEAVY embedded collection, split out of its parent's document
+    rows into a per-parent-key fragment dataset. Exactly one of
+    rows/fragments is set:
+
+    - LEAF mode (rows): (__pk, __st) — one row per complete child
+      DOCUMENT (its own nested arrays already attached), keyed by the
+      canonical-encoded parent FK value (_stream_key). Struct-typed so
+      the sink can sort by __st (field-by-field struct ordering ==
+      array_sort's element comparator) before rendering with to_json.
+    - SPLIT mode (fragments + children): this level's own documents are
+      still row-materialization hazards (tiny cardinality, >= 1 embedded
+      subtree past the threshold), so its heavy children recurse as
+      StreamedLevels of their own and the fragment row carries only what
+      remains: (__pk, __k0..__k{J-1}, __seg0..__segJ) — one canonical
+      key per heavy child (NULL coalesced to NULL_KEY_SENTINEL) and the
+      document's scalars + light sibling arrays as J+1 sortable struct
+      segments around the heavy children's schema positions.
+
+    The array order contract weakens only on exact scalar+light-array
+    ties in SPLIT mode (array_sort would compare the split-out heavy
+    arrays too); with unique leading keys — every planner catalog
+    here — the orders are identical.
+    """
+
+    name: str
+    rows: DataFrame | None = None
+    fragments: DataFrame | None = None
+    children: list["StreamedLevel"] = field(default_factory=list)
 
 
 @dataclass
 class StreamedRoot:
     """Pieces the JSON sink needs to assemble one heavy root collection
-    by streaming (sinks/json_collections._write_streamed):
-
-    - roots: one row per root document — the root's CANONICAL encoded
-      key (__fk, see _stream_key; NULL keys stay NULL and simply get no
-      child array) and the document's JSON split at the heavy child's
-      schema position (__left / __right halves, to_json rendered with
-      the same null-omission semantics as the distributed writer);
-    - SINGLE-LEVEL mode: child_rows = (__fk, __st), one row per
-      heavy-child DOCUMENT (its own nested arrays already attached),
-      struct-typed so the sink can sort by __st (field-by-field struct
-      ordering == array_sort's element comparator) before rendering
-      with to_json;
-    - TWO-LEVEL mode (child_rows None; heavy grandchild split out too):
-      child_fragments = (__fk, __k, __stl, __str) — the child document
-      minus the heavy grandchild array, as sortable struct halves
-      around the grandchild's schema position, keyed by the child's own
-      key __k; grandchild_rows = (__k, __st), one row per grandchild
-      document. The array order contract weakens only on exact
-      scalar+light-array ties (array_sort would compare the embedded
-      heavy arrays too); with unique leading keys — every planner
-      catalog here — the orders are identical.
-    """
+    by streaming (sinks/json_collections._write_streamed): roots is one
+    row per root document — per heavy child i its canonical-encoded FK
+    key __fk{i} (NULL keys stay NULL and simply get no child array) and
+    the document's JSON split at the heavy children's schema positions
+    (__seg0..__segN halves, to_json rendered with the same
+    null-omission semantics as the distributed writer). children holds
+    one StreamedLevel per heavy child, recursively (r09 verdict #4:
+    EVERY over-threshold child streams, not just the heaviest)."""
 
     roots: DataFrame
-    child_name: str
-    child_rows: DataFrame | None
-    grandchild_name: str | None = None
-    child_fragments: DataFrame | None = None
-    grandchild_rows: DataFrame | None = None
+    children: list[StreamedLevel]
 
 
 def stream_plan(
     catalog: Catalog,
     plan: NoSQLPlan,
     threshold: int = HEAVY_ROOT_SUBTREE_ROWS,
-) -> dict[str, str]:
-    """root collection name -> heaviest embedded child to stream, for
-    roots whose tiny cardinality makes single-row documents a heap
-    hazard (see HEAVY_ROOT_SUBTREE_ROWS). Catalog-metadata only — no
-    Spark job."""
-    out: dict[str, str] = {}
+) -> dict[str, list[str]]:
+    """root collection name -> ALL embedded children past the subtree
+    threshold (plan order), for roots whose tiny cardinality makes
+    single-row documents a heap hazard (see HEAVY_ROOT_SUBTREE_ROWS).
+    Catalog-metadata only — no Spark job."""
+    out: dict[str, list[str]] = {}
     for root in plan.collections:
         if not root.embedded:
             continue
         parent_rows = catalog.get_table(root.name).num_rows or 0
         if parent_rows == 0 or parent_rows > SMALL_PARENT_ROWS:
             continue
-        heavy = max(root.embedded, key=lambda e: _subtree_rows(catalog, e))
-        if _subtree_rows(catalog, heavy) >= threshold:
-            out[root.name] = heavy.name
+        heavy = [
+            e.name for e in root.embedded
+            if _subtree_rows(catalog, e) >= threshold
+        ]
+        if heavy:
+            out[root.name] = heavy
     return out
 
 
@@ -171,25 +188,52 @@ def _stream_key(col: Column) -> Column:
 NULL_KEY_SENTINEL = "__sg_null_key__"
 
 
+def _split_segments(
+    order: list[str], heavy_names: list[str], present: set[str]
+) -> list[list[str]]:
+    """Split a document's field order into the J+1 column segments
+    around its J heavy children's positions (heavy_names in order
+    order); columns absent from `present` are dropped (unmatched
+    attributes)."""
+    segs: list[list[str]] = []
+    cur: list[str] = []
+    heavy_set = set(heavy_names)
+    for c in order:
+        if c in heavy_set:
+            segs.append(cur)
+            cur = []
+        elif c in present:
+            cur.append(c)
+    segs.append(cur)
+    return segs
+
+
 def materialize_streamed_root(
     tables: dict[str, DataFrame],
     catalog: Catalog,
     plan: NoSQLPlan,
     root_name: str,
-    child_name: str,
+    child_names: list[str] | str,
     normalize_dates: bool = True,
     drop_all_null_docs: bool = True,
     threshold: int = HEAVY_ROOT_SUBTREE_ROWS,
 ) -> StreamedRoot:
     """Build the streamed-assembly pieces for one heavy root: the root
-    frame WITHOUT the heavy child (all other children attached as
-    usual), split into JSON halves around the heavy child's schema
-    position, plus the heavy child's per-document struct rows keyed by
-    the root FK value. Field order and null-omission match the normal
+    frame WITHOUT the heavy children (all other children attached as
+    usual), split into JSON segments around the heavy children's schema
+    positions, plus one recursive StreamedLevel per heavy child (each
+    splits again while its own documents are still heap hazards — see
+    _streamed_level). Field order and null-omission match the normal
     nested frame exactly, so the assembled NDJSON parses identically
     under the nested schema (pinned by tests/test_streamed_sink.py)."""
+    if isinstance(child_names, str):
+        child_names = [child_names]
     root = next(c for c in plan.collections if c.name == root_name)
-    heavy = next(e for e in root.embedded if e.name == child_name)
+    # Plan order, regardless of caller order:
+    heavies = [e for e in root.embedded if e.name in set(child_names)]
+    if len(heavies) != len(child_names):
+        missing = set(child_names) - {e.name for e in root.embedded}
+        raise ValueError(f"{root_name} has no embedded child {missing}")
     meta = catalog.get_table(root.name)
     df = tables[root.name]
     if normalize_dates:
@@ -198,102 +242,111 @@ def materialize_streamed_root(
     df = _root_projection(df, attrs, meta.columns)
     if drop_all_null_docs:
         df = df.na.drop(how="all", subset=attrs)
+    heavy_set = {e.name for e in heavies}
     for emb in root.embedded:
-        if emb.name == child_name:
+        if emb.name in heavy_set:
             continue
         df = _attach_embedded(tables, catalog, df, root.name, emb,
                               normalize_dates)
     # Normal-mode column order is attrs..., then embedded children in
     # plan order (each attach appends its array column): splice the
-    # heavy child back at its position.
+    # heavy children back at their positions.
     projected = [a for a in attrs if a in df.columns]
     order = projected + [e.name for e in root.embedded]
-    heavy_pos = order.index(child_name)
-    left_cols = [c for c in order[:heavy_pos] if c != child_name]
-    right_cols = [c for c in order[heavy_pos + 1:]]
-    fk = _find_fk(catalog, child_name, root_name)
-    roots = df.select(
-        _stream_key(F.col(fk.referenced_column)).alias("__fk"),
-        (
-            F.to_json(F.struct(*[F.col(c) for c in left_cols]))
-            if left_cols else F.lit("{}")
-        ).alias("__left"),
-        (
-            F.to_json(F.struct(*[F.col(c) for c in right_cols]))
-            if right_cols else F.lit("{}")
-        ).alias("__right"),
-    )
-    # Recurse when the child's own documents are still heap hazards:
-    # its heaviest embedded subtree is past the threshold too, and the
-    # child cardinality is tiny enough that per-child fragment dirs are
-    # metadata-scale. Then the child level is fragments (scalars + light
-    # siblings, split around the heavy grandchild) and the GRANDCHILD
-    # documents are the text rows — executor-side row sizes drop from
-    # level-2-document to level-3-document scale.
-    child_rows_meta = catalog.get_table(child_name).num_rows or 0
-    grand = (
-        max(heavy.embedded, key=lambda e: _subtree_rows(catalog, e))
-        if heavy.embedded else None
-    )
-    if (
-        grand is not None
-        and 0 < child_rows_meta <= SMALL_PARENT_ROWS
-        and _subtree_rows(catalog, grand) >= threshold
-    ):
-        frag_df, frag_fields, frag_fk = _prepare_child(
-            tables, catalog, heavy, root_name, normalize_dates,
-            skip_child=grand.name,
+    segs = _split_segments(order, [e.name for e in heavies],
+                           set(df.columns))
+    cols = []
+    for i, e in enumerate(heavies):
+        fk = _find_fk(catalog, e.name, root_name)
+        cols.append(
+            _stream_key(F.col(fk.referenced_column)).alias(f"__fk{i}")
         )
-        # frag_fields lacks the grandchild; its normal-mode position is
-        # attrs..., then embedded in plan order.
-        full_order = _dedupe(heavy.attributes) + [
-            n.name for n in heavy.embedded
-        ]
-        gpos = full_order.index(grand.name)
-        fl = [c for c in full_order[:gpos] if c in frag_fields]
-        fr = [c for c in full_order[gpos + 1:] if c in frag_fields]
-        gfk = _find_fk(catalog, grand.name, child_name)
-        # NULL-keyed child rows never join a root in the distributed
-        # path (FK equality with NULL) — filter rather than letting
-        # concat_ws drop the field and corrupt the line framing.
-        child_fragments = frag_df.filter(
-            F.col(frag_fk).isNotNull()
-        ).select(
-            _stream_key(F.col(frag_fk)).alias("__fk"),
+    for i, seg in enumerate(segs):
+        cols.append(
+            (
+                F.to_json(F.struct(*[F.col(c) for c in seg]))
+                if seg else F.lit("{}")
+            ).alias(f"__seg{i}")
+        )
+    roots = df.select(*cols)
+    children = [
+        _streamed_level(tables, catalog, e, root_name, normalize_dates,
+                        threshold)
+        for e in heavies
+    ]
+    return StreamedRoot(roots=roots, children=children)
+
+
+def _streamed_level(
+    tables: dict[str, DataFrame],
+    catalog: Catalog,
+    emb: Collection,
+    parent_table: str,
+    normalize_dates: bool,
+    threshold: int,
+) -> StreamedLevel:
+    """One heavy embedded collection as a streamed level. Recurses while
+    the level's own documents are still heap hazards: >= 1 embedded
+    subtree past the threshold AND this level's cardinality tiny enough
+    that per-key fragment dirs stay metadata-scale. Then the level is
+    fragments (scalars + light siblings as struct segments around the
+    heavy children's positions) and each heavy child becomes its own
+    level — executor-side row sizes drop one document level per split.
+
+    NULL-keyed rows never join a parent in the distributed path (FK
+    equality with NULL), so they are filtered; NULL heavy-child keys
+    keep their fragment line framing via NULL_KEY_SENTINEL (the sink's
+    directory lookup misses, omitting the array — same result as the
+    distributed path's null-key FK join)."""
+    my_rows = catalog.get_table(emb.name).num_rows or 0
+    heavy = [
+        n for n in emb.embedded
+        if _subtree_rows(catalog, n) >= threshold
+    ]
+    if not heavy or not 0 < my_rows <= SMALL_PARENT_ROWS:
+        df, fields, fk_col = _prepare_child(
+            tables, catalog, emb, parent_table, normalize_dates
+        )
+        rows = df.filter(F.col(fk_col).isNotNull()).select(
+            _stream_key(F.col(fk_col)).alias("__pk"),
+            F.struct(*[F.col(f_) for f_ in fields]).alias("__st"),
+        )
+        return StreamedLevel(name=emb.name, rows=rows)
+    heavy_names = [n.name for n in heavy]
+    frag_df, frag_fields, frag_fk = _prepare_child(
+        tables, catalog, emb, parent_table, normalize_dates,
+        skip_children=set(heavy_names),
+    )
+    # frag_fields lacks the heavy children; their normal-mode positions
+    # are attrs..., then embedded in plan order.
+    full_order = _dedupe(emb.attributes) + [n.name for n in emb.embedded]
+    segs = _split_segments(full_order, heavy_names, set(frag_fields))
+    cols = [_stream_key(F.col(frag_fk)).alias("__pk")]
+    for j, n in enumerate(heavy):
+        hfk = _find_fk(catalog, n.name, emb.name)
+        cols.append(
             F.coalesce(
-                _stream_key(F.col(gfk.referenced_column)),
+                _stream_key(F.col(hfk.referenced_column)),
                 F.lit(NULL_KEY_SENTINEL),
-            ).alias("__k"),
+            ).alias(f"__k{j}")
+        )
+    for j, seg in enumerate(segs):
+        cols.append(
             (
-                F.struct(*[F.col(c) for c in fl]) if fl
+                F.struct(*[F.col(c) for c in seg]) if seg
                 else F.struct(F.lit(None).alias("__none"))
-            ).alias("__stl"),
-            (
-                F.struct(*[F.col(c) for c in fr]) if fr
-                else F.struct(F.lit(None).alias("__none"))
-            ).alias("__str"),
+            ).alias(f"__seg{j}")
         )
-        gdf, gfields, gfk_col = _prepare_child(
-            tables, catalog, grand, child_name, normalize_dates
-        )
-        grandchild_rows = gdf.filter(F.col(gfk_col).isNotNull()).select(
-            _stream_key(F.col(gfk_col)).alias("__k"),
-            F.struct(*[F.col(f_) for f_ in gfields]).alias("__st"),
-        )
-        return StreamedRoot(
-            roots=roots, child_name=child_name, child_rows=None,
-            grandchild_name=grand.name, child_fragments=child_fragments,
-            grandchild_rows=grandchild_rows,
-        )
-    child_df, fields, fk_col = _prepare_child(
-        tables, catalog, heavy, root_name, normalize_dates
+    fragments = frag_df.filter(F.col(frag_fk).isNotNull()).select(*cols)
+    return StreamedLevel(
+        name=emb.name,
+        fragments=fragments,
+        children=[
+            _streamed_level(tables, catalog, n, emb.name,
+                            normalize_dates, threshold)
+            for n in heavy
+        ],
     )
-    child_rows = child_df.filter(F.col(fk_col).isNotNull()).select(
-        _stream_key(F.col(fk_col)).alias("__fk"),
-        F.struct(*[F.col(f_) for f_ in fields]).alias("__st"),
-    )
-    return StreamedRoot(roots=roots, child_name=child_name,
-                        child_rows=child_rows)
 
 
 def normalize_date_columns(df: DataFrame) -> DataFrame:
@@ -354,15 +407,15 @@ def _prepare_child(
     emb: Collection,
     parent_table: str,
     normalize_dates: bool,
-    skip_child: str | None = None,
+    skip_children: set[str] | None = None,
 ) -> tuple[DataFrame, list[str], str]:
     """Build the child DataFrame for one embedded collection.
 
     Returns (df, struct_field_names, fk_column): df carries the deduped
     attribute columns, any already-nested child arrays, and the FK column
-    linking it to the parent. skip_child omits one embedded collection
-    (the two-level streamed-assembly path splices it back in file
-    space — see StreamedRoot).
+    linking it to the parent. skip_children omits embedded collections
+    (the streamed-assembly path splices them back in file space — see
+    StreamedLevel).
     """
     fk = _find_fk(catalog, emb.name, parent_table)
     df = tables[emb.name]
@@ -371,7 +424,8 @@ def _prepare_child(
 
     # Bottom-up: attach this collection's own embedded children first, so
     # their arrays become ordinary columns of the child.
-    embedded = [n for n in emb.embedded if n.name != skip_child]
+    embedded = [n for n in emb.embedded
+                if n.name not in (skip_children or ())]
     for nested in embedded:
         df = _attach_embedded(tables, catalog, df, emb.name, nested,
                               normalize_dates)

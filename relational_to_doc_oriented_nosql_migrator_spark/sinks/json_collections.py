@@ -19,6 +19,7 @@ import os
 import shutil
 import urllib.parse
 import zipfile
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -91,145 +92,180 @@ def _partition_dirs(tmp: str, key: str) -> dict[str, str]:
     return out
 
 
-def _write_obj(out, left_body, array_name, elems, write_elem, right_body):
-    """One JSON object: '{' left_body ',"name":[' elements ']' ','
-    right_body '}' with every separator contingent on the parts actually
-    present — matching the distributed writer's null-omission (a root
+@dataclass
+class _LevelSpec:
+    """Executor-picklable description of one written streamed level: the
+    array field name, its key -> fragment-directory map (metadata-scale
+    by construction — every split level's cardinality is gated at
+    SMALL_PARENT_ROWS), and the specs of its own split-out children
+    (empty for a leaf level, whose lines are complete documents)."""
+
+    name: str
+    dirs: dict[str, str]
+    children: list["_LevelSpec"]
+
+
+def _write_doc(out, seg_bodies, keys, specs):
+    """One JSON document: interleave the J+1 segment bodies with the J
+    child arrays, every separator contingent on the parts actually
+    present — matching the distributed writer's null-omission (a parent
     with no children omits the array field entirely, like the left
-    join's null array). write_elem renders one element into `out`
-    (a pre-rendered line at the leaf level, a recursive _write_obj for
-    fragment levels)."""
-    any_ = False
+    join's null array). seg_bodies are '{...}' JSON strings; keys[j] is
+    the canonical-encoded lookup key for specs[j]'s directory map (None
+    or a sentinel miss => omitted array)."""
     out.write("{")
-    if left_body:
-        out.write(left_body)
-        any_ = True
-    first = True
-    for el in elems:
-        if first:
+    any_ = False
+    for j, seg in enumerate(seg_bodies):
+        body = seg[1:-1]
+        if body:
             if any_:
                 out.write(",")
-            out.write(json.dumps(array_name) + ":[")
-            first = False
-        else:
-            out.write(",")
-        write_elem(el)
-    if not first:
-        out.write("]")
-        any_ = True
-    if right_body:
-        if any_:
-            out.write(",")
-        out.write(right_body)
+            out.write(body)
+            any_ = True
+        if j >= len(specs):
+            continue
+        spec = specs[j]
+        d = spec.dirs.get(keys[j]) if keys[j] is not None else None
+        first = True
+        for line in _iter_part_lines(d) if d is not None else ():
+            if first:
+                if any_:
+                    out.write(",")
+                out.write(json.dumps(spec.name) + ":[")
+                first = False
+            else:
+                out.write(",")
+            if spec.children:
+                # Split-mode element: child keys + segment halves. The
+                # fixed-width split is safe for ANY key value: keys are
+                # URL-encoded canonical form (tab-free by construction,
+                # NULL coalesced to a sentinel upstream) and to_json
+                # escapes control chars inside the segments.
+                J = len(spec.children)
+                fields = line.split("\t", 2 * J)
+                _write_doc(out, fields[J:], fields[:J], spec.children)
+            else:
+                out.write(line)  # leaf: a complete document
+        if not first:
+            out.write("]")
+            any_ = True
     out.write("}")
+
+
+def _write_level(level, path: str, tmps: list[str]) -> _LevelSpec:
+    """Write one streamed level's text dataset partitioned by its parent
+    key: one partition per key value and a struct sort within it — the
+    writer's required ordering (partition cols) is satisfied by our
+    (key, struct...) prefix, so rows land in ONE file per key in
+    array_sort element order. Keys are the canonical encoded form
+    (nesting._stream_key) on BOTH the partition column and the lookups,
+    so directory reads can never miss on a rendering mismatch."""
+    tmps.append(path)
+    if level.rows is not None:
+        (
+            _replanned(level.rows)
+            .repartition(F.col("__pk"))
+            .sortWithinPartitions("__pk", "__st")
+            .select("__pk", F.to_json("__st").alias("value"))
+            .write.mode("overwrite")
+            .partitionBy("__pk")
+            .text(path)
+        )
+        return _LevelSpec(level.name, _partition_dirs(path, "__pk"), [])
+    n = len(level.children)
+    key_cols = [f"__k{j}" for j in range(n)]
+    seg_cols = [f"__seg{j}" for j in range(n + 1)]
+    (
+        _replanned(level.fragments)
+        .repartition(F.col("__pk"))
+        .sortWithinPartitions("__pk", *seg_cols)
+        .select(
+            "__pk",
+            F.concat_ws(
+                "\t", *key_cols, *[F.to_json(c) for c in seg_cols]
+            ).alias("value"),
+        )
+        .write.mode("overwrite")
+        .partitionBy("__pk")
+        .text(path)
+    )
+    children = [
+        _write_level(ch, f"{path}{j}_", tmps)
+        for j, ch in enumerate(level.children)
+    ]
+    return _LevelSpec(level.name, _partition_dirs(path, "__pk"), children)
 
 
 def _write_streamed(pieces, target: str) -> bool:
     """Assemble one HEAVY root collection in file space (r08 verdict #2):
-    the heavy child's documents are written by Spark as per-root sorted
-    JSON fragments (text files partitioned by the root FK), and each
-    root's NDJSON line is stitched by streaming concatenation — root
-    scalars + '"child":[' + fragment lines joined with commas + ']'. No
-    task (and no driver buffer) ever holds more than ONE level-2
-    document, versus the one-row-per-root representation whose buffer is
-    the whole root subtree. Content is byte-compatible with the
-    distributed writer's NDJSON (same to_json machinery, same
-    null-omission, array order = array_sort order via the __st struct
-    sort), so the schema-guided read-back parses identically.
+    every over-threshold child level's documents are written by Spark as
+    per-parent-key sorted JSON fragments (text files partitioned by the
+    canonical FK key), and each root's NDJSON line is stitched by
+    streaming concatenation — segment scalars + '"child":[' + fragment
+    lines joined with commas + ']', recursively per level. No task (and
+    no driver buffer) ever holds more than ONE leaf-level document,
+    versus the one-row-per-root representation whose buffer is the whole
+    root subtree. Content is byte-compatible with the distributed
+    writer's NDJSON (same to_json machinery, same null-omission, array
+    order = array_sort order via the __st struct sort), so the
+    schema-guided read-back parses identically.
+
+    The stitch itself runs ON EXECUTORS (r09 verdict #3): the collected
+    roots frame is metadata-light (<= SMALL_PARENT_ROWS rows of keys +
+    JSON segments), so it is re-distributed one root per task and each
+    task streams exactly its own root's fragment bytes into its own
+    part file — the driver never loops over fragment bytes, and a heavy
+    root collection's final write parallelizes across the cluster
+    instead of serializing through one driver file handle. File order
+    (part-00000.., sorted by root key) keeps the output deterministic.
 
     Returns False for an empty collection (nothing written)."""
     spark = pieces.roots.sparkSession
-    two_level = pieces.child_rows is None
-    tmp = target + ".__children__"
-    tmp2 = target + ".__grandchildren__"
-    with _sort_based_collects(spark):
-        # Roots FIRST: the frame is metadata-light (<= SMALL_PARENT_ROWS
-        # rows of key + JSON halves), and an empty collection must not
-        # pay the corpus-scale child writes before its early return.
-        roots = _replanned(pieces.roots).collect()
-        if not roots:
-            return False
-        # One partition per key value and a struct sort within it: the
-        # writer's required ordering (partition cols) is satisfied by
-        # our (key, struct...) prefix, so rows land in ONE file per key
-        # in array_sort element order. Keys are the canonical encoded
-        # form (nesting._stream_key) on BOTH the partition column and
-        # the collected roots, so directory lookups can never miss on a
-        # rendering mismatch.
-        if two_level:
-            (
-                _replanned(pieces.child_fragments)
-                .repartition(F.col("__fk"))
-                .sortWithinPartitions("__fk", "__stl", "__str")
-                .select(
-                    "__fk",
-                    F.concat_ws(
-                        "\t", "__k",
-                        F.to_json("__stl"), F.to_json("__str"),
-                    ).alias("value"),
-                )
-                .write.mode("overwrite")
-                .partitionBy("__fk")
-                .text(tmp)
-            )
-            (
-                _replanned(pieces.grandchild_rows)
-                .repartition(F.col("__k"))
-                .sortWithinPartitions("__k", "__st")
-                .select("__k", F.to_json("__st").alias("value"))
-                .write.mode("overwrite")
-                .partitionBy("__k")
-                .text(tmp2)
-            )
-        else:
-            (
-                _replanned(pieces.child_rows)
-                .repartition(F.col("__fk"))
-                .sortWithinPartitions("__fk", "__st")
-                .select("__fk", F.to_json("__st").alias("value"))
-                .write.mode("overwrite")
-                .partitionBy("__fk")
-                .text(tmp)
-            )
+    tmps: list[str] = []
+    n = len(pieces.children)
     try:
-        child_dirs = _partition_dirs(tmp, "__fk")
-        gchild_dirs = _partition_dirs(tmp2, "__k") if two_level else {}
+        with _sort_based_collects(spark):
+            # Roots FIRST: the frame is metadata-light, and an empty
+            # collection must not pay the corpus-scale child writes
+            # before its early return.
+            roots = _replanned(pieces.roots).collect()
+            if not roots:
+                return False
+            specs = [
+                _write_level(ch, f"{target}.__stream{i}_", tmps)
+                for i, ch in enumerate(pieces.children)
+            ]
         os.makedirs(target, exist_ok=True)
-        with open(os.path.join(target, "part-00000.json"), "w") as out:
 
-            def write_fragment(line: str) -> None:
-                # two-level element: child scalars + spliced grandchild
-                # array. The 3-field split is safe for ANY key value:
-                # __k is the URL-encoded canonical key (tab-free by
-                # construction, NULL coalesced to a sentinel upstream)
-                # and to_json escapes control chars inside l2/r2.
-                k, l2, r2 = line.split("\t", 2)
-                gdir = gchild_dirs.get(k)
-                _write_obj(
-                    out, l2[1:-1], pieces.grandchild_name,
-                    _iter_part_lines(gdir) if gdir is not None else (),
-                    out.write, r2[1:-1],
-                )
+        def root_key(r):
+            return tuple(
+                (r[f"__fk{i}"] is None, r[f"__fk{i}"] or "")
+                for i in range(n)
+            )
 
-            for r in sorted(
-                roots,
-                key=lambda r: (r["__fk"] is None, r["__fk"] or ""),
-            ):
-                cdir = (
-                    child_dirs.get(r["__fk"])
-                    if r["__fk"] is not None else None
-                )
-                _write_obj(
-                    out, r["__left"][1:-1], pieces.child_name,
-                    _iter_part_lines(cdir) if cdir is not None else (),
-                    write_fragment if two_level else out.write,
-                    r["__right"][1:-1],
-                )
-                out.write("\n")
+        payloads = [
+            (
+                idx,
+                [r[f"__fk{i}"] for i in range(n)],
+                [r[f"__seg{i}"] for i in range(n + 1)],
+            )
+            for idx, r in enumerate(sorted(roots, key=root_key))
+        ]
+
+        def write_roots(part):
+            for idx, keys, segs in part:
+                name = os.path.join(target, f"part-{idx:05d}.json")
+                with open(name, "w") as out:
+                    _write_doc(out, segs, keys, specs)
+                    out.write("\n")
+
+        spark.sparkContext.parallelize(
+            payloads, max(1, len(payloads))
+        ).foreachPartition(write_roots)
         return True
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(tmp2, ignore_errors=True)
+        for t in tmps:
+            shutil.rmtree(t, ignore_errors=True)
 
 
 def write_json_collections(

@@ -4,14 +4,18 @@ Materializing a root document as one row has an inherent heap floor of
 |subtree|/|roots| (a region at the 100x dataset is a ~420 MB single row,
 then a comparably-sized JSON string in one write task). Past
 nesting.HEAVY_ROOT_SUBTREE_ROWS the sink assembles such roots in FILE
-space: the heavy child's documents are written as per-root sorted JSON
-fragments and the root NDJSON line is stitched by streaming
-concatenation. These tests force the threshold to 0 at sf0.001 and pin
-that the streamed output is PARSE-IDENTICAL to the distributed writer's
-(same docs, same field presence, same array order), so the sf10 path is
-value-proven at test scale.
+space: EVERY over-threshold child's documents are written as per-key
+sorted JSON fragments (recursively — a split level whose own children
+are hazards splits again) and each root NDJSON line is stitched by
+streaming concatenation ON AN EXECUTOR (one task per root; the driver
+never loops fragment bytes). These tests force the threshold to 0 at
+sf0.001 and pin that the streamed output is PARSE-IDENTICAL to the
+distributed writer's (same docs, same field presence, same array
+order), so the sf10 path is value-proven at test scale.
 """
 
+import glob
+import json
 import os
 
 import pytest
@@ -30,6 +34,14 @@ from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
 from tests.conftest import SF0001
 
 
+def _read_ndjson_lines(target_dir):
+    out = []
+    for f in sorted(glob.glob(os.path.join(target_dir, "part-*.json"))):
+        with open(f) as fh:
+            out.extend(line for line in fh.read().splitlines() if line)
+    return out
+
+
 def test_stream_plan_thresholds(spark):
     """Only tiny-cardinality roots with a past-threshold subtree stream;
     at the default threshold nothing streams below the probe corpus, so
@@ -39,19 +51,28 @@ def test_stream_plan_thresholds(spark):
     assert stream_plan(catalog, plan) == {}
     forced = stream_plan(catalog, plan, threshold=0)
     # region is the only root with embedded children in the tpch plan;
-    # its heaviest child is the nation subtree.
-    assert forced == {"region": "nation"}
+    # nation is its only (hence only over-threshold) child.
+    assert forced == {"region": ["nation"]}
 
 
 @pytest.fixture(scope="module")
 def both_outputs(spark, tmp_path_factory):
-    # threshold=0 engages the DEEPEST path: region streams AND the
-    # nation level recurses (customer is the heavy grandchild), so this
-    # parity fixture covers the exact mode the sf10 probe runs.
+    # threshold=0 engages the DEEPEST path: region streams, the nation
+    # level splits on BOTH its children (customer + supplier — the
+    # multi-heavy-children shape, r09 verdict #4), and customer splits
+    # again on orders — so this parity fixture covers recursion depth 3
+    # and multi-child fan-out in one go.
     collections, streamed = migrate_streamed(spark, SF0001, threshold=0)
     assert set(streamed) == {"region"}
-    assert streamed["region"].child_rows is None  # two-level engaged
-    assert streamed["region"].grandchild_name == "customer"
+    nation = streamed["region"].children[0]
+    assert [c.name for c in streamed["region"].children] == ["nation"]
+    assert nation.fragments is not None  # split mode engaged
+    assert [c.name for c in nation.children] == ["customer", "supplier"]
+    customer, supplier = nation.children
+    assert customer.fragments is not None  # splits again on orders
+    assert [c.name for c in customer.children] == ["orders"]
+    assert customer.children[0].rows is not None  # orders is a leaf
+    assert supplier.rows is not None  # supplier is a leaf
     normal_dir = str(tmp_path_factory.mktemp("sink_normal"))
     stream_dir = str(tmp_path_factory.mktemp("sink_streamed"))
     wrote_normal = write_json_collections(collections, normal_dir)
@@ -64,9 +85,12 @@ def both_outputs(spark, tmp_path_factory):
 def test_streamed_writes_same_collections(both_outputs):
     _c, _n, stream_dir, wrote_normal, wrote_streamed = both_outputs
     assert sorted(wrote_normal) == sorted(wrote_streamed)
-    assert os.path.exists(
-        os.path.join(stream_dir, "region", "part-00000.json")
+    # one part file per root, named by sorted root-key order
+    parts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(stream_dir, "region", "part-*"))
     )
+    assert parts == [f"part-{i:05d}.json" for i in range(5)]
 
 
 def test_streamed_region_parses_identical(spark, both_outputs):
@@ -95,10 +119,10 @@ def test_streamed_region_parses_identical(spark, both_outputs):
     assert all('"nation":[' in line for line in streamed)
 
 
-def test_single_level_mode_parses_identical(spark, both_outputs, tmp_path):
-    """SINGLE-LEVEL mode (child documents materialized as rows, only the
-    root split) must also parse identically — this is the shape for a
-    heavy root whose child level is NOT itself a hazard (large child
+def test_leaf_mode_parses_identical(spark, both_outputs, tmp_path):
+    """LEAF mode (child documents materialized as complete rows, only
+    the root split) must also parse identically — this is the shape for
+    a heavy root whose child level is NOT itself a hazard (large child
     cardinality or small grandchild subtrees). Forced by streaming the
     root at threshold 0 while the recursion threshold stays high."""
     from relational_to_doc_oriented_nosql_migrator_spark.plans.nesting import (
@@ -111,7 +135,7 @@ def test_single_level_mode_parses_identical(spark, both_outputs, tmp_path):
     pieces = materialize_streamed_root(
         tables, catalog, plan, "region", "nation", threshold=10**9
     )
-    assert pieces.child_rows is not None  # single-level shape
+    assert pieces.children[0].rows is not None  # leaf shape
     out = str(tmp_path / "single")
     wrote = write_json_collections(
         {"region": collections["region"]}, out, streamed={"region": pieces}
@@ -133,6 +157,99 @@ def test_single_level_mode_parses_identical(spark, both_outputs, tmp_path):
     assert single == normal
 
 
+def test_two_heavy_root_children_parity(spark, tmp_path):
+    """A root with TWO over-threshold children streams BOTH (r09 verdict
+    #4 — the old planner picked only the heaviest): synthetic catalog
+    R -> {A, B} with both subtrees past the threshold, parse parity vs
+    the distributed writer, including a root with no A children and a
+    root with no B children (array omitted on both paths)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.plans.catalog import (
+        Catalog,
+        ForeignKey,
+        TableMeta,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.plans.nesting import (
+        materialize,
+        materialize_streamed_root,
+        stream_plan,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.plans.planner import (
+        Collection,
+        NoSQLPlan,
+    )
+
+    catalog = Catalog(
+        [
+            TableMeta("r", 3, ["rid", "rname"], ["rid"]),
+            TableMeta(
+                "a", 5, ["aid", "aval", "rfk"], ["aid"],
+                [ForeignKey("rfk", "r", "rid")],
+            ),
+            TableMeta(
+                "b", 4, ["bid", "bval", "rfk2"], ["bid"],
+                [ForeignKey("rfk2", "r", "rid")],
+            ),
+        ]
+    )
+    plan = NoSQLPlan(
+        "t",
+        [
+            Collection(
+                "r",
+                ["rid", "rname"],
+                embedded=[
+                    Collection("a", ["aid", "aval"]),
+                    Collection("b", ["bid", "bval"]),
+                ],
+            )
+        ],
+    )
+    tables = {
+        "r": spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], "rid int, rname string"
+        ),
+        "a": spark.createDataFrame(
+            # root 3 gets no A children; one NULL-fk row never matches
+            [(10, "x", 1), (11, "y", 1), (12, "z", 2), (13, "w", 2),
+             (14, "q", None)],
+            "aid int, aval string, rfk int",
+        ),
+        "b": spark.createDataFrame(
+            # root 2 gets no B children
+            [(20, "p", 1), (21, "r", 3), (22, "s", 3), (23, "t", 1)],
+            "bid int, bval string, rfk2 int",
+        ),
+    }
+    assert stream_plan(catalog, plan, threshold=4) == {"r": ["a", "b"]}
+    collections = materialize(tables, catalog, plan, normalize_dates=False)
+    pieces = materialize_streamed_root(
+        tables, catalog, plan, "r", ["a", "b"],
+        normalize_dates=False, threshold=4,
+    )
+    assert [c.name for c in pieces.children] == ["a", "b"]
+    normal_dir = str(tmp_path / "normal")
+    stream_dir = str(tmp_path / "streamed")
+    write_json_collections(collections, normal_dir)
+    write_json_collections(collections, stream_dir, streamed={"r": pieces})
+    schema = collections["r"].schema
+    normal = sorted(
+        spark.read.schema(schema).json(os.path.join(normal_dir, "r"))
+        .toJSON().collect()
+    )
+    streamed = sorted(
+        spark.read.schema(schema).json(os.path.join(stream_dir, "r"))
+        .toJSON().collect()
+    )
+    assert len(normal) == 3
+    assert normal == streamed
+    docs = {
+        json.loads(line)["rid"]: json.loads(line)
+        for line in _read_ndjson_lines(os.path.join(stream_dir, "r"))
+    }
+    assert "a" not in docs[3] and [x["bid"] for x in docs[3]["b"]] == [21, 22]
+    assert "b" not in docs[2] and [x["aid"] for x in docs[2]["a"]] == [12, 13]
+
+
 def test_streamed_assembly_exotic_keys(spark, tmp_path):
     """The canonical key encoding (nesting._stream_key) must survive key
     values Python str() would mis-render against Spark's partition-dir
@@ -140,27 +257,32 @@ def test_streamed_assembly_exotic_keys(spark, tmp_path):
     strings — and NULL child keys must yield an omitted grandchild
     array, not a corrupted fragment line (r09 deferred findings #1/#2).
     Built directly at the StreamedRoot seam: the frames are plain
-    DataFrames, so the sink contract is testable without a catalog."""
-    import json as _json
-
+    DataFrames, so the sink contract is testable without a catalog.
+    Two root-level children exercise the multi-key fragment framing."""
     from pyspark.sql import functions as F
 
     from relational_to_doc_oriented_nosql_migrator_spark.plans.nesting import (
         NULL_KEY_SENTINEL,
+        StreamedLevel,
         StreamedRoot,
         _stream_key,
     )
 
     keys = ["plain", "with space", "with\ttab", "100%", "", "True"]
     roots = spark.createDataFrame(
-        [(k, '{"root_key":%s}' % _json.dumps(k), "{}") for k in keys],
-        "raw string, __left string, __right string",
+        [
+            (k, '{"root_key":%s}' % json.dumps(k), "{}", "{}")
+            for k in keys
+        ],
+        "raw string, __seg0 string, __seg1 string, __seg2 string",
     ).select(
-        _stream_key(F.col("raw")).alias("__fk"), "__left", "__right"
+        _stream_key(F.col("raw")).alias("__fk0"),
+        _stream_key(F.col("raw")).alias("__fk1"),
+        "__seg0", "__seg1", "__seg2",
     )
-    # two children per root, one grandchild under the FIRST child of
-    # each root, none under the second; one fragment with a NULL child
-    # key (sentinel path).
+    # first child level SPLITS: two fragments per root, one grandchild
+    # dir under the first fragment of each root, none under the second;
+    # the second fragment carries a NULL child key (sentinel path).
     frag_rows = []
     for k in keys:
         frag_rows.append((k, f"{k}/c0", '{"cid":0}'))
@@ -168,24 +290,37 @@ def test_streamed_assembly_exotic_keys(spark, tmp_path):
     frags = spark.createDataFrame(
         frag_rows, "rfk string, ck string, body string"
     ).select(
-        _stream_key(F.col("rfk")).alias("__fk"),
+        _stream_key(F.col("rfk")).alias("__pk"),
         F.coalesce(_stream_key(F.col("ck")),
-                   F.lit(NULL_KEY_SENTINEL)).alias("__k"),
+                   F.lit(NULL_KEY_SENTINEL)).alias("__k0"),
         F.struct(F.get_json_object("body", "$.cid").cast("int")
-                 .alias("cid")).alias("__stl"),
-        F.struct(F.lit(None).alias("__none")).alias("__str"),
+                 .alias("cid")).alias("__seg0"),
+        F.struct(F.lit(None).alias("__none")).alias("__seg1"),
     )
     grands = spark.createDataFrame(
         [(f"{k}/c0", i) for k in keys for i in range(2)],
         "gk string, gval int",
     ).select(
-        _stream_key(F.col("gk")).alias("__k"),
+        _stream_key(F.col("gk")).alias("__pk"),
         F.struct(F.col("gval")).alias("__st"),
     )
+    # second root-level child is a LEAF keyed by the same exotic values
+    others = spark.createDataFrame(
+        [(k, f"o-{k}") for k in keys], "rfk string, oval string"
+    ).select(
+        _stream_key(F.col("rfk")).alias("__pk"),
+        F.struct(F.col("oval")).alias("__st"),
+    )
     pieces = StreamedRoot(
-        roots=roots, child_name="children", child_rows=None,
-        grandchild_name="grand", child_fragments=frags,
-        grandchild_rows=grands,
+        roots=roots,
+        children=[
+            StreamedLevel(
+                name="children",
+                fragments=frags,
+                children=[StreamedLevel(name="grand", rows=grands)],
+            ),
+            StreamedLevel(name="others", rows=others),
+        ],
     )
     from relational_to_doc_oriented_nosql_migrator_spark.sinks.json_collections import (
         _write_streamed,
@@ -193,10 +328,7 @@ def test_streamed_assembly_exotic_keys(spark, tmp_path):
 
     target = str(tmp_path / "exotic")
     assert _write_streamed(pieces, target)
-    docs = [
-        _json.loads(line)
-        for line in open(os.path.join(target, "part-00000.json"))
-    ]
+    docs = [json.loads(line) for line in _read_ndjson_lines(target)]
     assert len(docs) == len(keys)
     by_key = {d["root_key"]: d for d in docs}
     assert set(by_key) == set(keys)   # every exotic key matched its dir
@@ -207,6 +339,7 @@ def test_streamed_assembly_exotic_keys(spark, tmp_path):
         without_g = [c for c in kids if "grand" not in c]
         assert len(with_g) == 1 and len(without_g) == 1
         assert [g["gval"] for g in with_g[0]["grand"]] == [0, 1]
+        assert [o["oval"] for o in by_key[k]["others"]] == [f"o-{k}"]
 
 
 def test_streamed_empty_root_skipped(spark, both_outputs):
