@@ -579,8 +579,13 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     it without rebuilding — searches then pay only search. The
     fingerprint (file mtimes + sizes) keys the directory name, so a
     regenerated corpus can never be served a stale index; a partial
-    build (missing relation dirs) is rebuilt. Default stays a
-    process-scoped tempdir removed at exit.
+    build (missing relation dirs) is rebuilt. Publication is ATOMIC:
+    the build lands in a process-unique temp directory under the same
+    root and is os.rename'd to the fingerprint path, so a concurrent
+    reader can never pass the completeness check mid-build and two
+    concurrent builders can't interleave writes into one directory —
+    the loser of the rename race adopts the winner's index. Default
+    stays a process-scoped tempdir removed at exit.
     """
     import atexit
     import hashlib
@@ -591,18 +596,26 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     if key in _IVFPQ_INDEX_DIRS:
         return _IVFPQ_INDEX_DIRS[key]
     persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+
+    def _complete(d: str) -> bool:
+        return all(
+            os.path.exists(os.path.join(d, rel, "_SUCCESS"))
+            for rel in ("centroids", "inverted", "codebook", "codes")
+        )
+
     if persist_root:
         tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
         out = os.path.join(persist_root, f"ivfpq_{tag}")
-        if all(
-            os.path.exists(os.path.join(out, rel, "_SUCCESS"))
-            for rel in ("centroids", "inverted", "codebook", "codes")
-        ):
+        if _complete(out):
             _IVFPQ_INDEX_DIRS[key] = out
             return out
-        os.makedirs(out, exist_ok=True)
+        # Build into a process-unique sibling (same filesystem, so the
+        # final rename is atomic), publish below.
+        os.makedirs(persist_root, exist_ok=True)
+        build = tempfile.mkdtemp(prefix=f"ivfpq_{tag}.build_",
+                                 dir=persist_root)
     else:
-        out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
+        build = out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
         atexit.register(shutil.rmtree, out, ignore_errors=True)
     emb = _emb(spark, sf_dir, spread=True)
     embn = emb.select(
@@ -622,10 +635,23 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
         _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS,
     )
     codes = _pq_codes(sub, codebook)
-    cents.write.mode("overwrite").parquet(os.path.join(out, "centroids"))
-    inverted.write.mode("overwrite").parquet(os.path.join(out, "inverted"))
-    codebook.write.mode("overwrite").parquet(os.path.join(out, "codebook"))
-    codes.write.mode("overwrite").parquet(os.path.join(out, "codes"))
+    cents.write.mode("overwrite").parquet(os.path.join(build, "centroids"))
+    inverted.write.mode("overwrite").parquet(os.path.join(build, "inverted"))
+    codebook.write.mode("overwrite").parquet(os.path.join(build, "codebook"))
+    codes.write.mode("overwrite").parquet(os.path.join(build, "codes"))
+    if persist_root:
+        # Atomic publish. A pre-existing `out` is either another
+        # process's complete index (adopt it, drop ours) or a stale
+        # partial from a crashed legacy build (replace it); the residual
+        # replace race leaves SOME complete index at `out` either way.
+        try:
+            os.rename(build, out)
+        except OSError:
+            if _complete(out):
+                shutil.rmtree(build, ignore_errors=True)
+            else:
+                shutil.rmtree(out, ignore_errors=True)
+                os.rename(build, out)
     _IVFPQ_INDEX_DIRS[key] = out
     return out
 

@@ -135,6 +135,31 @@ def test_persistent_index_reused_across_processes(spark, tmp_path,
     assert rows2 == rows
 
 
+def test_persistent_index_publish_is_atomic(spark, tmp_path, monkeypatch):
+    """The persistent index is built in a process-unique temp dir and
+    os.rename'd into place (r09 advice: no overwrite-in-place races): a
+    stale PARTIAL directory at the fingerprint path — a crashed legacy
+    build — is replaced by a complete index, and no .build_ temp dirs
+    leak after publish."""
+    import glob as _glob
+    import hashlib
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
+    key = S._corpus_fingerprint(SF001)
+    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    stale = os.path.join(str(tmp_path), f"ivfpq_{tag}")
+    # partial: one relation present, three missing
+    os.makedirs(os.path.join(stale, "centroids"))
+    open(os.path.join(stale, "centroids", "_SUCCESS"), "w").close()
+    out = S.build_ivfpq_index(spark, SF001)
+    assert out == stale
+    for rel in ("centroids", "inverted", "codebook", "codes"):
+        assert os.path.exists(os.path.join(out, rel, "_SUCCESS"))
+    assert _glob.glob(os.path.join(str(tmp_path), "*.build_*")) == []
+
+
 def test_sampled_training_parity_and_recall(spark, monkeypatch):
     """Lloyd/PQ training runs on a bounded md5-ordered sample past
     TRAIN_SAMPLE_MAX (r06 verdict task #4). At sf0.01 the cap (16384)
