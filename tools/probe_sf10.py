@@ -27,6 +27,12 @@ class QTimeout(Exception):
     pass
 
 
+# Auxiliary ledger id: the IVF-PQ TRAIN+BUILD pass (not a registry
+# query — the nightly-job cost, recorded separately so the *_indexed
+# rows reflect amortized search).
+AUX_BUILD = "aux_ivfpq_index_build"
+
+
 def main():
     from relational_to_doc_oriented_nosql_migrator_spark.session import get_spark
 
@@ -60,6 +66,21 @@ def main():
     # (delete $PROBE_DONE to force a re-probe of finished ids).
     ids = [q for q in (sys.argv[1:] or list(qs)) if q not in done]
     timeout = int(os.environ.get("PROBE_TIMEOUT", "900"))
+    # Amortized-index contract (r09 verdict task #5): the *_indexed ids
+    # measure SEARCH economics; the one-time TRAIN+BUILD pass is its own
+    # auxiliary ledger row, run once per probe against a PERSISTENT
+    # index dir (survives the fresh-JVM re-exec rotation), so both
+    # indexed ids — and every later generation — read the same artifact
+    # instead of paying an in-run rebuild each.
+    indexed_ids = {"ext_similarity_ivfpq_indexed", "ext_knn_classify_indexed"}
+    if any(q in indexed_ids for q in ids):
+        os.environ.setdefault(
+            "SPARK_GRAFT_INDEX_DIR",
+            os.path.join(os.path.dirname(done_path) or ".", "ivfpq_index"),
+        )
+        if AUX_BUILD not in done:
+            pos = min(i for i, q in enumerate(ids) if q in indexed_ids)
+            ids.insert(pos, AUX_BUILD)
     # Self-rotation (the sweep's lesson, replayed at sf10 in round 6):
     # an 8 GB JVM that has aged through ~30 ids OOMs on the heaviest
     # ones (sink_json_collections' full migrate + nested-JSON write
@@ -121,7 +142,7 @@ def main():
     n_this_process = 0
     pool = cf.ThreadPoolExecutor(max_workers=1)
     for qid in ids:
-        if qid not in qs:
+        if qid not in qs and qid != AUX_BUILD:
             print(f"SKIP {qid} not-in-registry", flush=True)
             continue
         if restart_every > 0 and n_this_process >= restart_every:
@@ -135,6 +156,13 @@ def main():
         def run(qid=qid):
             spark.sparkContext.setJobGroup(qid, qid, interruptOnCancel=True)
             try:
+                if qid == AUX_BUILD:
+                    from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (  # noqa: E501
+                        build_ivfpq_index,
+                    )
+
+                    build_ivfpq_index(spark, sf)
+                    return 4  # index relations published
                 return qs[qid](spark, sf).count()
             finally:
                 spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
