@@ -88,6 +88,116 @@ def _pillow_codec():
     return codec
 
 
+def stdlib_png_codec():
+    """A GENUINE, dependency-free PNG decoder for the metadata path
+    (RFC 2083, public spec): validates the signature and every chunk
+    CRC, parses IHDR, zlib-decompresses the IDAT stream, and fully
+    unfilters the scanlines (None/Sub/Up/Average/Paeth) for 8-bit
+    non-interlaced images, verifying the decoded byte count — so a
+    returned answer PROVES the pixel data decoded, exactly like the
+    stdlib `wave` leg of the codec seam. Same contract as the pillow
+    codec — bytes -> {"width", "height", "mode"} — plus "pix_crc"
+    (crc32 of the unfiltered pixel bytes, making the filter
+    reconstruction observable); raises ValueError on anything it can't
+    prove (16-bit, interlaced, truncated or corrupt data).
+
+    Deliberately NOT auto-resolved by resolve_image_codec: it is
+    PNG-only, and silently resolving it would turn e.g. a JPEG decode
+    into a parse error instead of the documented no-codec
+    NotImplementedError. Inject it with set_image_codec() or pass
+    codec=stdlib_png_codec(). Per-pixel Python unfiltering is
+    test/metadata-scale; a production decode path injects a vectorized
+    library here."""
+    import struct
+    import zlib
+
+    channels_by_type = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    mode_by_type = {0: "L", 2: "RGB", 3: "P", 4: "LA", 6: "RGBA"}
+
+    def codec(blob: bytes):
+        blob = bytes(blob)
+        if blob[:8] != b"\x89PNG\r\n\x1a\n":
+            raise ValueError("not a PNG signature")
+        pos, ihdr, idat = 8, None, b""
+        while pos < len(blob):
+            if pos + 8 > len(blob):
+                raise ValueError("truncated chunk header")
+            (length,) = struct.unpack(">I", blob[pos:pos + 4])
+            tag = blob[pos + 4:pos + 8]
+            data = blob[pos + 8:pos + 8 + length]
+            if len(data) != length or pos + 12 + length > len(blob):
+                raise ValueError("truncated chunk data")
+            (crc,) = struct.unpack(
+                ">I", blob[pos + 8 + length:pos + 12 + length]
+            )
+            if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+                raise ValueError(f"bad CRC in {tag!r} chunk")
+            if tag == b"IHDR":
+                ihdr = data
+            elif tag == b"IDAT":
+                idat += data
+            elif tag == b"IEND":
+                break
+            pos += 12 + length
+        if ihdr is None or len(ihdr) != 13:
+            raise ValueError("missing IHDR")
+        width, height, depth, ctype, comp, filt, interlace = struct.unpack(
+            ">IIBBBBB", ihdr
+        )
+        if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+            raise ValueError(
+                "only 8-bit non-interlaced PNG supported "
+                f"(depth={depth}, interlace={interlace})"
+            )
+        if ctype not in channels_by_type:
+            raise ValueError(f"unknown color type {ctype}")
+        ch = channels_by_type[ctype]
+        raw = zlib.decompress(idat)
+        stride = width * ch
+        if len(raw) != height * (1 + stride):
+            raise ValueError(
+                f"decoded {len(raw)} bytes, expected {height * (1 + stride)}"
+            )
+        # pix_crc (crc32 of the UNFILTERED pixel bytes, scanline order)
+        # makes the unfilter path observable to tests — dims alone
+        # wouldn't prove the Sub/Up/Average/Paeth reconstruction ran.
+        pix_crc = 0
+        prev = bytearray(stride)
+        for y in range(height):
+            f = raw[y * (1 + stride)]
+            line = bytearray(
+                raw[y * (1 + stride) + 1:(y + 1) * (1 + stride)]
+            )
+            if f == 1:  # Sub
+                for i in range(ch, stride):
+                    line[i] = (line[i] + line[i - ch]) & 0xFF
+            elif f == 2:  # Up
+                for i in range(stride):
+                    line[i] = (line[i] + prev[i]) & 0xFF
+            elif f == 3:  # Average
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+            elif f == 4:  # Paeth
+                for i in range(stride):
+                    a = line[i - ch] if i >= ch else 0
+                    b, c = prev[i], prev[i - ch] if i >= ch else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    line[i] = (line[i] + pr) & 0xFF
+            elif f != 0:
+                raise ValueError(f"unknown filter type {f}")
+            prev = line
+            pix_crc = zlib.crc32(bytes(line), pix_crc)
+        return {"width": width, "height": height,
+                "mode": mode_by_type[ctype], "pix_crc": pix_crc}
+
+    return codec
+
+
 def resolve_image_codec(codec=None):
     """The codec decode operators will run, or None when neither an
     injected codec nor pillow is available."""
