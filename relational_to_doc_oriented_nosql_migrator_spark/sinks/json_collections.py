@@ -73,23 +73,105 @@ def _replanned(df: DataFrame) -> DataFrame:
     return df.select("*")
 
 
+def _fs_for(path: str):
+    """(filesystem, fs-local path) for the streamed sink's fragment
+    I/O. Scheme-qualified URIs (file://, hdfs://, s3://...) resolve
+    through pyarrow.fs, so the executor-side stitch lists, reads, and
+    writes fragments on the cluster's SHARED store — on a real cluster
+    the fragment datasets and the stitched part files live on the same
+    DFS the Spark writers targeted, not on any one machine's disk.
+    Bare paths keep the local POSIX fast path (None filesystem)."""
+    if "://" not in path:
+        return None, path
+    from pyarrow import fs as pafs
+
+    return pafs.FileSystem.from_uri(path)
+
+
 def _iter_part_lines(dirpath: str):
-    for f in sorted(glob.glob(os.path.join(dirpath, "part-*"))):
-        with open(f) as fh:
-            for line in fh:
+    fs, p = _fs_for(dirpath)
+    if fs is None:
+        for f in sorted(glob.glob(os.path.join(p, "part-*"))):
+            with open(f) as fh:
+                for line in fh:
+                    line = line.rstrip("\n")
+                    if line:
+                        yield line
+        return
+    import io
+
+    from pyarrow import fs as pafs
+
+    files = sorted(
+        i.path
+        for i in fs.get_file_info(pafs.FileSelector(p))
+        if i.type == pafs.FileType.File
+        and i.path.rsplit("/", 1)[-1].startswith("part-")
+    )
+    for f in files:
+        with fs.open_input_stream(f) as raw:
+            for line in io.TextIOWrapper(raw):
                 line = line.rstrip("\n")
                 if line:
                     yield line
+
+
+def _listdir(tmp: str, prefix: str) -> list[tuple[str, str]]:
+    """(basename, openable path) of tmp's entries starting with prefix;
+    URI inputs keep their scheme on the returned paths so downstream
+    reads resolve through the same filesystem."""
+    fs, p = _fs_for(tmp)
+    if fs is None:
+        return [
+            (os.path.basename(d), d)
+            for d in glob.glob(os.path.join(p, prefix + "*"))
+        ]
+    from pyarrow import fs as pafs
+
+    scheme_prefix = tmp[: len(tmp) - len(p)] if tmp.endswith(p) else ""
+    out = []
+    for i in fs.get_file_info(pafs.FileSelector(p)):
+        base = i.path.rsplit("/", 1)[-1]
+        if base.startswith(prefix):
+            out.append((base, scheme_prefix + i.path))
+    return out
 
 
 def _partition_dirs(tmp: str, key: str) -> dict[str, str]:
     """partition-value string -> directory, for a partitionBy(key) text
     write (Spark URL-escapes values in directory names)."""
     out = {}
-    for d in glob.glob(os.path.join(tmp, f"{key}=*")):
-        val = urllib.parse.unquote(os.path.basename(d).split("=", 1)[1])
-        out[val] = d
+    for base, d in _listdir(tmp, f"{key}="):
+        out[urllib.parse.unquote(base.split("=", 1)[1])] = d
     return out
+
+
+def _mkdirs(path: str) -> None:
+    fs, p = _fs_for(path)
+    if fs is None:
+        os.makedirs(p, exist_ok=True)
+    else:
+        fs.create_dir(p, recursive=True)
+
+
+def _rm_rf(path: str) -> None:
+    fs, p = _fs_for(path)
+    if fs is None:
+        shutil.rmtree(p, ignore_errors=True)
+    else:
+        try:
+            fs.delete_dir(p)
+        except (FileNotFoundError, OSError):
+            pass
+
+
+def _open_text_out(path: str):
+    fs, p = _fs_for(path)
+    if fs is None:
+        return open(p, "w")
+    import io
+
+    return io.TextIOWrapper(fs.open_output_stream(p))
 
 
 @dataclass
@@ -235,7 +317,7 @@ def _write_streamed(pieces, target: str) -> bool:
                 _write_level(ch, f"{target}.__stream{i}_", tmps)
                 for i, ch in enumerate(pieces.children)
             ]
-        os.makedirs(target, exist_ok=True)
+        _mkdirs(target)
 
         def root_key(r):
             return tuple(
@@ -254,8 +336,9 @@ def _write_streamed(pieces, target: str) -> bool:
 
         def write_roots(part):
             for idx, keys, segs in part:
-                name = os.path.join(target, f"part-{idx:05d}.json")
-                with open(name, "w") as out:
+                with _open_text_out(
+                    f"{target}/part-{idx:05d}.json"
+                ) as out:
                     _write_doc(out, segs, keys, specs)
                     out.write("\n")
 
@@ -265,7 +348,7 @@ def _write_streamed(pieces, target: str) -> bool:
         return True
     finally:
         for t in tmps:
-            shutil.rmtree(t, ignore_errors=True)
+            _rm_rf(t)
 
 
 def write_json_collections(
@@ -283,10 +366,10 @@ def write_json_collections(
     single_file parity mode (explicitly non-scale)."""
     written: list[str] = []
     streamed = streamed or {}
-    os.makedirs(out_dir, exist_ok=True)
+    _mkdirs(out_dir)
     for name, df in collections.items():
         df = _replanned(df)
-        target = os.path.join(out_dir, name)
+        target = f"{out_dir.rstrip('/')}/{name}"
         if name in streamed and not single_file:
             if _write_streamed(streamed[name], target):
                 written.append(name)

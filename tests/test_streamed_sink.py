@@ -342,6 +342,39 @@ def test_streamed_assembly_exotic_keys(spark, tmp_path):
         assert [o["oval"] for o in by_key[k]["others"]] == [f"o-{k}"]
 
 
+def test_streamed_sink_uri_target(spark, both_outputs, tmp_path):
+    """Scheme-qualified targets route fragment listing, fragment reads,
+    and the stitched part-file writes through pyarrow.fs — the
+    shared-store seam a real cluster needs (fragments and part files
+    live on the DFS the Spark writers targeted, not one machine's
+    disk). Exercised with file:// against the same parity contract."""
+    collections, normal_dir, _s, _w, _w2 = both_outputs
+    _colls, streamed = migrate_streamed(spark, SF0001, threshold=0)
+    uri = "file://" + str(tmp_path / "uri_out")
+    wrote = write_json_collections(
+        {"region": collections["region"]}, uri,
+        streamed={"region": streamed["region"]},
+    )
+    assert wrote == ["region"]
+    schema = collections["region"].schema
+    normal = sorted(
+        spark.read.schema(schema)
+        .json(os.path.join(normal_dir, "region"))
+        .toJSON()
+        .collect()
+    )
+    via_uri = sorted(
+        spark.read.schema(schema).json(uri + "/region").toJSON().collect()
+    )
+    assert via_uri == normal
+    # fragment tmp dirs cleaned up through the fs seam too
+    leftovers = [
+        p for p in os.listdir(tmp_path / "uri_out")
+        if "__stream" in p
+    ]
+    assert leftovers == []
+
+
 def test_streamed_empty_root_skipped(spark, both_outputs):
     """filter_nonempty_collection semantics survive streaming: a root
     frame with zero rows writes nothing and is not reported."""
