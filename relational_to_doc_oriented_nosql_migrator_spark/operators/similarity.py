@@ -617,41 +617,59 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     else:
         build = out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
         atexit.register(shutil.rmtree, out, ignore_errors=True)
-    emb = _emb(spark, sf_dir, spread=True)
-    embn = emb.select(
-        "vec_id", F.expr(_NORM).alias("nrm"), "v"
-    ).select(
-        "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
-    )
-    cents = embn.filter(
-        F.col("vec_id") < n_centroids(footer_rows(sf_dir, "embeddings"))
-    ).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-    )
-    inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
-    sub = _pq_slices(embn)
-    codebook = _lloyd_refine(
-        _train_slices(spark, sf_dir, embn, sub),
-        _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS,
-    )
-    codes = _pq_codes(sub, codebook)
-    cents.write.mode("overwrite").parquet(os.path.join(build, "centroids"))
-    inverted.write.mode("overwrite").parquet(os.path.join(build, "inverted"))
-    codebook.write.mode("overwrite").parquet(os.path.join(build, "codebook"))
-    codes.write.mode("overwrite").parquet(os.path.join(build, "codes"))
+    try:
+        emb = _emb(spark, sf_dir, spread=True)
+        embn = emb.select(
+            "vec_id", F.expr(_NORM).alias("nrm"), "v"
+        ).select(
+            "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
+        )
+        cents = embn.filter(
+            F.col("vec_id") < n_centroids(footer_rows(sf_dir, "embeddings"))
+        ).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        )
+        inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
+        sub = _pq_slices(embn)
+        codebook = _lloyd_refine(
+            _train_slices(spark, sf_dir, embn, sub),
+            _pq_codebook(sub, IVFPQ_K), IVFPQ_TRAIN_ITERS,
+        )
+        codes = _pq_codes(sub, codebook)
+        cents.write.mode("overwrite").parquet(
+            os.path.join(build, "centroids"))
+        inverted.write.mode("overwrite").parquet(
+            os.path.join(build, "inverted"))
+        codebook.write.mode("overwrite").parquet(
+            os.path.join(build, "codebook"))
+        codes.write.mode("overwrite").parquet(
+            os.path.join(build, "codes"))
+    except BaseException:
+        # A failed/cancelled persistent build must not orphan its
+        # (potentially GBs) temp dir under the long-lived index root —
+        # a timed-out probe row would otherwise leak one per attempt.
+        if persist_root:
+            shutil.rmtree(build, ignore_errors=True)
+        raise
     if persist_root:
         # Atomic publish. A pre-existing `out` is either another
         # process's complete index (adopt it, drop ours) or a stale
-        # partial from a crashed legacy build (replace it); the residual
-        # replace race leaves SOME complete index at `out` either way.
+        # partial from a crashed legacy build (replace it). Every
+        # rename-race outcome ends with a complete index at `out`: a
+        # loser whose replace retry ALSO loses adopts the winner's.
         try:
             os.rename(build, out)
         except OSError:
-            if _complete(out):
-                shutil.rmtree(build, ignore_errors=True)
-            else:
+            if not _complete(out):
                 shutil.rmtree(out, ignore_errors=True)
-                os.rename(build, out)
+                try:
+                    os.rename(build, out)
+                except OSError:
+                    # Another process published between our rmtree and
+                    # rename; its index is the one at `out` now.
+                    if not _complete(out):
+                        raise
+            shutil.rmtree(build, ignore_errors=True)
     _IVFPQ_INDEX_DIRS[key] = out
     return out
 

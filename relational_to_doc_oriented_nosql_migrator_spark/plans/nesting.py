@@ -228,11 +228,12 @@ def materialize_streamed_root(
     under the nested schema (pinned by tests/test_streamed_sink.py)."""
     if isinstance(child_names, str):
         child_names = [child_names]
+    child_names = _dedupe(child_names)
     root = next(c for c in plan.collections if c.name == root_name)
     # Plan order, regardless of caller order:
     heavies = [e for e in root.embedded if e.name in set(child_names)]
-    if len(heavies) != len(child_names):
-        missing = set(child_names) - {e.name for e in root.embedded}
+    missing = set(child_names) - {e.name for e in root.embedded}
+    if missing:
         raise ValueError(f"{root_name} has no embedded child {missing}")
     meta = catalog.get_table(root.name)
     df = tables[root.name]

@@ -13,6 +13,7 @@ reference's key-absent semantics for unmatched attributes / empty embeds.
 from __future__ import annotations
 
 import contextlib
+import functools
 import glob
 import json
 import os
@@ -73,6 +74,7 @@ def _replanned(df: DataFrame) -> DataFrame:
     return df.select("*")
 
 
+@functools.lru_cache(maxsize=4096)
 def _fs_for(path: str):
     """(filesystem, fs-local path) for the streamed sink's fragment
     I/O. Scheme-qualified URIs (file://, hdfs://, s3://...) resolve
@@ -80,7 +82,14 @@ def _fs_for(path: str):
     writes fragments on the cluster's SHARED store — on a real cluster
     the fragment datasets and the stitched part files live on the same
     DFS the Spark writers targeted, not on any one machine's disk.
-    Bare paths keep the local POSIX fast path (None filesystem)."""
+    Bare paths keep the local POSIX fast path (None filesystem).
+
+    Memoized per path: the stitch looks fragment directories up once
+    per fragment LINE (a grandchild dir per split-mode element), and
+    the distinct-path population is bounded by the split levels'
+    SMALL_PARENT_ROWS cardinality gate plus one part file per root —
+    without the cache an hdfs://s3 target would re-instantiate a
+    filesystem client thousands of times per root task."""
     if "://" not in path:
         return None, path
     from pyarrow import fs as pafs
@@ -317,6 +326,12 @@ def _write_streamed(pieces, target: str) -> bool:
                 _write_level(ch, f"{target}.__stream{i}_", tmps)
                 for i, ch in enumerate(pieces.children)
             ]
+        # Overwrite semantics, like the distributed writer's
+        # mode("overwrite"): a rerun with FEWER roots must not leave
+        # stale part files from the previous run in the target (every
+        # reader globs part-*, so a leftover file is a phantom
+        # document).
+        _rm_rf(target)
         _mkdirs(target)
 
         def root_key(r):
@@ -366,6 +381,14 @@ def write_json_collections(
     single_file parity mode (explicitly non-scale)."""
     written: list[str] = []
     streamed = streamed or {}
+    if "://" in out_dir and (single_file or zip_path):
+        # The parity modes are explicitly local (driver-side open() and
+        # os.walk): a URI out_dir would yield a silently EMPTY zip or a
+        # FileNotFoundError mid-write — reject it loudly instead.
+        raise ValueError(
+            "single_file / zip_path are local parity modes; out_dir "
+            "must be a bare local path, not a URI"
+        )
     _mkdirs(out_dir)
     for name, df in collections.items():
         df = _replanned(df)

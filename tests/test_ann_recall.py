@@ -160,6 +160,29 @@ def test_persistent_index_publish_is_atomic(spark, tmp_path, monkeypatch):
     assert _glob.glob(os.path.join(str(tmp_path), "*.build_*")) == []
 
 
+def test_persistent_index_failed_build_leaves_no_orphan(spark, tmp_path,
+                                                        monkeypatch):
+    """A failed (or cancelled) persistent build must remove its .build_
+    temp dir — a timed-out probe row would otherwise leak a partial
+    index per attempt under the long-lived SPARK_GRAFT_INDEX_DIR."""
+    import glob as _glob
+    import os
+
+    import pytest
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
+
+    def boom(*a, **k):
+        raise RuntimeError("synthetic build failure")
+
+    monkeypatch.setattr(S, "_pq_codes", boom)
+    with pytest.raises(RuntimeError, match="synthetic build failure"):
+        S.build_ivfpq_index(spark, SF001)
+    assert _glob.glob(os.path.join(str(tmp_path), "*.build_*")) == []
+    assert S._IVFPQ_INDEX_DIRS == {}  # no poisoned cache entry
+
+
 def test_sampled_training_parity_and_recall(spark, monkeypatch):
     """Lloyd/PQ training runs on a bounded md5-ordered sample past
     TRAIN_SAMPLE_MAX (r06 verdict task #4). At sf0.01 the cap (16384)

@@ -342,6 +342,48 @@ def test_streamed_assembly_exotic_keys(spark, tmp_path):
         assert [o["oval"] for o in by_key[k]["others"]] == [f"o-{k}"]
 
 
+def test_streamed_rerun_overwrites_stale_parts(spark, both_outputs,
+                                               tmp_path):
+    """Overwrite semantics (distributed-writer parity): rerunning into
+    the same target with FEWER roots must not leave stale part files —
+    every reader globs part-*, so a leftover is a phantom document."""
+    collections, _n, _s, _w, _w2 = both_outputs
+    _colls, streamed = migrate_streamed(spark, SF0001, threshold=0)
+    pieces = streamed["region"]
+    out = str(tmp_path / "rerun")
+    full_roots = pieces.roots
+    write_json_collections(
+        {"region": collections["region"]}, out, streamed={"region": pieces}
+    )
+    assert len(glob.glob(os.path.join(out, "region", "part-*"))) == 5
+    pieces.roots = full_roots.limit(2)
+    write_json_collections(
+        {"region": collections["region"]}, out, streamed={"region": pieces}
+    )
+    parts = glob.glob(os.path.join(out, "region", "part-*"))
+    assert len(parts) == 2
+    assert len(_read_ndjson_lines(os.path.join(out, "region"))) == 2
+
+
+def test_materialize_streamed_root_arg_validation(spark):
+    """Duplicate child names dedupe (caller convenience); an unknown
+    child raises naming the actual missing collection."""
+    from relational_to_doc_oriented_nosql_migrator_spark.plans.nesting import (
+        materialize_streamed_root,
+    )
+
+    catalog, tables = build_testdata_catalog(spark, SF0001)
+    plan = convert_schema(catalog)
+    pieces = materialize_streamed_root(
+        tables, catalog, plan, "region", ["nation", "nation"], threshold=0
+    )
+    assert [c.name for c in pieces.children] == ["nation"]
+    with pytest.raises(ValueError, match="no_such_child"):
+        materialize_streamed_root(
+            tables, catalog, plan, "region", ["no_such_child"], threshold=0
+        )
+
+
 def test_streamed_sink_uri_target(spark, both_outputs, tmp_path):
     """Scheme-qualified targets route fragment listing, fragment reads,
     and the stitched part-file writes through pyarrow.fs — the

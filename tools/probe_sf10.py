@@ -66,21 +66,6 @@ def main():
     # (delete $PROBE_DONE to force a re-probe of finished ids).
     ids = [q for q in (sys.argv[1:] or list(qs)) if q not in done]
     timeout = int(os.environ.get("PROBE_TIMEOUT", "900"))
-    # Amortized-index contract (r09 verdict task #5): the *_indexed ids
-    # measure SEARCH economics; the one-time TRAIN+BUILD pass is its own
-    # auxiliary ledger row, run once per probe against a PERSISTENT
-    # index dir (survives the fresh-JVM re-exec rotation), so both
-    # indexed ids — and every later generation — read the same artifact
-    # instead of paying an in-run rebuild each.
-    indexed_ids = {"ext_similarity_ivfpq_indexed", "ext_knn_classify_indexed"}
-    if any(q in indexed_ids for q in ids):
-        os.environ.setdefault(
-            "SPARK_GRAFT_INDEX_DIR",
-            os.path.join(os.path.dirname(done_path) or ".", "ivfpq_index"),
-        )
-        if AUX_BUILD not in done:
-            pos = min(i for i, q in enumerate(ids) if q in indexed_ids)
-            ids.insert(pos, AUX_BUILD)
     # Self-rotation (the sweep's lesson, replayed at sf10 in round 6):
     # an 8 GB JVM that has aged through ~30 ids OOMs on the heaviest
     # ones (sink_json_collections' full migrate + nested-JSON write
@@ -139,6 +124,23 @@ def main():
         print(f"SKIP failed/timed-out-{max_timeouts}x: {sorted(exhausted)}",
               flush=True)
         ids = [q for q in ids if q not in exhausted]
+    # Amortized-index contract (r09 verdict task #5): the *_indexed ids
+    # measure SEARCH economics; the one-time TRAIN+BUILD pass is its own
+    # auxiliary ledger row, run once per probe against a PERSISTENT
+    # index dir (survives the fresh-JVM re-exec rotation), so both
+    # indexed ids — and every later generation — read the same artifact
+    # instead of paying an in-run rebuild each. Inserted AFTER the
+    # exhausted filter: if every *_indexed consumer has been dropped,
+    # there is no one to read the index and the build must not run.
+    indexed_ids = {"ext_similarity_ivfpq_indexed", "ext_knn_classify_indexed"}
+    if any(q in indexed_ids for q in ids):
+        os.environ.setdefault(
+            "SPARK_GRAFT_INDEX_DIR",
+            os.path.join(os.path.dirname(done_path) or ".", "ivfpq_index"),
+        )
+        if AUX_BUILD not in done:
+            pos = min(i for i, q in enumerate(ids) if q in indexed_ids)
+            ids.insert(pos, AUX_BUILD)
     n_this_process = 0
     pool = cf.ThreadPoolExecutor(max_workers=1)
     for qid in ids:
