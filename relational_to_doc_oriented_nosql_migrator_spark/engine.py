@@ -90,8 +90,10 @@ def migrate(
     normalize_dates: bool = True,
 ) -> dict[str, DataFrame]:
     """Full pipeline: returns {root collection name: nested DataFrame}."""
-    return _pipeline(spark, sf_dir, log_content, log_dialect,
-                     normalize_dates)[3]
+    _catalog, _tables, _plan, collections = _pipeline(
+        spark, sf_dir, log_content, log_dialect, normalize_dates
+    )
+    return collections
 
 
 def migrate_streamed(

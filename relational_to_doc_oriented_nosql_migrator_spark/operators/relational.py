@@ -681,15 +681,16 @@ def q_sink_json_collections(spark, sf_dir):
         collections, streamed = migrate_streamed(spark, sf_dir)
         written = write_json_collections(collections, out_dir,
                                          streamed=streamed)
-        # Read back with the writer's schema: json without one pays a full
-        # schema-inference scan per collection (2x the read cost).
+        # Read back as TEXT lines: the writer emits exactly one NDJSON
+        # line per document and never a blank line, so the line count IS
+        # the doc count — without re-parsing every nested JSON byte into
+        # structs (which at the sf10 probe cost as much as the write
+        # itself). Full schema-parse round-trip fidelity is pinned
+        # separately by tests/test_streamed_sink.py and the golden
+        # suite, which read the same output back under the nested
+        # schema and compare values.
         rows = [
-            (
-                name,
-                spark.read.schema(collections[name].schema)
-                .json(f"{out_dir}/{name}")
-                .count(),
-            )
+            (name, spark.read.text(f"{out_dir}/{name}").count())
             for name in sorted(written)
         ]
     finally:

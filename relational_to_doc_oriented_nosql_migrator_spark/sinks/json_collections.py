@@ -163,6 +163,57 @@ def _mkdirs(path: str) -> None:
         fs.create_dir(p, recursive=True)
 
 
+def _rename(src: str, dst: str) -> None:
+    """Atomic-on-POSIX rename (last-wins on collision); the pyarrow.fs
+    leg uses move(), whose atomicity is the target store's (rename on
+    HDFS/local, copy+delete on object stores — the standard Spark
+    committer trade-off). src and dst are always siblings here, so they
+    resolve through the same filesystem."""
+    fs, ps = _fs_for(src)
+    _fs2, pd_ = _fs_for(dst)
+    if fs is None:
+        os.replace(ps, pd_)
+    else:
+        fs.move(ps, pd_)
+
+
+def _part_bytes(dirpath: str) -> int:
+    """Total bytes across a directory's part-* files — the post-write
+    emptiness check (an empty NDJSON write is all-zero-byte part files),
+    replacing the pre-write isEmpty() whose take(1) re-executed the
+    whole map side of a nested collection's plan."""
+    fs, p = _fs_for(dirpath)
+    if fs is None:
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(p, "part-*"))
+        )
+    from pyarrow import fs as pafs
+
+    return sum(
+        i.size or 0
+        for i in fs.get_file_info(pafs.FileSelector(p))
+        if i.type == pafs.FileType.File
+        and i.path.rsplit("/", 1)[-1].startswith("part-")
+    )
+
+
+def _attempt_tag() -> str:
+    """Unique-per-task-attempt suffix for in-progress part files: a
+    speculative or zombie duplicate attempt writes its own temp file and
+    the final rename is last-wins-atomic, so two attempts can never
+    interleave bytes into one part (Spark's own writers use the same
+    attempt-scoped-temp + commit shape)."""
+    import uuid
+
+    from pyspark import TaskContext
+
+    tc = TaskContext.get()
+    if tc is not None:
+        return str(tc.taskAttemptId())
+    return uuid.uuid4().hex[:12]
+
+
 def _rm_rf(path: str) -> None:
     fs, p = _fs_for(path)
     if fs is None:
@@ -287,7 +338,34 @@ def _write_level(level, path: str, tmps: list[str]) -> _LevelSpec:
     return _LevelSpec(level.name, _partition_dirs(path, "__pk"), children)
 
 
-def _write_streamed(pieces, target: str) -> bool:
+def _stitch_part(part_path: str, batch, specs) -> None:
+    """Write one final part file: the NDJSON lines of a batch of roots,
+    in batch order. Task-commit protocol: the bytes stream into an
+    attempt-unique dot-temp sibling (invisible to every part-* glob and
+    to Spark readers), then one rename publishes it — a duplicate task
+    attempt races on the rename, not on the bytes."""
+    base = part_path.rsplit("/", 1)
+    tmp = (
+        f"{base[0]}/.{base[1]}.{_attempt_tag()}.tmp"
+        if len(base) == 2
+        else f".{part_path}.{_attempt_tag()}.tmp"
+    )
+    with _open_text_out(tmp) as out:
+        for _idx, keys, segs in batch:
+            _write_doc(out, segs, keys, specs)
+            out.write("\n")
+    _rename(tmp, part_path)
+
+
+# Ceiling on final part files for one streamed collection: a
+# thousand-root collection batches ~root_count/max_parts roots per task
+# instead of emitting one part file per root (r10 verdict task #4).
+# Tiny root counts (every TPC-H-shaped corpus here) stay one-root-per-
+# part. Override per call via write_json_collections(stream_max_parts=).
+STREAM_MAX_PARTS = 1024
+
+
+def _write_streamed(pieces, target: str, max_parts: int = None) -> bool:
     """Assemble one HEAVY root collection in file space (r08 verdict #2):
     every over-threshold child level's documents are written by Spark as
     per-parent-key sorted JSON fragments (text files partitioned by the
@@ -308,12 +386,25 @@ def _write_streamed(pieces, target: str) -> bool:
     part file — the driver never loops over fragment bytes, and a heavy
     root collection's final write parallelizes across the cluster
     instead of serializing through one driver file handle. File order
-    (part-00000.., sorted by root key) keeps the output deterministic.
+    (part-00000.., sorted by root key) keeps the output deterministic;
+    past max_parts roots, consecutive sorted roots batch into one part
+    file per task (multiple NDJSON lines — the same layout the
+    distributed writer produces), so a thousand-root collection never
+    emits a thousand part files (r10 verdict task #4).
+
+    Publication is a directory swap (r10 ADVICE): parts stitch into a
+    temp sibling and only a fully-stitched directory replaces the
+    target, so a failure mid-stitch leaves the previous output intact
+    instead of a part-file torso.
 
     Returns False for an empty collection (nothing written)."""
+    import uuid
+
     spark = pieces.roots.sparkSession
     tmps: list[str] = []
     n = len(pieces.children)
+    if max_parts is None:
+        max_parts = STREAM_MAX_PARTS
     try:
         with _sort_based_collects(spark):
             # Roots FIRST: the frame is metadata-light, and an empty
@@ -326,13 +417,9 @@ def _write_streamed(pieces, target: str) -> bool:
                 _write_level(ch, f"{target}.__stream{i}_", tmps)
                 for i, ch in enumerate(pieces.children)
             ]
-        # Overwrite semantics, like the distributed writer's
-        # mode("overwrite"): a rerun with FEWER roots must not leave
-        # stale part files from the previous run in the target (every
-        # reader globs part-*, so a leftover file is a phantom
-        # document).
-        _rm_rf(target)
-        _mkdirs(target)
+        stage = f"{target}.__publish_{uuid.uuid4().hex[:8]}"
+        tmps.append(stage)
+        _mkdirs(stage)
 
         def root_key(r):
             return tuple(
@@ -348,18 +435,30 @@ def _write_streamed(pieces, target: str) -> bool:
             )
             for idx, r in enumerate(sorted(roots, key=root_key))
         ]
+        per_task = -(-len(payloads) // max(1, max_parts))
+        batches = [
+            (bi, payloads[off:off + per_task])
+            for bi, off in enumerate(
+                range(0, len(payloads), per_task)
+            )
+        ]
 
-        def write_roots(part):
-            for idx, keys, segs in part:
-                with _open_text_out(
-                    f"{target}/part-{idx:05d}.json"
-                ) as out:
-                    _write_doc(out, segs, keys, specs)
-                    out.write("\n")
+        def write_parts(part):
+            for bi, batch in part:
+                _stitch_part(f"{stage}/part-{bi:05d}.json", batch, specs)
 
         spark.sparkContext.parallelize(
-            payloads, max(1, len(payloads))
-        ).foreachPartition(write_roots)
+            batches, max(1, len(batches))
+        ).foreachPartition(write_parts)
+        # Overwrite semantics, like the distributed writer's
+        # mode("overwrite"): a rerun with FEWER roots must not leave
+        # stale part files in the target (every reader globs part-*, so
+        # a leftover file is a phantom document). Delete-then-rename is
+        # not one atomic op, but the stage directory is complete before
+        # the old output disappears — no failure point leaves less than
+        # one whole output behind.
+        _rm_rf(target)
+        _rename(stage, target)
         return True
     finally:
         for t in tmps:
@@ -372,13 +471,17 @@ def write_json_collections(
     single_file: bool = False,
     zip_path: str | None = None,
     streamed: dict | None = None,
+    stream_max_parts: int | None = None,
 ) -> list[str]:
     """Write each non-empty collection; returns the names written.
 
     streamed: optional {collection name: plans.nesting.StreamedRoot} —
     those collections are assembled per-root in file space instead of
     materializing root-document rows (see _write_streamed). Ignored in
-    single_file parity mode (explicitly non-scale)."""
+    single_file parity mode (explicitly non-scale).
+
+    stream_max_parts: part-file ceiling per streamed collection
+    (default STREAM_MAX_PARTS)."""
     written: list[str] = []
     streamed = streamed or {}
     if "://" in out_dir and (single_file or zip_path):
@@ -389,12 +492,29 @@ def write_json_collections(
             "single_file / zip_path are local parity modes; out_dir "
             "must be a bare local path, not a URI"
         )
+    if "://" not in out_dir and collections:
+        # A bare local path on a multi-node cluster silently corrupts
+        # output (r10 ADVICE): executors write partition dirs to THEIR
+        # local disks, the stitch's glob misses them, and child arrays
+        # vanish without an error. Mirror the parity modes' loud
+        # ValueError instead of relying on a docstring.
+        master = (
+            next(iter(collections.values())).sparkSession
+            .sparkContext.master or ""
+        )
+        if not master.startswith("local"):
+            raise ValueError(
+                f"out_dir {out_dir!r} has no filesystem scheme but the "
+                f"cluster master is {master!r}: executors would scatter "
+                "fragments across their local disks. Use a shared-store "
+                "URI (hdfs://, s3://, file:// on a shared mount)."
+            )
     _mkdirs(out_dir)
     for name, df in collections.items():
         df = _replanned(df)
         target = f"{out_dir.rstrip('/')}/{name}"
         if name in streamed and not single_file:
-            if _write_streamed(streamed[name], target):
+            if _write_streamed(streamed[name], target, stream_max_parts):
                 written.append(name)
             continue
         with _sort_based_collects(df.sparkSession):
@@ -418,10 +538,20 @@ def write_json_collections(
                 with open(f"{target}.json", "w") as fh:
                     json.dump(docs, fh, default=str)
             else:
-                if df.isEmpty():
+                # Write FIRST, then decide emptiness from the written
+                # part files' byte sizes (one fs metadata listing): the
+                # old isEmpty() pre-check ran take(1), which re-executes
+                # the whole map side of a nested collection's plan — at
+                # the sf10 probe that was a second pass over every
+                # child shuffle per collection. An empty write is all
+                # zero-byte part files; drop it like the reference drops
+                # empty collections (`filter_nonempty_collection`,
+                # server/WriteToFile.js:9-11).
+                df.write.mode("overwrite").json(target)
+                if _part_bytes(target) == 0:
+                    _rm_rf(target)
                     continue
                 written.append(name)
-                df.write.mode("overwrite").json(target)
     if zip_path:
         zip_abs = os.path.abspath(zip_path)
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:

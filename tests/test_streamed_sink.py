@@ -435,3 +435,60 @@ def test_streamed_empty_root_skipped(spark, both_outputs):
         assert not os.path.exists(os.path.join(out, "region"))
     finally:
         __import__("shutil").rmtree(out, ignore_errors=True)
+
+
+def test_stream_max_parts_batches_roots(spark, both_outputs, tmp_path):
+    """roots-per-task batching (r10 verdict #4): with stream_max_parts
+    below the root count, consecutive sorted roots share one part file
+    (multiple NDJSON lines) and the parsed output is unchanged — so a
+    thousand-root collection never emits a thousand part files."""
+    collections, normal_dir, _s, _w, _w2 = both_outputs
+    _colls, streamed = migrate_streamed(spark, SF0001, threshold=0)
+    out = str(tmp_path / "batched")
+    wrote = write_json_collections(
+        {"region": collections["region"]}, out,
+        streamed={"region": streamed["region"]}, stream_max_parts=2,
+    )
+    assert wrote == ["region"]
+    parts = sorted(
+        os.path.basename(p)
+        for p in glob.glob(os.path.join(out, "region", "part-*"))
+    )
+    # 5 roots, ceil(5/2)=3 per task -> 2 parts of 3+2 lines
+    assert parts == ["part-00000.json", "part-00001.json"]
+    schema = collections["region"].schema
+    batched = sorted(
+        spark.read.schema(schema)
+        .json(os.path.join(out, "region"))
+        .toJSON()
+        .collect()
+    )
+    normal = sorted(
+        spark.read.schema(schema)
+        .json(os.path.join(normal_dir, "region"))
+        .toJSON()
+        .collect()
+    )
+    assert batched == normal
+    # publish is a directory swap: no stage/temp litter next to target
+    leftovers = [p for p in os.listdir(out) if p != "region"]
+    assert leftovers == []
+
+
+def test_bare_local_out_dir_rejected_off_local_master(tmp_path):
+    """A bare local out_dir on a non-local master must raise loudly
+    (r10 ADVICE #2): executors would scatter fragment dirs across their
+    own disks and the stitch would silently omit child arrays."""
+    import pytest
+
+    class _Ctx:
+        master = "spark://cluster:7077"
+
+    class _Sess:
+        sparkContext = _Ctx()
+
+    class _DF:
+        sparkSession = _Sess()
+
+    with pytest.raises(ValueError, match="scatter"):
+        write_json_collections({"c": _DF()}, str(tmp_path / "o"))
