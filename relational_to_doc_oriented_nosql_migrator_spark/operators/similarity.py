@@ -562,6 +562,25 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     return (sf_dir, tuple(sig))
 
 
+def _index_tag(sf_dir: str, key: tuple) -> tuple[str, str]:
+    """(corpus-path tag, full index tag) for the persistent index
+    directory name. The full tag folds in the corpus fingerprint AND
+    the build-relevant training constants (read at call time), so a
+    process running with overridden constants — a test monkeypatching
+    TRAIN_SAMPLE_MAX, a tuning experiment — publishes under its own
+    name and can never poison the default-constant index that every
+    other process reuses."""
+    import hashlib
+
+    sftag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
+    build_params = (PQ_M, IVFPQ_K, IVFPQ_TRAIN_ITERS, TRAIN_SAMPLE_MAX,
+                    N_ASSIGN)
+    fptag = hashlib.md5(
+        repr((key, build_params)).encode()
+    ).hexdigest()[:16]
+    return sftag, f"{sftag}_{fptag}"
+
+
 def build_ivfpq_index(spark, sf_dir: str) -> str:
     """Materialize the IVF-PQ index (centroids, inverted lists, trained
     codebook, PQ codes) to parquet — the one-time TRAIN+BUILD pass whose
@@ -573,29 +592,34 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     by cent_id for list pruning); searches then touch only these
     compact relations plus |queries| x ADC_SHORTLIST raw rows.
 
-    Persistent mode (the nightly-job seam made literal): when
-    SPARK_GRAFT_INDEX_DIR is set, the index lands under a
-    corpus-fingerprint-keyed directory there and a LATER PROCESS reuses
-    it without rebuilding — searches then pay only search. The
-    fingerprint (file mtimes + sizes) keys the directory name, so a
-    regenerated corpus can never be served a stale index; a partial
-    build (missing relation dirs) is rebuilt. Publication is ATOMIC:
-    the build lands in a process-unique temp directory under the same
-    root and is os.rename'd to the fingerprint path, so a concurrent
-    reader can never pass the completeness check mid-build and two
-    concurrent builders can't interleave writes into one directory —
-    the loser of the rename race adopts the winner's index. Default
-    stays a process-scoped tempdir removed at exit.
+    Persistence is the DEFAULT (r10 verdict task #2 — without it the
+    indexed ids trained per process, costing 5.6x their brute-force
+    siblings at the sf1.0 sweep): the index lands under a
+    corpus-fingerprint-keyed directory and a LATER PROCESS reuses it
+    without rebuilding — searches then pay only search. The root is
+    SPARK_GRAFT_INDEX_DIR when set, else a fixed location under the
+    system temp dir (the session-scratch analog of a warehouse's index
+    tablespace). The fingerprint (file mtimes + sizes) keys the
+    directory name, so a regenerated corpus can never be served a stale
+    index; a partial build (missing relation dirs) is rebuilt.
+    Publication is ATOMIC: the build lands in a process-unique temp
+    directory under the same root and is os.rename'd to the fingerprint
+    path, so a concurrent reader can never pass the completeness check
+    mid-build and two concurrent builders can't interleave writes into
+    one directory — the loser of the rename race adopts the winner's
+    index. After publish, stale sibling indexes of the SAME corpus path
+    (different fingerprint — a regenerated dataset) are pruned, so the
+    root holds at most one index per corpus.
     """
-    import atexit
-    import hashlib
     import shutil
     import tempfile
 
     key = _corpus_fingerprint(sf_dir)
     if key in _IVFPQ_INDEX_DIRS:
         return _IVFPQ_INDEX_DIRS[key]
-    persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR")
+    persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(), "spark_graft_index"
+    )
 
     def _complete(d: str) -> bool:
         return all(
@@ -603,20 +627,16 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
             for rel in ("centroids", "inverted", "codebook", "codes")
         )
 
-    if persist_root:
-        tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
-        out = os.path.join(persist_root, f"ivfpq_{tag}")
-        if _complete(out):
-            _IVFPQ_INDEX_DIRS[key] = out
-            return out
-        # Build into a process-unique sibling (same filesystem, so the
-        # final rename is atomic), publish below.
-        os.makedirs(persist_root, exist_ok=True)
-        build = tempfile.mkdtemp(prefix=f"ivfpq_{tag}.build_",
-                                 dir=persist_root)
-    else:
-        build = out = tempfile.mkdtemp(prefix="sg_ivfpq_index_")
-        atexit.register(shutil.rmtree, out, ignore_errors=True)
+    sftag, tag = _index_tag(sf_dir, key)
+    out = os.path.join(persist_root, f"ivfpq_{tag}")
+    if _complete(out):
+        _IVFPQ_INDEX_DIRS[key] = out
+        return out
+    # Build into a process-unique sibling (same filesystem, so the
+    # final rename is atomic), publish below.
+    os.makedirs(persist_root, exist_ok=True)
+    build = tempfile.mkdtemp(prefix=f"ivfpq_{tag}.build_",
+                             dir=persist_root)
     try:
         emb = _emb(spark, sf_dir, spread=True)
         embn = emb.select(
@@ -648,28 +668,40 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
         # A failed/cancelled persistent build must not orphan its
         # (potentially GBs) temp dir under the long-lived index root —
         # a timed-out probe row would otherwise leak one per attempt.
-        if persist_root:
-            shutil.rmtree(build, ignore_errors=True)
+        shutil.rmtree(build, ignore_errors=True)
         raise
-    if persist_root:
-        # Atomic publish. A pre-existing `out` is either another
-        # process's complete index (adopt it, drop ours) or a stale
-        # partial from a crashed legacy build (replace it). Every
-        # rename-race outcome ends with a complete index at `out`: a
-        # loser whose replace retry ALSO loses adopts the winner's.
-        try:
-            os.rename(build, out)
-        except OSError:
-            if not _complete(out):
-                shutil.rmtree(out, ignore_errors=True)
-                try:
-                    os.rename(build, out)
-                except OSError:
-                    # Another process published between our rmtree and
-                    # rename; its index is the one at `out` now.
-                    if not _complete(out):
-                        raise
-            shutil.rmtree(build, ignore_errors=True)
+    # Atomic publish. A pre-existing `out` is either another
+    # process's complete index (adopt it, drop ours) or a stale
+    # partial from a crashed legacy build (replace it). Every
+    # rename-race outcome ends with a complete index at `out`: a
+    # loser whose replace retry ALSO loses adopts the winner's.
+    try:
+        os.rename(build, out)
+    except OSError:
+        if not _complete(out):
+            shutil.rmtree(out, ignore_errors=True)
+            try:
+                os.rename(build, out)
+            except OSError:
+                # Another process published between our rmtree and
+                # rename; its index is the one at `out` now.
+                if not _complete(out):
+                    raise
+        shutil.rmtree(build, ignore_errors=True)
+    # Prune stale siblings of the SAME corpus path (regenerated data
+    # left a different-fingerprint index behind): bounds the persistent
+    # root to one index per corpus. A concurrent reader of a pruned dir
+    # was already reading an index of data that no longer exists.
+    try:
+        import glob as _glob
+
+        for d in _glob.glob(
+            os.path.join(persist_root, f"ivfpq_{sftag}_*")
+        ):
+            if d != out and ".build_" not in os.path.basename(d):
+                shutil.rmtree(d, ignore_errors=True)
+    except OSError:
+        pass
     _IVFPQ_INDEX_DIRS[key] = out
     return out
 

@@ -142,13 +142,12 @@ def test_persistent_index_publish_is_atomic(spark, tmp_path, monkeypatch):
     build — is replaced by a complete index, and no .build_ temp dirs
     leak after publish."""
     import glob as _glob
-    import hashlib
     import os
 
     monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path))
     monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
     key = S._corpus_fingerprint(SF001)
-    tag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    _sftag, tag = S._index_tag(SF001, key)
     stale = os.path.join(str(tmp_path), f"ivfpq_{tag}")
     # partial: one relation present, three missing
     os.makedirs(os.path.join(stale, "centroids"))
@@ -221,3 +220,45 @@ def test_sampled_training_parity_and_recall(spark, monkeypatch):
     truth = _topk_sets(S.q_ext_similarity_topk(spark, SF001))
     pq = _recall(truth, _topk_sets(S.q_ext_similarity_ivfpq(spark, SF001)))
     assert pq >= 0.8, f"sampled-training recall@3 degraded: {pq:.3f}"
+
+
+def test_default_index_root_persists_and_prunes(spark, tmp_path,
+                                                monkeypatch):
+    """Persistence is the DEFAULT (r10 verdict task #2): with no
+    SPARK_GRAFT_INDEX_DIR the index lands under the fixed system-temp
+    root, a 'later process' (cleared in-process cache) reuses it
+    without rebuilding, and a stale sibling of the same corpus path —
+    a different fingerprint after data regeneration — is pruned on
+    publish."""
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
+    # keep the fixed default location out of the shared /tmp for the
+    # test by pointing tempfile's notion of tempdir at tmp_path
+    monkeypatch.setattr("tempfile.tempdir", str(tmp_path))
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
+    key = S._corpus_fingerprint(SF001)
+    sftag, _tag = S._index_tag(SF001, key)
+    root = os.path.join(str(tmp_path), "spark_graft_index")
+    stale = os.path.join(root, f"ivfpq_{sftag}_deadbeefdeadbeef")
+    os.makedirs(stale)
+    first = S.build_ivfpq_index(spark, SF001)
+    assert first.startswith(root)
+    assert not os.path.exists(stale), "stale same-corpus index not pruned"
+    marker = os.path.join(first, "codes", "_SUCCESS")
+    mtime = os.stat(marker).st_mtime_ns
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
+    again = S.build_ivfpq_index(spark, SF001)
+    assert again == first
+    assert os.stat(marker).st_mtime_ns == mtime, "index was rebuilt"
+
+
+def test_overridden_constants_get_their_own_index(monkeypatch):
+    """A process with overridden training constants must key a
+    DIFFERENT persistent directory (it would otherwise poison the
+    default-constant index every other process reuses)."""
+    key = S._corpus_fingerprint(SF001)
+    _s, tag_default = S._index_tag(SF001, key)
+    monkeypatch.setattr(S, "TRAIN_SAMPLE_MAX", 256)
+    _s2, tag_patched = S._index_tag(SF001, key)
+    assert tag_patched != tag_default

@@ -46,6 +46,12 @@ class _QueryTimeout(Exception):
     (an OOM inside the scheduler thread hangs rather than crashes)."""
 
 
+# Auxiliary ledger id: the IVF-PQ TRAIN+BUILD pass (not a registry
+# query — the nightly-job cost, recorded separately so the *_indexed
+# rows reflect amortized search). Same id the sf10 probe uses.
+AUX_BUILD = "aux_ivfpq_index_build"
+
+
 def _kill_child_jvms() -> None:
     """SIGKILL any java child of THIS process (pure /proc, no Py4J — the
     whole point is that the gateway may be wedged). Without this, an
@@ -160,7 +166,22 @@ def main() -> int:
     # hard OOM death takes, just taken proactively. <= 0 disables.
     restart_every = int(os.environ.get("SWEEP_RESTART_EVERY", "12"))
     n_this_process = 0
-    for qid in sorted(qs):
+    ids = sorted(qs)
+    # Amortized-index contract, sweep edition (r10 verdict task #2):
+    # the *_indexed ids measure SEARCH economics; the one-time
+    # TRAIN+BUILD runs first as its own auxiliary ledger row against
+    # the DEFAULT persistent index root (fingerprint-keyed under the
+    # system temp dir — survives the fresh-JVM re-exec rotation), so
+    # both indexed ids, and every later generation, read the same
+    # artifact instead of paying an in-run rebuild each.
+    indexed_ids = {"ext_similarity_ivfpq_indexed",
+                   "ext_knn_classify_indexed"}
+    if any(q in indexed_ids and q not in done and q not in failed
+           for q in ids):
+        if AUX_BUILD not in done:
+            pos = min(i for i, q in enumerate(ids) if q in indexed_ids)
+            ids.insert(pos, AUX_BUILD)
+    for qid in ids:
         if qid in SKIP or qid in done or qid in failed:
             continue
         # Restart BEFORE a known heap-hungry id unless the JVM is
@@ -183,7 +204,15 @@ def main() -> int:
         try:
             signal.alarm(query_timeout)
             try:
-                n = qs[qid](spark, sf).count()
+                if qid == AUX_BUILD:
+                    from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (  # noqa: E501
+                        build_ivfpq_index,
+                    )
+
+                    build_ivfpq_index(spark, sf)
+                    n = 4  # index relations published
+                else:
+                    n = qs[qid](spark, sf).count()
             finally:
                 signal.alarm(0)
             t = round(time.time() - t0, 2)
