@@ -43,76 +43,74 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # the ledger landing and the next freeze. Bump it (and re-paste the
 # literal) exactly once per round, when rotating the window.
 #
-# Round-10 window: ROUND_CHANGED_IDS is EMPTY, deliberately. The
-# round's code changes touch two registered ids but only in paths the
-# driver's sf0.01 geometry never executes: sink_json_collections'
-# streamed assembly engages only past HEAVY_ROOT_SUBTREE_ROWS (5M
-# subtree rows — the sf0.01 run takes the ordinary distributed writer,
-# re-verified 6=6 vs the oracle this round), and the IVF-PQ index's
-# atomic publish engages only under SPARK_GRAFT_INDEX_DIR, which the
-# driver doesn't set (values identical either way — the r09
-# ext_knn_classify_indexed row already hard-signal-proves the search
-# SQL). Promoting either would push one of the 48 three-rounds-stale
-# r07 ids out of the window for zero new signal (the r09
-# ext_similarity_lsh precedent). The 50 slots are pure freshness:
-# the 48 r07-latest ids plus the two stalest r08 ids (ledger state
-# after r09: r09 50, r08 48, r07 48). Invariant after the r10 driver
-# run: every id's latest row is r08+ (<= 2 rounds stale).
-WINDOW_LEDGER_MAX = 9
+# Round-11 window: ROUND_CHANGED_IDS promotes the three ids whose
+# DRIVER-EXECUTED geometry changed this round: sink_json_collections
+# (write-then-check emptiness + NDJSON text-count read-back replace the
+# isEmpty()/schema-parse path at every scale) and the two *_indexed
+# similarity ids (index persistence is now the DEFAULT — the driver's
+# env-var-less run now exercises the fingerprint-keyed publish/reuse
+# path). The remaining 47 slots are stalest-first: the r08-latest
+# cohort (ledger state after r10: r10 50, r09 50, r08 46). Invariant
+# after the r11 driver run: every id's latest row is r09+.
+WINDOW_LEDGER_MAX = 10
 
-ROUND_CHANGED_IDS = ()
+ROUND_CHANGED_IDS = (
+    "sink_json_collections",
+    "ext_similarity_ivfpq_indexed",
+    "ext_knn_classify_indexed",
+)
 
 DRIVER_WINDOW_FIRST = (
-    "src_full_scan",
-    "src_sql_dump_import",
-    "src_indexed_lookup",
-    "src_csv_import",
-    "src_jsonl_import",
-    "src_parquet_mergeschema",
-    "ext_fk_orphan_audit",
-    "ext_migrate_reconcile",
-    "ext_fuzzy_join_names",
-    "ext_basket_pairs",
-    "ext_profile_table",
-    "ext_skew_report",
-    "ext_corr_stats",
-    "ext_events_funnel",
-    "ext_events_retention",
-    "ext_events_attribution",
-    "ext_events_sessionize",
-    "ext_session_paths",
-    "ext_events_transitions",
-    "ext_events_anomaly",
-    "ext_pivot",
-    "ext_unpivot",
-    "ext_histogram",
-    "ext_moving_avg",
-    "ext_text_entropy",
-    "ext_text_bigram_logprob",
-    "ext_text_chunk",
-    "ext_text_pmi",
-    "ext_text_quality_score",
-    "ext_dedup_dup_rate",
-    "ext_dedup_canonical",
-    "ext_dedup_minhash",
-    "ext_dedup_containment",
-    "ext_dedup_minhash_incremental",
-    "ext_similarity_ivf",
-    "ext_similarity_ivfpq",
+    "sink_json_collections",
     "ext_similarity_ivfpq_indexed",
-    "ext_embed_centroids",
-    "ext_embed_quantize",
-    "ext_embed_pq",
-    "ext_stream_cdc_upsert",
-    "ext_stream_sessionize",
-    "ext_mm_dedup_exact",
-    "ext_mm_decode_dims",
-    "ext_cdc_merge_latest",
-    "ext_incremental_agg",
-    "sink_parquet_compacted",
-    "sink_parquet_sorted",
-    "proj_attribute_select",
-    "proj_drop_fk_column",
+    "ext_knn_classify_indexed",
+    "proj_rename_ref",
+    "join_nest_one_to_many",
+    "join_nest_salted",
+    "agg_collect_children",
+    "fn_split_trim",
+    "ext_window_ntile",
+    "ext_approx_distinct",
+    "ext_text_stats",
+    "ext_text_quality",
+    "ext_text_langid",
+    "ext_text_fingerprint",
+    "ext_text_perplexity_bucket",
+    "ext_dedup_exact",
+    "ext_dedup_ngram_jaccard",
+    "ext_dedup_simhash",
+    "ext_dedup_simhash_pairs",
+    "ext_similarity_topk",
+    "ext_similarity_lsh",
+    "stream_to_json_files",
+    "ext_stream_tumbling_agg",
+    "ext_stream_sliding_agg",
+    "ext_stream_session_agg",
+    "ext_stream_dedup",
+    "ext_stream_stateful",
+    "ext_mm_attach_meta",
+    "ext_mm_decode_features",
+    "ext_mm_resize",
+    "ext_mm_frame_sample",
+    "ext_asof_join",
+    "ext_range_join",
+    "plan_topo_order",
+    "plan_self_ref_detect",
+    "plan_embed_or_reference",
+    "plan_one_way_embed",
+    "plan_two_way_embed",
+    "plan_referencing",
+    "sink_http_response",
+    "sink_parquet_partitioned",
+    "ext_curation_pipeline",
+    "ext_text_pii_scrub",
+    "ext_decontaminate",
+    "ext_repetition_filter",
+    "ext_domain_mix",
+    "ext_sample_stratified",
+    "ext_graph_pagerank",
+    "filter_fk_match",
+    "filter_nonempty_doc",
 )
 
 
