@@ -656,7 +656,7 @@ def q_filter_nonempty_collection(spark, sf_dir):
     return counts.unionByName(empty).filter(F.col("n_docs") > 0)
 
 
-def q_sink_json_collections(spark, sf_dir):
+def q_sink_json_collections(spark, sf_dir, threshold=None):
     """Round-trip through the JSON collection sink (reference
     server/WriteToFile.js:5-62): migrate, write every non-empty collection
     as distributed JSON, read it back, return per-collection doc counts.
@@ -666,7 +666,10 @@ def q_sink_json_collections(spark, sf_dir):
     Heavy roots (subtree past nesting.HEAVY_ROOT_SUBTREE_ROWS — the sf10
     probe corpus, never the driver/bench scales) assemble per-root in
     file space via migrate_streamed, removing the single-row root-
-    document heap floor (r08 verdict #2)."""
+    document heap floor (r08 verdict #2). threshold overrides
+    HEAVY_ROOT_SUBTREE_ROWS for knee measurement (tools/sink_heap_probe
+    sweeps it at sf10); the registered (spark, sf_dir) call leaves it at
+    the engine default."""
     import shutil
 
     from relational_to_doc_oriented_nosql_migrator_spark.engine import (
@@ -678,7 +681,8 @@ def q_sink_json_collections(spark, sf_dir):
 
     out_dir = __import__("tempfile").mkdtemp(prefix="sink_json_")
     try:
-        collections, streamed = migrate_streamed(spark, sf_dir)
+        collections, streamed = migrate_streamed(spark, sf_dir,
+                                                 threshold=threshold)
         written = write_json_collections(collections, out_dir,
                                          streamed=streamed)
         # Read back as TEXT lines: the writer emits exactly one NDJSON

@@ -59,8 +59,14 @@ def main() -> int:
     sampler.start()
 
     sf = os.environ.get("PROBE_SF_DIR", "/tmp/spark_graft_scale/sf10")
+    # SINK_THRESHOLD sweeps the streamed-assembly knee (r10 verdict
+    # task #5): it overrides nesting.HEAVY_ROOT_SUBTREE_ROWS for this
+    # one run — 0 streams every embedded child, a huge value disables
+    # streaming entirely (pure row materialization).
+    thr_env = os.environ.get("SINK_THRESHOLD")
+    thr = int(thr_env) if thr_env else None
     t0 = time.time()
-    n = e.queries()["sink_json_collections"](spark, sf).count()
+    n = e.queries()["sink_json_collections"](spark, sf, threshold=thr).count()
     t = round(time.time() - t0, 1)
     stop.set()
     sampler.join(timeout=5)
@@ -85,6 +91,7 @@ def main() -> int:
     out = {
         "id": "sink_json_collections",
         "sf_dir": sf,
+        "threshold": thr,
         "t": t,
         "rows": n,
         "peak_heap_mb": round(peak[0] / 2**20),
