@@ -693,10 +693,16 @@ def q_sink_json_collections(spark, sf_dir, threshold=None):
         # separately by tests/test_streamed_sink.py and the golden
         # suite, which read the same output back under the nested
         # schema and compare values.
-        rows = [
-            (name, spark.read.text(f"{out_dir}/{name}").count())
-            for name in sorted(written)
-        ]
+        # Counts run concurrently from driver threads for the same
+        # reason the sink's writes do: each small count job can't fill
+        # the cluster by itself.
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _count(name):
+            return name, spark.read.text(f"{out_dir}/{name}").count()
+
+        with ThreadPoolExecutor(4) as pool:
+            rows = sorted(pool.map(_count, sorted(written)))
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
     return spark.createDataFrame(rows, "collection string, n_docs long")

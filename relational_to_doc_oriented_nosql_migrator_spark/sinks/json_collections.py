@@ -482,7 +482,6 @@ def write_json_collections(
 
     stream_max_parts: part-file ceiling per streamed collection
     (default STREAM_MAX_PARTS)."""
-    written: list[str] = []
     streamed = streamed or {}
     if "://" in out_dir and (single_file or zip_path):
         # The parity modes are explicitly local (driver-side open() and
@@ -510,48 +509,70 @@ def write_json_collections(
                 "URI (hdfs://, s3://, file:// on a shared mount)."
             )
     _mkdirs(out_dir)
+    wrote: dict[str, bool] = {}
+    plain: list[tuple[str, DataFrame, str]] = []
     for name, df in collections.items():
         df = _replanned(df)
         target = f"{out_dir.rstrip('/')}/{name}"
         if name in streamed and not single_file:
-            if _write_streamed(streamed[name], target, stream_max_parts):
-                written.append(name)
+            wrote[name] = _write_streamed(
+                streamed[name], target, stream_max_parts
+            )
             continue
-        with _sort_based_collects(df.sparkSession):
-            if single_file:
-                # Parity mode: one JSON array per collection file, like
-                # the reference's JSON.stringify of the whole collection.
-                # One action per collection; the empty check falls out of
-                # the collect. NOT a scale path: this collects the entire
-                # collection to the driver — byte-parity testing on small
-                # outputs only. The default distributed mode is the one to
-                # point at a real corpus. (It still runs under the
-                # streaming-aggregation confs: the nesting plan executes
-                # inside the collect, with the same allocation profile.)
+        if single_file:
+            # Parity mode: one JSON array per collection file, like
+            # the reference's JSON.stringify of the whole collection.
+            # One action per collection; the empty check falls out of
+            # the collect. NOT a scale path: this collects the entire
+            # collection to the driver — byte-parity testing on small
+            # outputs only. The default distributed mode is the one to
+            # point at a real corpus. (It still runs under the
+            # streaming-aggregation confs: the nesting plan executes
+            # inside the collect, with the same allocation profile.)
+            with _sort_based_collects(df.sparkSession):
                 docs = [json.loads(r) for r in df.toJSON().collect()]
-                if not docs:
-                    # `filter_nonempty_collection` (reference
-                    # server/WriteToFile.js:9-11): empty collections
-                    # dropped.
-                    continue
-                written.append(name)
-                with open(f"{target}.json", "w") as fh:
-                    json.dump(docs, fh, default=str)
-            else:
-                # Write FIRST, then decide emptiness from the written
-                # part files' byte sizes (one fs metadata listing): the
-                # old isEmpty() pre-check ran take(1), which re-executes
-                # the whole map side of a nested collection's plan — at
-                # the sf10 probe that was a second pass over every
-                # child shuffle per collection. An empty write is all
-                # zero-byte part files; drop it like the reference drops
-                # empty collections (`filter_nonempty_collection`,
-                # server/WriteToFile.js:9-11).
-                df.write.mode("overwrite").json(target)
-                if _part_bytes(target) == 0:
-                    _rm_rf(target)
-                    continue
-                written.append(name)
+            if not docs:
+                # `filter_nonempty_collection` (reference
+                # server/WriteToFile.js:9-11): empty collections
+                # dropped.
+                continue
+            wrote[name] = True
+            with open(f"{target}.json", "w") as fh:
+                json.dump(docs, fh, default=str)
+        else:
+            plain.append((name, df, target))
+    if plain:
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _write_one(item):
+            name, df, target = item
+            # Write FIRST, then decide emptiness from the written part
+            # files' byte sizes (one fs metadata listing): the old
+            # isEmpty() pre-check ran take(1), which re-executes the
+            # whole map side of a nested collection's plan — at the
+            # sf10 probe that was a second pass over every child
+            # shuffle per collection. An empty write is all zero-byte
+            # part files; drop it like the reference drops empty
+            # collections (`filter_nonempty_collection`,
+            # server/WriteToFile.js:9-11).
+            df.write.mode("overwrite").json(target)
+            if _part_bytes(target) == 0:
+                _rm_rf(target)
+                return name, False
+            return name, True
+
+        # The write JOBS run concurrently from driver threads: each
+        # flat collection's write parallelism is capped by its input
+        # split count, so serial writes leave most cores idle at every
+        # job's stage tail — concurrent submission makes the wall the
+        # max job, not the sum (the scoped confs are session-wide, so
+        # one context manager brackets all of them; plan-time conf
+        # reads happen inside it).
+        with _sort_based_collects(plain[0][1].sparkSession):
+            with ThreadPoolExecutor(min(4, len(plain))) as pool:
+                for name, ok in pool.map(_write_one, plain):
+                    wrote[name] = ok
+    written = [n for n in collections if wrote.get(n)]
     if zip_path:
         zip_abs = os.path.abspath(zip_path)
         with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:

@@ -60,6 +60,20 @@ def main(argv: list[str]) -> int:
     ap.add_argument("--id", required=True, help="registered query id (A)")
     ap.add_argument("--variant", default=None,
                     help="module.path:callable for side B (omit for solo)")
+    ap.add_argument("--a-variant", default=None,
+                    help="module.path:callable replacing side A's builder "
+                         "(the --id then only labels the output) — for "
+                         "A/Bs whose registered wrapper would let "
+                         "Catalyst prune the work under .count()")
+    ap.add_argument("--action", choices=("count", "collect"),
+                    default="count",
+                    help="execution action. count matches the sweep "
+                         "ledger rows but lets Catalyst PRUNE work that "
+                         "doesn't affect cardinality — a global-agg "
+                         "checksum variant under count() eliminates its "
+                         "ENTIRE child plan (ungrouped aggregates return "
+                         "one row no matter the input). Use collect for "
+                         "checksum variants.")
     ap.add_argument("--reps", type=int, default=5,
                     help="timed reps per side (rep 0 excluded from medians)")
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -83,7 +97,11 @@ def main(argv: list[str]) -> int:
 
     import __spark_entry__ as entry
 
-    builders = {"A": lambda: entry.queries()[args.id](spark, args.sf_dir)}
+    if args.a_variant:
+        a_fn = _resolve_variant(args.a_variant)
+        builders = {"A": lambda: a_fn(spark, args.sf_dir)}
+    else:
+        builders = {"A": lambda: entry.queries()[args.id](spark, args.sf_dir)}
     if args.variant:
         fn = _resolve_variant(args.variant)
         builders["B"] = lambda: fn(spark, args.sf_dir)
@@ -93,7 +111,10 @@ def main(argv: list[str]) -> int:
     for rep in range(args.reps):
         for side, build in builders.items():
             t0 = time.monotonic()
-            n = build().count()
+            if args.action == "collect":
+                n = len(build().collect())
+            else:
+                n = build().count()
             dt = round(time.monotonic() - t0, 2)
             times[side].append(dt)
             prev = rows.setdefault(side, n)

@@ -124,3 +124,39 @@ def q_similarity_lsh_fullkeys(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
     )
+
+
+def _nest_forced(df):
+    """Collapse a nested (c_custkey, c_name, orders array<struct>) frame
+    to ONE checksum row that requires every array element: .count() on
+    the nested frame lets Catalyst PRUNE the collect_list (the r11 skew
+    A/B first measured 0.5s flat for both sides — nothing was being
+    aggregated), so the skew adjudication aggregates over the array
+    contents instead."""
+    return df.agg(
+        F.sum(
+            F.expr("aggregate(orders, 0L, (acc, x) -> acc + x.o_orderkey)")
+        ).alias("order_key_sum"),
+        F.sum(F.size(F.coalesce(F.col("orders"), F.expr("array()"))))
+        .alias("n_orders"),
+    )
+
+
+def q_nest_salted_forced(spark, sf_dir):
+    """join_nest_salted's real nesting plan (salted two-phase
+    collect_list) under the forced-materialization checksum."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.relational import (
+        nest_salted_df,
+    )
+
+    return _nest_forced(nest_salted_df(spark, sf_dir))
+
+
+def q_nest_unsalted_forced(spark, sf_dir):
+    """join_nest_one_to_many's single-shuffle collect_list under the
+    same checksum — the side a planted hot FK should hurt."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.relational import (
+        nest_one_to_many_df,
+    )
+
+    return _nest_forced(nest_one_to_many_df(spark, sf_dir))
