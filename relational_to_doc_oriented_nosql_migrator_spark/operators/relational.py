@@ -736,11 +736,27 @@ def nest_one_to_many_df(spark, sf_dir):
 
 
 def nest_salted_df(spark, sf_dir):
-    """Skew-resistant variant of `nest_one_to_many_df` (SURVEY §7.2 step
-    7): children first aggregate per (fk, salt) so a hot parent's millions
-    of children spread over SALT reducers, then the SALT partial arrays
-    merge per fk. Same result, bounded per-task state under key skew.
-    """
+    """Salted two-phase variant of `nest_one_to_many_df` (SURVEY §7.2
+    step 7): children first aggregate per (fk, salt) so a hot parent's
+    millions of children spread over SALT reducers, then the SALT
+    partial arrays merge per fk. Same result.
+
+    MEASURED SCOPE (r11 planted-skew adjudication, interleaved A/B on
+    15M orders with 10% and 50% of rows on ONE customer): salting the
+    nest aggregation is a WALL-CLOCK LOSS at both skew levels (50.7s vs
+    26.1s trimmed at 50% hot on local[32]/8GB, ratio 0.515; values
+    identical) — the stage-2 reshuffle of document-sized partial arrays
+    costs more than the single-task straggler it removes, and the
+    per-key flatten+sort merge is serial either way. Nor does it buy
+    survival: at a 1 GB heap both variants OOM in the collect_list
+    ArrayBuffer itself, because ONE 7.5M-child document row is the
+    floor no matter how its inputs were spread. What salting does bound
+    is the stage-1 shuffle-write buffer per task. The engine's real
+    answers to this shape are volume-scaled FK repartition + sort-based
+    aggregation (plans/nesting._attach_embedded) for many-moderate
+    groups, and per-root STREAMED assembly (sinks._write_streamed) for
+    giant documents — this op stays registered as the canonical salting
+    shape with its trade-offs measured, not assumed."""
     salt_buckets = 8
     orders = t(spark, sf_dir, "orders")
     customer = t(spark, sf_dir, "customer")
