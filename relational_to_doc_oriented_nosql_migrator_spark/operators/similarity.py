@@ -548,7 +548,10 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
     a stale index."""
     import glob as _glob
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
+    # abspath throughout: a relative and an absolute spelling of the
+    # same corpus must fingerprint identically, or the publish prune
+    # would ping-pong two tags inside one prune scope.
+    path = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
     files = sorted(_glob.glob(path + "*")) or [path]
     sig = []
     for f in files:
@@ -559,34 +562,39 @@ def _corpus_fingerprint(sf_dir: str) -> tuple:
         elif os.path.exists(f):
             st = os.stat(f)
             sig.append((f, st.st_mtime_ns, st.st_size))
-    return (sf_dir, tuple(sig))
+    return (os.path.abspath(sf_dir), tuple(sig))
 
 
 def _index_tag(sf_dir: str, key: tuple) -> tuple[str, str]:
-    """(corpus-path tag, full index tag) for the persistent index
-    directory name. The full tag folds in the corpus fingerprint AND
-    the build-relevant training constants (read at call time), so a
-    process running with overridden constants — a test monkeypatching
-    TRAIN_SAMPLE_MAX, a tuning experiment — publishes under its own
-    name and can never poison the default-constant index that every
-    other process reuses."""
+    """(prune-scope tag, full index tag) for the persistent index
+    directory name: ivfpq_{sftag}_{paramtag}_{fptag}. The PRUNE SCOPE
+    is (corpus path, build params) — so publishing prunes only the
+    stale fingerprints of the SAME corpus built with the SAME training
+    constants, and a process running with overridden constants (a test
+    monkeypatching TRAIN_SAMPLE_MAX, a tuning experiment) publishes
+    under its own paramtag and can neither poison nor be pruned by the
+    default-constant index every other process reuses. The fingerprint
+    tag covers only the data signature (mtimes + sizes), so a
+    regenerated corpus rotates the fptag inside an unchanged prune
+    scope."""
     import hashlib
 
     sftag = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:8]
     build_params = (PQ_M, IVFPQ_K, IVFPQ_TRAIN_ITERS, TRAIN_SAMPLE_MAX,
                     N_ASSIGN)
-    fptag = hashlib.md5(
-        repr((key, build_params)).encode()
-    ).hexdigest()[:16]
-    return sftag, f"{sftag}_{fptag}"
+    paramtag = hashlib.md5(repr(build_params).encode()).hexdigest()[:8]
+    fptag = hashlib.md5(repr(key).encode()).hexdigest()[:16]
+    scope = f"{sftag}_{paramtag}"
+    return scope, f"{scope}_{fptag}"
 
 
 def build_ivfpq_index(spark, sf_dir: str) -> str:
     """Materialize the IVF-PQ index (centroids, inverted lists, trained
     codebook, PQ codes) to parquet — the one-time TRAIN+BUILD pass whose
     output a production search service reads instead of the raw corpus.
-    Cached per (process, corpus fingerprint) — a regenerated corpus gets
-    a fresh index, never a stale one — and removed at process exit.
+    Cached in-process per full index tag (corpus fingerprint + build
+    params) — a regenerated corpus, or a constant override, gets a
+    fresh index, never a stale or mismatched one.
 
     At 100 TB this is the index table a nightly job writes (partitioned
     by cent_id for list pruning); searches then touch only these
@@ -607,18 +615,31 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     path, so a concurrent reader can never pass the completeness check
     mid-build and two concurrent builders can't interleave writes into
     one directory — the loser of the rename race adopts the winner's
-    index. After publish, stale sibling indexes of the SAME corpus path
-    (different fingerprint — a regenerated dataset) are pruned, so the
-    root holds at most one index per corpus.
+    index. After publish, stale sibling indexes in the same PRUNE SCOPE
+    (same corpus path AND build params; different fingerprint — a
+    regenerated dataset) are pruned, so the root holds at most one
+    index per (corpus, params); differently-parameterized indexes are
+    never touched. The root is uid-scoped, and like any local cache it
+    trusts its owner: _SUCCESS markers are the completeness check, not
+    an integrity proof.
     """
     import shutil
     import tempfile
 
     key = _corpus_fingerprint(sf_dir)
-    if key in _IVFPQ_INDEX_DIRS:
-        return _IVFPQ_INDEX_DIRS[key]
+    scope, tag = _index_tag(sf_dir, key)
+    # The in-process cache is keyed by the FULL tag (fingerprint +
+    # build params), not the fingerprint alone: a same-process constant
+    # override must miss the cache and build its own index, mirroring
+    # the on-disk identity.
+    if tag in _IVFPQ_INDEX_DIRS:
+        return _IVFPQ_INDEX_DIRS[tag]
+    # uid-scoped default root (like Spark's own /tmp scratch dirs): a
+    # fixed world-shared path would hand user B a PermissionError on
+    # user A's directory — or user A's index.
     persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
-        tempfile.gettempdir(), "spark_graft_index"
+        tempfile.gettempdir(),
+        f"spark_graft_index-{os.getuid() if hasattr(os, 'getuid') else 0}",
     )
 
     def _complete(d: str) -> bool:
@@ -627,10 +648,9 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
             for rel in ("centroids", "inverted", "codebook", "codes")
         )
 
-    sftag, tag = _index_tag(sf_dir, key)
     out = os.path.join(persist_root, f"ivfpq_{tag}")
     if _complete(out):
-        _IVFPQ_INDEX_DIRS[key] = out
+        _IVFPQ_INDEX_DIRS[tag] = out
         return out
     # Build into a process-unique sibling (same filesystem, so the
     # final rename is atomic), publish below.
@@ -688,21 +708,24 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
                 if not _complete(out):
                     raise
         shutil.rmtree(build, ignore_errors=True)
-    # Prune stale siblings of the SAME corpus path (regenerated data
-    # left a different-fingerprint index behind): bounds the persistent
-    # root to one index per corpus. A concurrent reader of a pruned dir
-    # was already reading an index of data that no longer exists.
+    # Prune stale siblings in the SAME prune scope (same corpus path,
+    # same build params — regenerated data left a different-FINGERPRINT
+    # index behind): bounds the persistent root to one index per
+    # (corpus, params). Different-param siblings are never touched (the
+    # no-poisoning contract of _index_tag). A concurrent reader of a
+    # pruned dir was already reading an index of data that no longer
+    # exists.
     try:
         import glob as _glob
 
         for d in _glob.glob(
-            os.path.join(persist_root, f"ivfpq_{sftag}_*")
+            os.path.join(persist_root, f"ivfpq_{scope}_*")
         ):
             if d != out and ".build_" not in os.path.basename(d):
                 shutil.rmtree(d, ignore_errors=True)
     except OSError:
         pass
-    _IVFPQ_INDEX_DIRS[key] = out
+    _IVFPQ_INDEX_DIRS[tag] = out
     return out
 
 

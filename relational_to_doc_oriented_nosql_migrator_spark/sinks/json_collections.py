@@ -350,11 +350,31 @@ def _stitch_part(part_path: str, batch, specs) -> None:
         if len(base) == 2
         else f".{part_path}.{_attempt_tag()}.tmp"
     )
-    with _open_text_out(tmp) as out:
-        for _idx, keys, segs in batch:
-            _write_doc(out, segs, keys, specs)
-            out.write("\n")
-    _rename(tmp, part_path)
+    try:
+        with _open_text_out(tmp) as out:
+            for _idx, keys, segs in batch:
+                _write_doc(out, segs, keys, specs)
+                out.write("\n")
+        _rename(tmp, part_path)
+    except BaseException:
+        # A failed attempt must not leave its dot-temp behind: the
+        # stage-directory publish would carry the litter into the final
+        # output (part-* globs skip it, but the zip parity mode's
+        # os.walk does not). Hard-killed attempts bypass this; the
+        # driver prunes remaining dot-temps before publishing.
+        _rm_one(tmp)
+        raise
+
+
+def _rm_one(path: str) -> None:
+    fs, p = _fs_for(path)
+    try:
+        if fs is None:
+            os.remove(p)
+        else:
+            fs.delete_file(p)
+    except (FileNotFoundError, OSError):
+        pass
 
 
 # Ceiling on final part files for one streamed collection: a
@@ -450,6 +470,14 @@ def _write_streamed(pieces, target: str, max_parts: int = None) -> bool:
         spark.sparkContext.parallelize(
             batches, max(1, len(batches))
         ).foreachPartition(write_parts)
+        # A hard-killed attempt (executor loss, speculation loser shot
+        # mid-write) bypasses _stitch_part's own temp cleanup; its
+        # retried attempt succeeded, so any dot-temp still in the stage
+        # dir is litter — prune before publishing (the zip parity
+        # mode's os.walk would otherwise archive it).
+        for base, p in _listdir(stage, "."):
+            if base.endswith(".tmp"):
+                _rm_one(p)
         # Overwrite semantics, like the distributed writer's
         # mode("overwrite"): a rerun with FEWER roots must not leave
         # stale part files in the target (every reader globs part-*, so
@@ -491,12 +519,14 @@ def write_json_collections(
             "single_file / zip_path are local parity modes; out_dir "
             "must be a bare local path, not a URI"
         )
-    if "://" not in out_dir and collections:
+    if "://" not in out_dir and collections and not single_file:
         # A bare local path on a multi-node cluster silently corrupts
         # output (r10 ADVICE): executors write partition dirs to THEIR
         # local disks, the stitch's glob misses them, and child arrays
         # vanish without an error. Mirror the parity modes' loud
-        # ValueError instead of relying on a docstring.
+        # ValueError instead of relying on a docstring. single_file is
+        # exempt: it collects to the driver and writes with a
+        # driver-side open(), so no executor ever touches out_dir.
         master = (
             next(iter(collections.values())).sparkSession
             .sparkContext.master or ""

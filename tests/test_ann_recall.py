@@ -238,13 +238,19 @@ def test_default_index_root_persists_and_prunes(spark, tmp_path,
     monkeypatch.setattr("tempfile.tempdir", str(tmp_path))
     monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
     key = S._corpus_fingerprint(SF001)
-    sftag, _tag = S._index_tag(SF001, key)
-    root = os.path.join(str(tmp_path), "spark_graft_index")
-    stale = os.path.join(root, f"ivfpq_{sftag}_deadbeefdeadbeef")
+    scope, _tag = S._index_tag(SF001, key)
+    uid = os.getuid() if hasattr(os, "getuid") else 0
+    root = os.path.join(str(tmp_path), f"spark_graft_index-{uid}")
+    # in prune scope (same corpus + params, stale fingerprint): pruned
+    stale = os.path.join(root, f"ivfpq_{scope}_deadbeefdeadbeef")
+    # OUT of prune scope (different build params): must survive
+    foreign = os.path.join(root, f"ivfpq_{scope[:9]}XXXXXXX_feedface")
     os.makedirs(stale)
+    os.makedirs(foreign)
     first = S.build_ivfpq_index(spark, SF001)
     assert first.startswith(root)
-    assert not os.path.exists(stale), "stale same-corpus index not pruned"
+    assert not os.path.exists(stale), "stale same-scope index not pruned"
+    assert os.path.exists(foreign), "different-param index was pruned"
     marker = os.path.join(first, "codes", "_SUCCESS")
     mtime = os.stat(marker).st_mtime_ns
     monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS", {})
@@ -255,10 +261,30 @@ def test_default_index_root_persists_and_prunes(spark, tmp_path,
 
 def test_overridden_constants_get_their_own_index(monkeypatch):
     """A process with overridden training constants must key a
-    DIFFERENT persistent directory (it would otherwise poison the
-    default-constant index every other process reuses)."""
+    DIFFERENT persistent directory AND a different prune scope (it
+    would otherwise poison — or be pruned by — the default-constant
+    index every other process reuses), and the in-process cache must
+    miss too (it is keyed by the full tag, not the fingerprint)."""
     key = S._corpus_fingerprint(SF001)
-    _s, tag_default = S._index_tag(SF001, key)
+    scope_default, tag_default = S._index_tag(SF001, key)
     monkeypatch.setattr(S, "TRAIN_SAMPLE_MAX", 256)
-    _s2, tag_patched = S._index_tag(SF001, key)
+    scope_patched, tag_patched = S._index_tag(SF001, key)
     assert tag_patched != tag_default
+    assert scope_patched != scope_default
+    # a cache entry under the default tag must not serve the patched
+    # build (the r11 review's same-process poisoning finding)
+    monkeypatch.setattr(S, "_IVFPQ_INDEX_DIRS",
+                        {tag_default: "/nonexistent"})
+    assert tag_patched not in S._IVFPQ_INDEX_DIRS
+
+
+def test_relative_and_absolute_sf_dir_share_one_index():
+    """A relative and an absolute spelling of the same corpus must
+    fingerprint identically (else the publish prune ping-pongs two tags
+    inside one scope)."""
+    import os
+
+    rel = os.path.relpath(SF001)
+    assert S._corpus_fingerprint(rel) == S._corpus_fingerprint(SF001)
+    k = S._corpus_fingerprint(SF001)
+    assert S._index_tag(rel, k) == S._index_tag(SF001, k)

@@ -110,3 +110,36 @@ def test_sink_confs_shape_document_plans(spark):
         p = plan(_replanned(df))
     assert "SortAggregate" in p and "ObjectHashAggregate" not in p
     assert "ShuffledHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_single_file_exempt_from_nonlocal_guard(tmp_path):
+    """single_file collects to the driver and writes driver-side, so
+    the bare-local-out_dir guard must NOT reject it on a non-local
+    master (r11 review finding) — it fails later only if a real collect
+    is attempted; here the fake df never gets that far because the
+    guard is the first thing that would raise."""
+    import pytest
+
+    from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
+        write_json_collections,
+    )
+
+    class _Ctx:
+        master = "spark://cluster:7077"
+
+    class _Sess:
+        sparkContext = _Ctx()
+
+    class _DF:
+        sparkSession = _Sess()
+
+        def select(self, *_a):
+            raise RuntimeError("reached past the guard")
+
+    # distributed mode: guarded
+    with pytest.raises(ValueError, match="scatter"):
+        write_json_collections({"c": _DF()}, str(tmp_path / "o"))
+    # single_file parity mode: exempt (fails later, not in the guard)
+    with pytest.raises(RuntimeError, match="reached past the guard"):
+        write_json_collections({"c": _DF()}, str(tmp_path / "o"),
+                               single_file=True)
