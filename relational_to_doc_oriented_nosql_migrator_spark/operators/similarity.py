@@ -440,7 +440,17 @@ def _assign(emb, cents, id_col, out_rank, n_keep):
     is unchanged, so values are bit-identical to the per-pair _cosine
     _expr and to the oracles' sqrt(dot)*sqrt(dot) denominators, but the
     N x n_centroids inner loop evaluates 64 element products instead
-    of 192 (~3x on the dominant assignment cost at scale)."""
+    of 192 (~3x on the dominant assignment cost at scale).
+
+    Negative result (r12): a window-free query-side variant — the
+    centroids collapsed to one broadcast array row, per-query cosines
+    + top-n via transform/array_sort/slice/explode — measured ~3s
+    SLOWER than this plan at sf1.0 (warm full search 5.6s vs 2.3s):
+    Spark's higher-order array lambdas are INTERPRETED, so the same
+    14M dot-product flops that whole-stage codegen runs in the BNLJ
+    here became boxed interpreter work. The ~1.5s this plan costs on
+    a 400-query probe set is fixed stage overhead, not compute; keep
+    the codegen'd BNLJ + partial WindowGroupLimit shape."""
     cents_n = cents.withColumn(
         "cnrm", F.sqrt(F.expr(_unrolled_dot("cv", "cv")))
     )
@@ -1179,41 +1189,70 @@ def _adc_wide(cand, codes, dtab):
     scan — no fan-out join, no aggregate. Value-identical to the summed
     formulation (decimal addition is exact, order-free).
 
-    The dense array matters as much as the join elimination: Spark's
-    map element_at is an O(|map|) LINEAR SCAN of ArrayBasedMapData, so
-    a 512-entry map costs ~256 comparisons per lookup — PQ_M lookups x
-    |candidates| made the map-keyed first cut ~15 minutes at the 100x
-    dataset; the O(1) array subscript is the FAISS LUT shape and runs
-    the same scan in seconds. Gaps from Lloyd's empty-cluster dropout
-    densify to NULL slots (paid once per QUERY row at build); a
+    The compact array + slot indirection matters as much as the join
+    elimination: Spark's map element_at is an O(|map|) LINEAR SCAN of
+    ArrayBasedMapData, so a 512-entry map costs ~256 comparisons per
+    lookup — PQ_M lookups x |candidates| made the map-keyed first cut
+    ~15 minutes at the 100x dataset. The first fix densified per QUERY
+    row via `transform(sequence(0,511), k -> dmap[k])` — which is the
+    SAME linear scan, O((M*K)^2) boxed comparisons per query; profiled
+    at 4.3s of the 7.2s warm sf1.0 indexed search (r12, tools/
+    prof_adc.py). Lloyd's empty-cluster gaps are a property of the
+    CODEBOOK, not the query — every query's dtab covers exactly the
+    surviving (subspace, code) pairs — so the gap layout is computed
+    ONCE as a dense slot -> rank array (one tiny global agg,
+    array_position paid M*K times total, not per query) and each
+    query keeps its distances as a slot-sorted COMPACT array. The
+    candidate-side lookup is then two O(1) array subscripts:
+    rank = s2r[slot], d = darr[rank] — the FAISS LUT shape. A
     candidate's slot is always populated because codes are assigned
-    FROM the surviving book."""
+    FROM the surviving book, so the indirection never yields NULL."""
     codes_w = codes.groupBy("cand_id").agg(
         F.expr(
             "transform(array_sort(collect_list(struct(subspace, code))),"
             " p -> p.code)"
         ).alias("code_arr")
     )
-    dtab_w = dtab.groupBy("query_id").agg(
-        F.map_from_entries(
-            F.collect_list(
-                F.struct(
-                    (F.col("subspace") * IVFPQ_K + F.col("code"))
-                    .alias("k"),
-                    F.col("d").alias("v"),
+    # Global slot -> rank indirection (1 row): surviving slots sorted,
+    # rank = 1-based position. All queries share it; the crossJoin below
+    # replicates one 512-int array per query row (~2 KB) instead of
+    # paying an O((M*K)^2) scatter per query.
+    s2r = (
+        dtab.groupBy()
+        .agg(
+            F.array_sort(
+                F.collect_set(F.col("subspace") * IVFPQ_K + F.col("code"))
+            ).alias("slots")
+        )
+        .select(
+            F.expr(
+                f"transform(sequence(0, {PQ_M * IVFPQ_K - 1}),"
+                " k -> CAST(array_position(slots, k) AS INT))"
+            ).alias("s2r")
+        )
+    )
+    dtab_w = (
+        dtab.groupBy("query_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (F.col("subspace") * IVFPQ_K + F.col("code"))
+                        .alias("k"),
+                        F.col("d").alias("v"),
+                    )
                 )
-            )
-        ).alias("dmap")
-    ).select(
-        "query_id",
-        F.expr(
-            f"transform(sequence(0, {PQ_M * IVFPQ_K - 1}),"
-            " k -> dmap[k])"
-        ).alias("darr"),
+            ).alias("ent")
+        )
+        .select(
+            "query_id",
+            F.expr("transform(ent, p -> p.v)").alias("darr"),
+        )
+        .crossJoin(F.broadcast(s2r))
     )
     terms = " + ".join(
-        f"CAST(element_at(darr, CAST({s} * {IVFPQ_K} +"
-        f" element_at(code_arr, {s + 1}) + 1 AS INT)) AS DECIMAL(28,12))"
+        f"CAST(element_at(darr, element_at(s2r, CAST({s} * {IVFPQ_K} +"
+        f" element_at(code_arr, {s + 1}) + 1 AS INT))) AS DECIMAL(28,12))"
         for s in range(PQ_M)
     )
     return (
