@@ -638,19 +638,6 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
 
     key = _corpus_fingerprint(sf_dir)
     scope, tag = _index_tag(sf_dir, key)
-    # The in-process cache is keyed by the FULL tag (fingerprint +
-    # build params), not the fingerprint alone: a same-process constant
-    # override must miss the cache and build its own index, mirroring
-    # the on-disk identity.
-    if tag in _IVFPQ_INDEX_DIRS:
-        return _IVFPQ_INDEX_DIRS[tag]
-    # uid-scoped default root (like Spark's own /tmp scratch dirs): a
-    # fixed world-shared path would hand user B a PermissionError on
-    # user A's directory — or user A's index.
-    persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
-        tempfile.gettempdir(),
-        f"spark_graft_index-{os.getuid() if hasattr(os, 'getuid') else 0}",
-    )
 
     def _complete(d: str) -> bool:
         return all(
@@ -658,13 +645,52 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
             for rel in ("centroids", "inverted", "codebook", "codes")
         )
 
+    # The in-process cache is keyed by the FULL tag (fingerprint +
+    # build params), not the fingerprint alone: a same-process constant
+    # override must miss the cache and build its own index, mirroring
+    # the on-disk identity. The hit RE-CHECKS completeness (one cheap
+    # stat per relation): a corpus regeneration in another process
+    # prunes this dir from under a long-lived session, and without the
+    # re-check every later indexed query died on missing files until
+    # restart. On failure, fall through and rebuild.
+    if tag in _IVFPQ_INDEX_DIRS:
+        cached = _IVFPQ_INDEX_DIRS[tag]
+        if _complete(cached):
+            return cached
+        del _IVFPQ_INDEX_DIRS[tag]
+    # uid-scoped default root (like Spark's own /tmp scratch dirs): a
+    # fixed world-shared path would hand user B a PermissionError on
+    # user A's directory — or user A's index.
+    persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_index-{os.getuid() if hasattr(os, 'getuid') else 0}",
+    )
+    # The root lives under a world-writable temp dir at a predictable
+    # name, so it MUST be validated before any index under it is
+    # trusted: created 0700, and lstat-verified to be a real directory
+    # (no symlink indirection) owned by this uid. A squatter who
+    # pre-created the path could otherwise plant a directory carrying
+    # _SUCCESS markers and have it silently adopted as a "complete"
+    # index, poisoning every search. On any violation fall back to a
+    # private mkdtemp root — persistence across processes is lost for
+    # this run, correctness isn't.
+    try:
+        os.makedirs(persist_root, mode=0o700, exist_ok=True)
+        st = os.lstat(persist_root)
+        import stat as _stat
+
+        uid_ok = (not hasattr(os, "getuid")) or st.st_uid == os.getuid()
+        if not _stat.S_ISDIR(st.st_mode) or not uid_ok:
+            raise OSError(f"untrusted index root: {persist_root}")
+    except OSError:
+        persist_root = tempfile.mkdtemp(prefix="spark_graft_index_")
+
     out = os.path.join(persist_root, f"ivfpq_{tag}")
     if _complete(out):
         _IVFPQ_INDEX_DIRS[tag] = out
         return out
     # Build into a process-unique sibling (same filesystem, so the
     # final rename is atomic), publish below.
-    os.makedirs(persist_root, exist_ok=True)
     build = tempfile.mkdtemp(prefix=f"ivfpq_{tag}.build_",
                              dir=persist_root)
     try:
@@ -728,11 +754,24 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     try:
         import glob as _glob
 
+        try:
+            out_mtime = os.lstat(out).st_mtime
+        except OSError:
+            out_mtime = float("inf")
         for d in _glob.glob(
             os.path.join(persist_root, f"ivfpq_{scope}_*")
         ):
-            if d != out and ".build_" not in os.path.basename(d):
-                shutil.rmtree(d, ignore_errors=True)
+            if d == out or ".build_" in os.path.basename(d):
+                continue
+            # A LATE publisher of a stale fingerprint must not prune
+            # the regenerated corpus's newer index: only siblings no
+            # newer than the just-published dir are swept.
+            try:
+                if os.lstat(d).st_mtime > out_mtime:
+                    continue
+            except OSError:
+                continue
+            shutil.rmtree(d, ignore_errors=True)
     except OSError:
         pass
     _IVFPQ_INDEX_DIRS[tag] = out

@@ -343,7 +343,13 @@ def _stitch_part(part_path: str, batch, specs) -> None:
     in batch order. Task-commit protocol: the bytes stream into an
     attempt-unique dot-temp sibling (invisible to every part-* glob and
     to Spark readers), then one rename publishes it — a duplicate task
-    attempt races on the rename, not on the bytes."""
+    attempt races on the rename, not on the bytes. POSIX replace makes
+    the race last-wins, but pyarrow's move() ERRORS on an existing
+    destination on several stores — so a rename that collides with an
+    already-published destination ADOPTS it (parts are only ever
+    created by this publish, so presence implies a complete duplicate
+    of the same batch) instead of failing a healthy task for losing a
+    race to its own twin."""
     base = part_path.rsplit("/", 1)
     tmp = (
         f"{base[0]}/.{base[1]}.{_attempt_tag()}.tmp"
@@ -355,7 +361,13 @@ def _stitch_part(part_path: str, batch, specs) -> None:
             for _idx, keys, segs in batch:
                 _write_doc(out, segs, keys, specs)
                 out.write("\n")
-        _rename(tmp, part_path)
+        try:
+            _rename(tmp, part_path)
+        except OSError:
+            if _exists(part_path):
+                _rm_one(tmp)
+            else:
+                raise
     except BaseException:
         # A failed attempt must not leave its dot-temp behind: the
         # stage-directory publish would carry the litter into the final
@@ -364,6 +376,18 @@ def _stitch_part(part_path: str, batch, specs) -> None:
         # driver prunes remaining dot-temps before publishing.
         _rm_one(tmp)
         raise
+
+
+def _exists(path: str) -> bool:
+    fs, p = _fs_for(path)
+    if fs is None:
+        return os.path.exists(p)
+    from pyarrow import fs as pafs
+
+    try:
+        return fs.get_file_info(p).type != pafs.FileType.NotFound
+    except OSError:
+        return False
 
 
 def _rm_one(path: str) -> None:
@@ -417,7 +441,11 @@ def _write_streamed(pieces, target: str, max_parts: int = None) -> bool:
     target, so a failure mid-stitch leaves the previous output intact
     instead of a part-file torso.
 
-    Returns False for an empty collection (nothing written)."""
+    Returns the written document count (one NDJSON line per root), 0
+    for an empty collection (nothing written) — truthiness-compatible
+    with the old boolean, and the count is a WRITE-TIME byproduct (the
+    roots frame is collected here anyway), so callers that report doc
+    counts no longer re-read the output."""
     import uuid
 
     spark = pieces.roots.sparkSession
@@ -432,7 +460,7 @@ def _write_streamed(pieces, target: str, max_parts: int = None) -> bool:
             # before its early return.
             roots = _replanned(pieces.roots).collect()
             if not roots:
-                return False
+                return 0
             specs = [
                 _write_level(ch, f"{target}.__stream{i}_", tmps)
                 for i, ch in enumerate(pieces.children)
@@ -487,7 +515,7 @@ def _write_streamed(pieces, target: str, max_parts: int = None) -> bool:
         # one whole output behind.
         _rm_rf(target)
         _rename(stage, target)
-        return True
+        return len(payloads)
     finally:
         for t in tmps:
             _rm_rf(t)
@@ -500,8 +528,17 @@ def write_json_collections(
     zip_path: str | None = None,
     streamed: dict | None = None,
     stream_max_parts: int | None = None,
+    counts: dict | None = None,
 ) -> list[str]:
     """Write each non-empty collection; returns the names written.
+
+    counts: optional caller-owned dict, filled with {name: docs written}
+    for every written collection AT WRITE TIME — streamed roots are
+    counted from the driver-collected roots frame, distributed writes
+    via an observe() metric on the write job itself, single_file from
+    the collected list. The old pattern (re-reading the NDJSON output
+    to count lines) cost a second full pass over every written byte at
+    the 100x dataset; these counts are free byproducts of the write.
 
     streamed: optional {collection name: plans.nesting.StreamedRoot} —
     those collections are assembled per-root in file space instead of
@@ -509,7 +546,16 @@ def write_json_collections(
     single_file parity mode (explicitly non-scale).
 
     stream_max_parts: part-file ceiling per streamed collection
-    (default STREAM_MAX_PARTS)."""
+    (default STREAM_MAX_PARTS).
+
+    BREAKING (r11): a bare local out_dir (no filesystem scheme) on a
+    non-local master is now rejected loudly — on a multi-node cluster
+    executors scatter fragments across their own disks and child
+    arrays silently vanish. Deployments whose nodes share one mount at
+    an identical path (NFS etc.), where the bare path previously
+    worked, keep working by naming the same location as a URI:
+    out_dir='file:///shared/mount/out'. That spelling is an explicit
+    statement that the path is shared storage, not executor-local."""
     streamed = streamed or {}
     if "://" in out_dir and (single_file or zip_path):
         # The parity modes are explicitly local (driver-side open() and
@@ -545,9 +591,12 @@ def write_json_collections(
         df = _replanned(df)
         target = f"{out_dir.rstrip('/')}/{name}"
         if name in streamed and not single_file:
-            wrote[name] = _write_streamed(
+            n_docs = _write_streamed(
                 streamed[name], target, stream_max_parts
             )
+            wrote[name] = bool(n_docs)
+            if counts is not None and n_docs:
+                counts[name] = n_docs
             continue
         if single_file:
             # Parity mode: one JSON array per collection file, like
@@ -567,6 +616,8 @@ def write_json_collections(
                 # dropped.
                 continue
             wrote[name] = True
+            if counts is not None:
+                counts[name] = len(docs)
             with open(f"{target}.json", "w") as fh:
                 json.dump(docs, fh, default=str)
         else:
@@ -576,6 +627,16 @@ def write_json_collections(
 
         def _write_one(item):
             name, df, target = item
+            obs = None
+            if counts is not None:
+                from pyspark.sql import Observation
+
+                # Row count as a metric of the write job itself (one
+                # CollectMetrics pass-through node): the writer emits
+                # exactly one NDJSON line per row, so this IS the doc
+                # count — no read-back pass over the written bytes.
+                obs = Observation()
+                df = df.observe(obs, F.count(F.lit(1)).alias("n"))
             # Write FIRST, then decide emptiness from the written part
             # files' byte sizes (one fs metadata listing): the old
             # isEmpty() pre-check ran take(1), which re-executes the
@@ -588,8 +649,9 @@ def write_json_collections(
             df.write.mode("overwrite").json(target)
             if _part_bytes(target) == 0:
                 _rm_rf(target)
-                return name, False
-            return name, True
+                return name, False, 0
+            return name, True, (int(obs.get["n"]) if obs is not None
+                                else 0)
 
         # The write JOBS run concurrently from driver threads: each
         # flat collection's write parallelism is capped by its input
@@ -600,8 +662,10 @@ def write_json_collections(
         # reads happen inside it).
         with _sort_based_collects(plain[0][1].sparkSession):
             with ThreadPoolExecutor(min(4, len(plain))) as pool:
-                for name, ok in pool.map(_write_one, plain):
+                for name, ok, n_docs in pool.map(_write_one, plain):
                     wrote[name] = ok
+                    if counts is not None and ok:
+                        counts[name] = n_docs
     written = [n for n in collections if wrote.get(n)]
     if zip_path:
         zip_abs = os.path.abspath(zip_path)

@@ -492,3 +492,47 @@ def test_bare_local_out_dir_rejected_off_local_master(tmp_path):
 
     with pytest.raises(ValueError, match="scatter"):
         write_json_collections({"c": _DF()}, str(tmp_path / "o"))
+
+
+def test_write_time_counts_match_line_counts(spark, tmp_path):
+    """The counts= out-param (write-time doc counts: streamed roots
+    from the collected roots frame, distributed writes via observe())
+    must equal the actual NDJSON line counts of what landed on disk —
+    this is the contract that let sink_json_collections drop its
+    read-back pass (r11 verdict task #4)."""
+    collections, streamed = migrate_streamed(spark, SF0001, threshold=0)
+    out = str(tmp_path / "counted")
+    counts = {}
+    written = write_json_collections(
+        collections, out, streamed=streamed, counts=counts
+    )
+    assert sorted(counts) == sorted(written)
+    for name in written:
+        n_lines = len(_read_ndjson_lines(os.path.join(out, name)))
+        assert counts[name] == n_lines, name
+        assert counts[name] > 0
+
+
+def test_duplicate_attempt_adopts_published_part(tmp_path, monkeypatch):
+    """A duplicate task attempt whose publish rename collides with an
+    already-published part must ADOPT it (succeed, drop its temp), not
+    fail the task — pyarrow move() errors on existing destinations on
+    several stores (r11 ADVICE #3)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
+        json_collections as jc,
+    )
+
+    part = str(tmp_path / "part-00000.json")
+    with open(part, "w") as fh:
+        fh.write('{"winner": true}\n')
+
+    def exploding_rename(src, dst):
+        raise OSError("destination already exists")
+
+    monkeypatch.setattr(jc, "_rename", exploding_rename)
+    spec = []  # leaf: segs are complete document strings
+    jc._stitch_part(part, [(0, [], ['{"winner": true}'])], spec)
+    with open(part) as fh:
+        assert fh.read() == '{"winner": true}\n'
+    leftovers = [p for p in os.listdir(tmp_path) if p != "part-00000.json"]
+    assert leftovers == []
