@@ -43,74 +43,77 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # the ledger landing and the next freeze. Bump it (and re-paste the
 # literal) exactly once per round, when rotating the window.
 #
-# Round-11 window: ROUND_CHANGED_IDS promotes the three ids whose
-# DRIVER-EXECUTED geometry changed this round: sink_json_collections
-# (write-then-check emptiness + NDJSON text-count read-back replace the
-# isEmpty()/schema-parse path at every scale) and the two *_indexed
-# similarity ids (index persistence is now the DEFAULT — the driver's
-# env-var-less run now exercises the fingerprint-keyed publish/reuse
-# path). The remaining 47 slots are stalest-first: the r08-latest
-# cohort (ledger state after r10: r10 50, r09 50, r08 46). Invariant
-# after the r11 driver run: every id's latest row is r09+.
-WINDOW_LEDGER_MAX = 10
+# Round-12 window: ROUND_CHANGED_IDS promotes the five ids whose
+# DRIVER-EXECUTED plans changed this round: the four IVF/IVF-PQ
+# similarity ids (the ADC distance-table build swapped its per-query
+# O((M*K)^2) map scatter for a shared slot->rank indirection — same
+# values, different physical plan) plus sink_json_collections (doc
+# counts now come from write-time observe()/roots-frame metrics; the
+# NDJSON text-count read-back pass is gone). The remaining 45 slots
+# are stalest-first: the r09-latest cohort (ledger state after r11:
+# r11 50, r10 49, r09 47). Invariant after the r12 driver run: every
+# id's latest row is r10+.
+WINDOW_LEDGER_MAX = 11
 
 ROUND_CHANGED_IDS = (
     "sink_json_collections",
+    "ext_similarity_ivf",
+    "ext_similarity_ivfpq",
     "ext_similarity_ivfpq_indexed",
     "ext_knn_classify_indexed",
 )
 
 DRIVER_WINDOW_FIRST = (
     "sink_json_collections",
+    "ext_similarity_ivf",
+    "ext_similarity_ivfpq",
     "ext_similarity_ivfpq_indexed",
     "ext_knn_classify_indexed",
-    "proj_rename_ref",
-    "join_nest_one_to_many",
-    "join_nest_salted",
-    "agg_collect_children",
-    "fn_split_trim",
-    "ext_window_ntile",
-    "ext_approx_distinct",
-    "ext_text_stats",
-    "ext_text_quality",
-    "ext_text_langid",
-    "ext_text_fingerprint",
-    "ext_text_perplexity_bucket",
-    "ext_dedup_exact",
-    "ext_dedup_ngram_jaccard",
-    "ext_dedup_simhash",
-    "ext_dedup_simhash_pairs",
-    "ext_similarity_topk",
-    "ext_similarity_lsh",
-    "stream_to_json_files",
-    "ext_stream_tumbling_agg",
-    "ext_stream_sliding_agg",
-    "ext_stream_session_agg",
-    "ext_stream_dedup",
-    "ext_stream_stateful",
-    "ext_mm_attach_meta",
-    "ext_mm_decode_features",
-    "ext_mm_resize",
-    "ext_mm_frame_sample",
-    "ext_asof_join",
-    "ext_range_join",
-    "plan_topo_order",
-    "plan_self_ref_detect",
-    "plan_embed_or_reference",
-    "plan_one_way_embed",
-    "plan_two_way_embed",
-    "plan_referencing",
-    "sink_http_response",
-    "sink_parquet_partitioned",
-    "ext_curation_pipeline",
-    "ext_text_pii_scrub",
-    "ext_decontaminate",
-    "ext_repetition_filter",
-    "ext_domain_mix",
-    "ext_sample_stratified",
-    "ext_graph_pagerank",
-    "filter_fk_match",
-    "filter_nonempty_doc",
+    "filter_nonempty_collection",
+    "join_denormalize_m2m",
+    "join_meta_left",
+    "join_meta_pg_catalog",
+    "fn_case_when_referenced",
+    "agg_count_star",
+    "agg_fk_count_grouped",
+    "agg_group_concat_ordered",
+    "agg_group_concat_distinct",
+    "agg_pricing_summary",
+    "sort_meta_output",
+    "fn_date_normalize",
+    "fn_whitespace_normalize",
+    "src_log_text",
+    "fn_regex_log_extract_mysql",
+    "fn_regex_log_extract_pg",
+    "filter_statement_type",
+    "fn_sql_tablelist",
+    "fn_split_tableref",
+    "filter_dml_type",
+    "agg_workload_gaf_uaf",
+    "agg_maf_scalar",
+    "ext_window_rank",
+    "ext_window_lag_lead",
+    "ext_tumbling_agg",
+    "ext_sliding_agg",
+    "ext_session_agg",
+    "ext_grouping_sets",
+    "ext_cube",
+    "ext_window_running",
+    "ext_setops",
+    "ext_json_extract",
+    "ext_percentiles",
+    "ext_text_tokens",
+    "ext_split_assign",
+    "ext_token_bigrams",
+    "ext_text_unigram_logprob",
+    "ext_text_tfidf_top",
+    "ext_dedup_common_ngrams",
+    "ext_dedup_components",
+    "ext_dedup_embedding",
+    "ext_dedup_embedding_lsh",
+    "ext_knn_classify",
+    "ext_stream_enrich_agg",
+    "ext_stream_interval_join",
 )
 
 
