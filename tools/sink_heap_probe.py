@@ -88,12 +88,18 @@ def main() -> int:
         if "Old Gen" in p.getName():
             old_peak = max(old_peak, p.getPeakUsage().getUsed())
     max_heap = mem.getHeapMemoryUsage().getMax()
+    # Host load bracketing the draw (r11 verdict task #4): same-evening
+    # pristine draws spanned 95.7-234.0s under EXTERNAL load, so a draw
+    # is only admissible to the quiet-median protocol when its measured
+    # load is below the agreed ceiling — record it rather than recall it.
     out = {
         "id": "sink_json_collections",
         "sf_dir": sf,
         "threshold": thr,
         "t": t,
         "rows": n,
+        "load_1m_end": round(os.getloadavg()[0], 2)
+        if hasattr(os, "getloadavg") else None,
         "peak_heap_mb": round(peak[0] / 2**20),
         "old_gen_peak_mb": round(old_peak / 2**20),
         "post_gc_live_mb": round(live / 2**20),
