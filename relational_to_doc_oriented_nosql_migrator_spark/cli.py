@@ -100,23 +100,19 @@ def main(argv: list[str] | None = None) -> int:
             normalize_dates=not args.no_normalize_dates,
         )
 
-    written = write_json_collections(
+    # Doc counts are write-time byproducts of the sink (streamed roots
+    # from the collected roots frame, distributed writes via an
+    # observe() metric): no NDJSON re-read, no re-execution of each
+    # collection's plan for a .count().
+    counts: dict[str, int] = {}
+    write_json_collections(
         collections,
         args.out,
         single_file=args.single_file,
         zip_path=args.zip_path,
         streamed=streamed,
+        counts=counts,
     )
-    counts = {}
-    for name in written:
-        if name in streamed and not args.single_file:
-            # Count the written NDJSON lines instead of executing the
-            # one-row-per-root nested plan the streamed path avoided.
-            counts[name] = spark.read.text(
-                __import__("os").path.join(args.out, name)
-            ).count()
-        else:
-            counts[name] = collections[name].count()
     print(json.dumps({"out": args.out, "collections": counts}))
     return 0
 

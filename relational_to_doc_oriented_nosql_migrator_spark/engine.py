@@ -139,13 +139,19 @@ def migrate_from_dump(
     log_content: str | None = None,
     log_dialect: str = "mysql",
     normalize_dates: bool = True,
-) -> dict[str, DataFrame]:
+    return_plan: bool = False,
+):
     """The reference's actual entry point (`POST /migration`, reference
     server/index.js:33-43 -> DBMigration.migrate): a SQL dump plus an
     optional query log in, nested document collections out. Schema, FK
     graph, and row counts come from the dump itself (sources/sqldump.py);
     the query log folds GAF/UAF workload stats into the embed-vs-reference
-    decision exactly as the parquet path does."""
+    decision exactly as the parquet path does.
+
+    return_plan=True additionally returns the introspected catalog and
+    the conversion plan as (collections, catalog, plan) — the HTTP
+    service's response payload needs both, and this seam keeps it from
+    duplicating the dump pipeline."""
     from relational_to_doc_oriented_nosql_migrator_spark.sources.sqldump import (
         import_sql_dump,
     )
@@ -154,7 +160,11 @@ def migrate_from_dump(
     if log_content:
         workload_mod.apply_workload(spark, catalog, log_content, log_dialect)
     plan = convert_schema(catalog)
-    return materialize(tables, catalog, plan, normalize_dates=normalize_dates)
+    collections = materialize(tables, catalog, plan,
+                              normalize_dates=normalize_dates)
+    if return_plan:
+        return collections, catalog, plan
+    return collections
 
 
 def migrate_from_jdbc(

@@ -425,7 +425,74 @@ def n_centroids(n_vectors: int) -> int:
     return min(IVF_CENTROIDS_MAX, 4 * math.isqrt(n_vectors))
 
 
-def _assign(emb, cents, id_col, out_rank, n_keep):
+# Above this many (corpus row x centroid) pairs the exact BNLJ+window
+# assignment is structurally infeasible: the window's partial
+# WindowGroupLimit still LOCALLY SORTS all N x C scored rows before
+# pruning, and the sort spills ~24 bytes/pair to disk. Measured wall
+# (r12 sf100 stretch): 2M vectors x 4096 centroids = 8.2G pairs =
+# ~200 GB of sort spill — the build died with SPILL_OUT_OF_MEMORY /
+# "No space left on device". 1e9 pairs (~24 GB spill) is the hand-off
+# point to the mapInPandas path below; every driver/bench/probe scale
+# up to sf10 (358M pairs) stays on the bit-exact expression path.
+ASSIGN_SORT_PAIRS_MAX = 1_000_000_000
+
+
+def _assign_pandas(emb, cents, id_col, n_keep):
+    """CORPUS-SCALE nearest-centroid assignment: Arrow-batched
+    mapInPandas with the centroid matrix held ONCE per task (bounded:
+    <= IVF_CENTROIDS_MAX x DIMS doubles = 2 MB) — each batch computes
+    its cosines as one BLAS matmul and emits only the top-n_keep
+    (id, cent_id) pairs. No N x C row materialization, no window, no
+    sort spill: the working set is one Arrow batch x C floats.
+
+    This is the FAISS IVF add shape (per-row running top-k over the
+    full centroid scan) and the only assignment form that survives
+    ~1e9+ pairs (see ASSIGN_SORT_PAIRS_MAX). Semantics mirror _assign:
+    rank by round(cosine, 6) descending with ascending-cent_id
+    tie-break (stable argsort over centroids pre-sorted by cent_id).
+    DOCUMENTED DIVERGENCE from the expression path: BLAS accumulates
+    dot products pairwise/SIMD rather than left-to-right, so a cosine
+    within ~1 ulp of a 6-decimal rounding boundary can round
+    differently and flip a near-tie rank — invisible to ANN recall,
+    never exercised by the driver oracles (all driver/bench scales run
+    the exact path), and the price of not sorting 200 GB."""
+    import numpy as np
+    import pandas as pd
+
+    crows = sorted(
+        cents.select("cent_id", "cv").collect(), key=lambda r: r.cent_id
+    )
+    cent_ids = np.fromiter((r.cent_id for r in crows), dtype=np.int64)
+    cmat = np.array([r.cv for r in crows], dtype=np.float64)
+    cnrm = np.sqrt((cmat * cmat).sum(axis=1))
+    keep = min(n_keep, len(crows))
+
+    def assign_batches(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            vmat = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+            vnrm = np.sqrt((vmat * vmat).sum(axis=1))
+            cos = np.round(
+                (vmat @ cmat.T) / (vnrm[:, None] * cnrm[None, :]), 6
+            )
+            # stable argsort over centroids pre-sorted by cent_id =
+            # desc-cosine with asc-cent_id tie-break
+            top = np.argsort(-cos, axis=1, kind="stable")[:, :keep]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, keep),
+                    "cent_id": cent_ids[top].ravel(),
+                }
+            )
+
+    return emb.select("vec_id", "v").mapInPandas(
+        assign_batches, schema=f"{id_col} bigint, cent_id bigint"
+    )
+
+
+def _assign(emb, cents, id_col, out_rank, n_keep, pairs_hint=None):
     """Nearest-centroid assignment by cosine (centroids broadcast; one
     narrow pass over the corpus, no shuffle of the big side — the
     partial WindowGroupLimit prunes to n_keep rows per vector before
@@ -450,7 +517,16 @@ def _assign(emb, cents, id_col, out_rank, n_keep):
     14M dot-product flops that whole-stage codegen runs in the BNLJ
     here became boxed interpreter work. The ~1.5s this plan costs on
     a 400-query probe set is fixed stage overhead, not compute; keep
-    the codegen'd BNLJ + partial WindowGroupLimit shape."""
+    the codegen'd BNLJ + partial WindowGroupLimit shape.
+
+    pairs_hint (corpus rows x centroids, from parquet footer metadata)
+    gates the CORPUS-SIDE scale hand-off: past ASSIGN_SORT_PAIRS_MAX
+    the window's local sort of all N x C scored rows exceeds any
+    realistic spill volume and the Arrow-batched _assign_pandas path
+    takes over. Query-side callers pass no hint — bounded query sets
+    never approach the gate."""
+    if pairs_hint is not None and pairs_hint >= ASSIGN_SORT_PAIRS_MAX:
+        return _assign_pandas(emb, cents, id_col, n_keep)
     cents_n = cents.withColumn(
         "cnrm", F.sqrt(F.expr(_unrolled_dot("cv", "cv")))
     )
@@ -502,11 +578,13 @@ def q_ext_similarity_ivf(spark, sf_dir):
     _guard_query_set(sf_dir, "ext_similarity_ivf",
                      bytes_per_query=N_PROBE * VEC_ROW_BYTES)
     emb = _emb(spark, sf_dir, spread=True)
-    ncent = n_centroids(footer_rows(sf_dir, "embeddings"))
+    n_vec = footer_rows(sf_dir, "embeddings")
+    ncent = n_centroids(n_vec)
     cents = emb.filter(F.col("vec_id") < ncent).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    inverted = _assign(emb, cents, "cand_id", "arank", N_ASSIGN).join(
+    inverted = _assign(emb, cents, "cand_id", "arank", N_ASSIGN,
+                       pairs_hint=n_vec * ncent).join(
         emb.select(F.col("vec_id").alias("cand_id"),
                    F.col("v").alias("cv"),
                    F.sqrt(F.expr(_unrolled_dot("v", "v"))).alias("cnrm")),
@@ -700,12 +778,14 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
         ).select(
             "vec_id", F.expr("transform(v, x -> x / nrm)").alias("v")
         )
+        n_vec = footer_rows(sf_dir, "embeddings")
         cents = embn.filter(
-            F.col("vec_id") < n_centroids(footer_rows(sf_dir, "embeddings"))
+            F.col("vec_id") < n_centroids(n_vec)
         ).select(
             F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
         )
-        inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
+        inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN,
+                           pairs_hint=n_vec * n_centroids(n_vec))
         sub = _pq_slices(embn)
         codebook = _lloyd_refine(
             _train_slices(spark, sf_dir, embn, sub),
@@ -754,24 +834,20 @@ def build_ivfpq_index(spark, sf_dir: str) -> str:
     try:
         import glob as _glob
 
-        try:
-            out_mtime = os.lstat(out).st_mtime
-        except OSError:
-            out_mtime = float("inf")
-        for d in _glob.glob(
-            os.path.join(persist_root, f"ivfpq_{scope}_*")
-        ):
-            if d == out or ".build_" in os.path.basename(d):
-                continue
-            # A LATE publisher of a stale fingerprint must not prune
-            # the regenerated corpus's newer index: only siblings no
-            # newer than the just-published dir are swept.
-            try:
-                if os.lstat(d).st_mtime > out_mtime:
-                    continue
-            except OSError:
-                continue
-            shutil.rmtree(d, ignore_errors=True)
+        # A LATE publisher of a stale fingerprint must not prune the
+        # regenerated corpus's index. Publish mtimes can't order this
+        # (the stale build that finishes LAST has the NEWER mtime), but
+        # the corpus can: re-fingerprint it NOW, and only a publisher
+        # whose index still describes the live corpus earns the sweep.
+        # A stale publisher skips pruning entirely — its own dir is the
+        # stale sibling, and the current-fingerprint builder's sweep
+        # will collect it.
+        if _corpus_fingerprint(sf_dir) == key:
+            for d in _glob.glob(
+                os.path.join(persist_root, f"ivfpq_{scope}_*")
+            ):
+                if d != out and ".build_" not in os.path.basename(d):
+                    shutil.rmtree(d, ignore_errors=True)
     except OSError:
         pass
     _IVFPQ_INDEX_DIRS[tag] = out
@@ -1288,6 +1364,20 @@ def _adc_wide(cand, codes, dtab):
             F.expr("transform(ent, p -> p.v)").alias("darr"),
         )
         .crossJoin(F.broadcast(s2r))
+        # CONTRACT GUARD: the rank indirection is only sound when every
+        # query's dtab covers exactly the global surviving slot set
+        # (true for both callers: dtab = queries x broadcast full
+        # codebook). A future caller passing a per-query-filtered dtab
+        # would silently shift every rank after the gap and emit
+        # plausible-but-wrong distances — fail loudly instead. Cost:
+        # two array-size folds per QUERY row. (array_position encodes a
+        # missing slot as 0, not NULL — count the positive ranks.)
+        .filter(F.expr(
+            "assert_true(size(darr) = size(filter(s2r, r -> r > 0)),"
+            " 'ADC dtab does not cover the surviving codebook; the"
+            " slot->rank indirection requires one entry per surviving"
+            " (subspace, code) pair per query') IS NULL"
+        ))
     )
     terms = " + ".join(
         f"CAST(element_at(darr, element_at(s2r, CAST({s} * {IVFPQ_K} +"
@@ -1349,12 +1439,14 @@ def q_ext_similarity_ivfpq(spark, sf_dir):
     # a fixed 64 left ~6.2k-vector lists at the 100x dataset, and the
     # IVF candidate set — which the ADC join multiplies by PQ_M — grew
     # to ~4e8 pairs (3e9 ADC rows); see n_centroids.
+    n_vec = footer_rows(sf_dir, "embeddings")
     cents = embn.filter(
-        F.col("vec_id") < n_centroids(footer_rows(sf_dir, "embeddings"))
+        F.col("vec_id") < n_centroids(n_vec)
     ).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
     )
-    inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN)
+    inverted = _assign(embn, cents, "cand_id", "arank", N_ASSIGN,
+                       pairs_hint=n_vec * n_centroids(n_vec))
     probes = _assign(
         embn.filter(F.col("vec_id") % QUERY_STRIDE == 0), cents,
         "query_id", "prank", N_PROBE,

@@ -29,31 +29,30 @@ from __future__ import annotations
 
 import email
 import email.policy
-import io
 import json
 import os
 import shutil
 import tempfile
 import threading
-import zipfile
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
-from relational_to_doc_oriented_nosql_migrator_spark import workload as workload_mod
+from relational_to_doc_oriented_nosql_migrator_spark.engine import (
+    migrate_from_dump,
+)
 from relational_to_doc_oriented_nosql_migrator_spark.operators.planops import (
     _template,
-)
-from relational_to_doc_oriented_nosql_migrator_spark.plans import (
-    convert_schema,
-    materialize,
 )
 from relational_to_doc_oriented_nosql_migrator_spark.sinks import (
     write_json_collections,
 )
-from relational_to_doc_oriented_nosql_migrator_spark.sources.sqldump import (
-    import_sql_dump,
-)
 
 ZIP_NAME = "collections.zip"
+
+# Migrations are serialized (the reference server is effectively
+# single-flight too — one Express worker, one shared results dir):
+# two concurrent POSTs would interleave per-collection .json files
+# and zip writes in the shared results_dir.
+_MIGRATION_LOCK = threading.Lock()
 
 
 def _catalog_tables_payload(catalog) -> list[dict]:
@@ -103,26 +102,41 @@ def run_migration(
 ) -> dict:
     """POST /migration body: parse the dump, fold in the workload, plan,
     materialize, write the zipped JSON collections for the download
-    endpoint, and return the reference-shaped response payload."""
-    _db, tables, catalog = import_sql_dump(spark, sql_text)
-    if log_content:
-        workload_mod.apply_workload(spark, catalog, log_content, dialect)
-    plan = convert_schema(catalog)
-    collections = materialize(tables, catalog, plan)
-    os.makedirs(results_dir, exist_ok=True)
-    # Per-collection whole-array JSON files + zip, like the reference's
-    # WriteToFile + archiver flow (server/WriteToFile.js:5-62). The
-    # empty-collection drop rides along (filter_nonempty_collection).
-    write_json_collections(
-        collections,
-        results_dir,
-        single_file=True,
-        zip_path=os.path.join(results_dir, ZIP_NAME),
-    )
-    return {
-        "tables": _catalog_tables_payload(catalog),
-        "collections": _collections_payload(plan),
-    }
+    endpoint, and return the reference-shaped response payload.
+
+    Serialized under _MIGRATION_LOCK, and the results dir is RESET per
+    migration: the zip is built by walking results_dir, so a previous
+    migration's per-collection .json files would otherwise ride along
+    into an unrelated download. The zip itself publishes atomically
+    (temp + rename), so a concurrent GET either serves the previous
+    complete archive, a 404 during the reset gap, or the new complete
+    archive — never a truncated one."""
+    with _MIGRATION_LOCK:
+        collections, catalog, plan = migrate_from_dump(
+            spark, sql_text, log_content=log_content, log_dialect=dialect,
+            return_plan=True,
+        )
+        os.makedirs(results_dir, exist_ok=True)
+        for entry in os.listdir(results_dir):
+            p = os.path.join(results_dir, entry)
+            shutil.rmtree(p) if os.path.isdir(p) else os.remove(p)
+        # Per-collection whole-array JSON files + zip, like the
+        # reference's WriteToFile + archiver flow
+        # (server/WriteToFile.js:5-62). The empty-collection drop rides
+        # along (filter_nonempty_collection).
+        zip_final = os.path.join(results_dir, ZIP_NAME)
+        zip_tmp = zip_final + ".tmp"
+        write_json_collections(
+            collections,
+            results_dir,
+            single_file=True,
+            zip_path=zip_tmp,
+        )
+        os.replace(zip_tmp, zip_final)
+        return {
+            "tables": _catalog_tables_payload(catalog),
+            "collections": _collections_payload(plan),
+        }
 
 
 def _parse_multipart(content_type: str, body: bytes) -> dict:

@@ -288,3 +288,42 @@ def test_relative_and_absolute_sf_dir_share_one_index():
     assert S._corpus_fingerprint(rel) == S._corpus_fingerprint(SF001)
     k = S._corpus_fingerprint(SF001)
     assert S._index_tag(rel, k) == S._index_tag(SF001, k)
+
+
+def test_assign_pandas_parity_with_exact(spark):
+    """The corpus-scale mapInPandas assignment (engaged past
+    ASSIGN_SORT_PAIRS_MAX pairs, where the exact BNLJ+window path's
+    local sort of N x C scored rows exceeds realistic spill volume)
+    must produce the SAME (id, cent_id) pairs as the expression path at
+    test scale — same rounded-cosine ranking, same asc-cent_id
+    tie-break."""
+    from pyspark.sql import functions as F
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+    )
+
+    emb = S._emb(spark, SF001, spread=True)
+    nc = S.n_centroids(footer_rows(SF001, "embeddings"))
+    cents = emb.filter(F.col("vec_id") < nc).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    exact = sorted(
+        (r.cand_id, r.cent_id)
+        for r in S._assign(emb, cents, "cand_id", "arank",
+                           S.N_ASSIGN).collect()
+    )
+    scale = sorted(
+        (r.cand_id, r.cent_id)
+        for r in S._assign_pandas(emb, cents, "cand_id",
+                                  S.N_ASSIGN).collect()
+    )
+    assert exact == scale
+    # the gate itself: a pairs_hint past the cap must route to the
+    # pandas plan (visible as a MapInPandas node), below it must not
+    big = S._assign(emb, cents, "cand_id", "arank", S.N_ASSIGN,
+                    pairs_hint=S.ASSIGN_SORT_PAIRS_MAX)
+    small = S._assign(emb, cents, "cand_id", "arank", S.N_ASSIGN,
+                      pairs_hint=S.ASSIGN_SORT_PAIRS_MAX - 1)
+    assert "MapInPandas" in big._jdf.queryExecution().toString()
+    assert "MapInPandas" not in small._jdf.queryExecution().toString()

@@ -188,9 +188,8 @@ def main():
             else base_stride
         )
 
-        def run(qid=qid, stride=stride):
+        def run(qid=qid):
             spark.sparkContext.setJobGroup(qid, qid, interruptOnCancel=True)
-            _sim.QUERY_STRIDE = stride
             try:
                 if qid == AUX_BUILD:
                     from relational_to_doc_oriented_nosql_migrator_spark.operators.similarity import (  # noqa: E501
@@ -201,8 +200,14 @@ def main():
                     return 4  # index relations published
                 return qs[qid](spark, sf).count()
             finally:
-                _sim.QUERY_STRIDE = base_stride
                 spark.sparkContext.setLocalProperty("spark.jobGroup.id", None)
+
+        # Stride is set/reset ONLY from this (main) thread: a wedged
+        # worker abandoned past the timeout grace must not race its
+        # finally-reset against the next id's plan build (the reduced
+        # row would then silently run the full query set while
+        # ledgering query_stride).
+        _sim.QUERY_STRIDE = stride
 
         try:
             fut = pool.submit(run)

@@ -4,9 +4,10 @@ Usage: python tools/prof_indexed.py [sf_dir] [--repeat N]
 
 Times, inside ONE warm JVM (index already built/published):
   assign   -- query-side centroid assignment alone (_assign -> count)
-  dtab     -- ADC distance-table build alone
-  search   -- full q_ext_similarity_ivfpq_indexed collect
-  knn      -- full q_ext_knn_classify_indexed collect
+  search   -- full q_ext_similarity_ivfpq_indexed count
+  knn      -- full q_ext_knn_classify_indexed count
+(Per-stage pipeline prefixes live in tools/prof_indexed_stages.py; the
+ADC component isolation in tools/prof_adc.py.)
 Each timed AFTER a throwaway warm-up search so JIT/broadcast reuse match
 the sweep's warm rows.  Prints one JSON line per stage.
 """
