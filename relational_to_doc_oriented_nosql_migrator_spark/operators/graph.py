@@ -92,7 +92,7 @@ def _pagerank_frame(e: DataFrame, n_nodes: int) -> DataFrame:
     Separated from the registered query so tests can lint the physical
     plan of BOTH broadcast branches (the checkpointed result in
     q_ext_graph_pagerank erases lineage)."""
-    # Conditional broadcast of the |nodes|-sized rank/degree frames (see
+    # Conditional broadcast of the |nodes|-sized rank frame (see
     # PAGERANK_BROADCAST_MAX_NODES): hinted below the gate — with the
     # session's 64 MB auto-broadcast threshold, Catalyst otherwise
     # broadcasts the CACHED |edges| side (accurate cache stats make 1.2M
@@ -100,32 +100,48 @@ def _pagerank_frame(e: DataFrame, n_nodes: int) -> DataFrame:
     # corpus-sized hash table, measured 3x slower per iteration — and
     # unhinted above it, where the join shuffles on the key and AQE may
     # still elect broadcast from runtime sizes.
+    #
+    # r12 shape (guide §2.4 — remove shuffles outright): ONE join + ONE
+    # aggregation per iteration. The symmetrized edge list makes
+    # in-degree == out-degree, so the receiving node's degree falls out
+    # of the SAME aggregation that sums its contributions (count of
+    # in-edge rows), and the teleport term rides the state frame as a
+    # carried column (min() of an all-equal BIGINT — exact). The r11
+    # shape re-joined deg and cross-joined the 1-row n frame per
+    # iteration; each reference re-planned the deg/n lineage, compounding
+    # to a 138-Exchange physical plan whose duplicated subtrees AQE
+    # scheduled as real stages (~1.8s/iteration of pure overhead at
+    # sf0.1). This plan is 9 exchanges; values are bit-identical
+    # (same contribution multiset, integer arithmetic throughout,
+    # adjudicated A/B + oracle-hash-checked).
     small = n_nodes <= PAGERANK_BROADCAST_MAX_NODES
     hint = F.broadcast if small else (lambda df: df)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     n = deg.agg(F.count(F.lit(1)).alias("n"))
+    teleport = F.expr(f"CAST({TELEPORT_NUM} AS BIGINT) * {UNIT // 100} DIV n")
     state = (
         deg.crossJoin(F.broadcast(n))
         .select(
-            F.col("src").alias("node"), "deg", "n",
+            F.col("src").alias("node"), "deg",
+            teleport.alias("tel"),
             F.expr(f"CAST({UNIT} AS BIGINT) DIV n").alias("units"),
         )
     )
-    teleport = F.expr(f"CAST({TELEPORT_NUM} AS BIGINT) * {UNIT // 100} DIV n")
     for _ in range(ITERS):
-        contrib = (
-            e.join(hint(state), e.src == state.node)
-            .select("dst", F.expr("units DIV deg").alias("contrib"))
-            .groupBy("dst")
-            .agg(F.sum("contrib").alias("s"))
-        )
         state = (
-            contrib.join(hint(deg), contrib.dst == deg.src)
-            .crossJoin(F.broadcast(n))
+            e.join(hint(state), e.src == state.node)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("units DIV deg")).alias("s"),
+                # in-degree == out-degree on the symmetrized graph: this
+                # IS deg(dst), no re-join with the deg frame needed
+                F.count(F.lit(1)).alias("deg"),
+                F.min("tel").alias("tel"),
+            )
             .select(
-                F.col("dst").alias("node"), "deg", "n",
+                F.col("dst").alias("node"), "deg", "tel",
                 (
-                    teleport
+                    F.col("tel")
                     + F.expr(f"{DAMPING_NUM} * s DIV {DAMPING_DEN}")
                 ).alias("units"),
             )

@@ -160,3 +160,73 @@ def q_nest_unsalted_forced(spark, sf_dir):
     )
 
     return _nest_forced(nest_one_to_many_df(spark, sf_dir))
+
+
+def q_graph_pagerank_r11_shape(spark, sf_dir):
+    """The r11 shape of ext_graph_pagerank's iteration body: contrib
+    aggregation, then a RE-JOIN with the deg frame plus a 1-row n
+    cross-join per iteration — every reference re-plans the deg/n
+    lineage (138-Exchange physical plan). Superseded in r12 by the
+    fused single-agg iteration (deg(dst) = in-edge count on the
+    symmetrized graph; teleport carried as a state column). Same values.
+    Replicates the full registered query including edge persist +
+    eager localCheckpoint so A/B reps time identical lifecycles."""
+    from pyspark.sql import Window  # noqa: F401 (parity import)
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        graph as G,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+    )
+
+    e = G._edges(spark, sf_dir).persist()
+    try:
+        n_nodes = footer_rows(sf_dir, "customer") + footer_rows(
+            sf_dir, "supplier"
+        )
+    except FileNotFoundError:
+        n_nodes = e.select("src").distinct().count()
+    small = n_nodes <= G.PAGERANK_BROADCAST_MAX_NODES
+    hint = F.broadcast if small else (lambda df: df)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    state = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"), "deg", "n",
+            F.expr(f"CAST({G.UNIT} AS BIGINT) DIV n").alias("units"),
+        )
+    )
+    teleport = F.expr(
+        f"CAST({G.TELEPORT_NUM} AS BIGINT) * {G.UNIT // 100} DIV n"
+    )
+    for _ in range(G.ITERS):
+        contrib = (
+            e.join(hint(state), e.src == state.node)
+            .select("dst", F.expr("units DIV deg").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+        )
+        state = (
+            contrib.join(hint(deg), contrib.dst == deg.src)
+            .crossJoin(F.broadcast(n))
+            .select(
+                F.col("dst").alias("node"), "deg", "n",
+                (
+                    teleport
+                    + F.expr(
+                        f"{G.DAMPING_NUM} * s DIV {G.DAMPING_DEN}"
+                    )
+                ).alias("units"),
+            )
+        )
+    out = state.select(
+        G._node_label("node").alias("node"),
+        "deg",
+        (F.col("units").cast("double") / F.lit(float(G.UNIT)))
+        .alias("pagerank"),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
