@@ -292,22 +292,31 @@ def q_ext_basket_pairs(spark, sf_dir):
     least BASKET_MIN_SUPPORT orders — the affinity-analysis primitive
     behind 'frequently bought together'.
 
-    Scale shape: the within-order self-join is keyed by l_orderkey, so
-    pair expansion is bounded by basket size squared PER ORDER (~7
-    items -> <=21 pairs), never corpus-quadratic; the pair-frequency
-    rollup map-side combines. This is the a-priori candidate-counting
-    shape: linear in orders, not in parts squared.
+    Scale shape (r12 — guide §2.4): ONE l_orderkey aggregation collects
+    each order's distinct sorted basket, ordered pairs expand IN-ARRAY
+    (the minhash bucket idiom — bounded by basket size squared PER
+    ORDER, ~7 items -> <=21 pairs, never corpus-quadratic), and the
+    explode feeds the pair-frequency rollup's partial aggregation
+    inside the same stage. Two exchanges total (basket groupBy + pair
+    groupBy). The r11 shape was distinct + a within-order self-join —
+    four exchanges, with the distinct's (okey, pkey)-hashed output
+    re-shuffled on okey for BOTH join sides; same pair multiset, same
+    counts (collect_set == the distinct, sorted order == part_a <
+    part_b), adjudicated A/B and oracle-checked.
     """
-    items = (
+    baskets = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ids"))
     )
-    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
-    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
+        " size(ids)), y -> struct(x AS part_a, y AS part_b))))"
+    )
     return (
-        a.join(b, "l_orderkey")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.part_a", "p.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)

@@ -230,3 +230,31 @@ def q_graph_pagerank_r11_shape(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def q_basket_pairs_r11_selfjoin(spark, sf_dir):
+    """The r11 shape of ext_basket_pairs: distinct (l_orderkey,
+    l_partkey) + within-order self-join + pair rollup (four exchanges).
+    Superseded in r12 by the single basket aggregation + in-array pair
+    expansion. Same pairs, same counts."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.relational import (
+        BASKET_MIN_SUPPORT,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        t,
+    )
+
+    items = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = items.select("l_orderkey", F.col("l_partkey").alias("part_a"))
+    b = items.select("l_orderkey", F.col("l_partkey").alias("part_b"))
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+    )
