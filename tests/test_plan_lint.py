@@ -340,6 +340,17 @@ def test_cand_repartition_gated_on_corpus_size(spark, monkeypatch):
 # plan is the cheaper one by design, so they stay listed here and
 # test_token_explodes_spread_past_gate pins the gated branch.
 UNSPREAD_EXPLODES_AUDITED = {
+    "ext_basket_pairs",         # in-array ordered-pair explode over the
+                                # per-order basket aggregation (bounded:
+                                # ~basket_size^2/2 pairs per order, ~21 at
+                                # the ~7-item TPC-H basket). The raw-scan
+                                # adjacency exists ONLY at single-split
+                                # inputs (sf0.001), where the groupBy
+                                # needs no exchange; any multi-split
+                                # corpus shuffles on l_orderkey first, so
+                                # the explode runs at shuffle parallelism.
+                                # sf1.0 interleaved A/B: 8.79s vs the r11
+                                # self-join's 11.91s.
     "ext_decontaminate",        # distinct shingle explode, ~n_tokens/doc
     "ext_dedup_embedding_lsh",  # LSH_TABLES(12)-wide key explode
     "ext_embed_centroids",      # constant codebook-build explode
