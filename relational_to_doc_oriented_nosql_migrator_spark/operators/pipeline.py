@@ -539,19 +539,8 @@ def q_ext_curation_pipeline(spark, sf_dir):
     punct_ratio = F.round(
         F.col("punct").cast("double") / F.col("n_chars_seen"), 6
     )
-    qual = docs_tk.select(
-        "doc_id",
-        (
-            (F.col("n_chars_seen") >= 100) & (punct_ratio <= F.lit(0.1))
-        ).alias("keep_quality"),
-    )
     rept = repetition_filter_from(docs_tk).select(
         "doc_id", F.col("keep").alias("keep_repetition")
-    )
-    exact = docs_tk.select("doc_id", F.col("ck").alias("ck"))
-    winners = exact.groupBy("ck").agg(F.min("doc_id").alias("rep"))
-    keepex = exact.join(winners, "ck").select(
-        "doc_id", (F.col("doc_id") == F.col("rep")).alias("keep_exact")
     )
     near_losers = (
         dedup_ops.minhash_pairs_from(spark, dedup_ops.shingles_from(docs_tk))
@@ -560,9 +549,6 @@ def q_ext_curation_pipeline(spark, sf_dir):
         .withColumn("near_loser", F.lit(True))
     )
     decon = decontaminate_from(docs_tk).select("doc_id", "contaminated")
-    samp = sample_stratified_from(docs_tk).select(
-        "doc_id", F.col("keep").alias("keep_sample")
-    )
     bucket = F.expr(
         "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
         " AS BIGINT) % 100"
@@ -572,10 +558,62 @@ def q_ext_curation_pipeline(spark, sf_dir):
         .when(bucket < 95, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    base = docs_tk.select(
-        "doc_id",
-        split.alias("split"),
-        F.size(F.col("tk")).alias("n_tokens"),
+    # Per-row keep flags ride the base projection instead of re-joining
+    # corpus-sized frames back on doc_id (guide §2.4 — the r11 shape
+    # paid a doc_id join each for quality, exact-dup, and sampling):
+    #   * keep_quality is a pure row function of the persisted columns;
+    #   * keep_exact's group winner comes from one min-over-ck window —
+    #     the same single ck exchange the old groupBy paid, minus the
+    #     winners re-join (at corpus scale that join was a second
+    #     corpus-wide ck exchange: the winners frame outgrows any
+    #     broadcast ceiling);
+    #   * keep_sample needs only the |sources|-row weight frame, joined
+    #     broadcast on source exactly as in ext_sample_stratified.
+    # Flag values are expression-identical to the r11 stage builders.
+    per_source = (
+        docs_tk.select("source", F.size(F.col("tk")).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("sum_tokens"))
+    )
+    total = F.sum("sum_tokens").over(Window.partitionBy())
+    share = F.round(F.col("sum_tokens").cast("double") / total, 6)
+    weights = per_source.select(
+        "source",
+        F.round(F.least(share, F.lit(0.3)) / share, 6).alias("w"),
+    )
+    samp_bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 13, 12), 16, 10)"
+        " AS BIGINT) % 1000"
+    )
+    base = (
+        docs_tk.select(
+            "doc_id",
+            "source",
+            "ck",
+            split.alias("split"),
+            F.size(F.col("tk")).alias("n_tokens"),
+            (
+                (F.col("n_chars_seen") >= 100) & (punct_ratio <= F.lit(0.1))
+            ).alias("keep_quality"),
+            samp_bucket.alias("samp_bucket"),
+        )
+        .withColumn(
+            "keep_exact",
+            F.min("doc_id").over(Window.partitionBy("ck"))
+            == F.col("doc_id"),
+        )
+        .join(F.broadcast(weights), "source")
+        .select(
+            "doc_id",
+            "split",
+            "n_tokens",
+            "keep_quality",
+            "keep_exact",
+            (
+                F.col("samp_bucket")
+                < F.floor(F.col("w") * 1000).cast("bigint")
+            ).alias("keep_sample"),
+        )
     )
     keep = (
         F.col("keep_quality")
@@ -586,12 +624,9 @@ def q_ext_curation_pipeline(spark, sf_dir):
         & F.col("keep_sample")
     )
     joined = (
-        base.join(qual, "doc_id")
-        .join(rept, "doc_id", "left")
-        .join(keepex, "doc_id")
+        base.join(rept, "doc_id", "left")
         .join(near_losers, "doc_id", "left")
         .join(decon, "doc_id", "left")
-        .join(samp, "doc_id")
         .select("doc_id", "split", "n_tokens", keep.alias("keep"))
     )
     # bucket count from the corpus footer count (an upper bound on the

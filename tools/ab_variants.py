@@ -258,3 +258,131 @@ def q_basket_pairs_r11_selfjoin(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
     )
+
+
+def q_curation_r11_shape(spark, sf_dir):
+    """The r11 shape of ext_curation_pipeline's flag composition: the
+    quality / exact-dup / sampling keep flags each built as a separate
+    doc_id-keyed frame and re-joined onto the base projection (6-way
+    doc_id join), with exact-dup winners via groupBy(ck) + re-join.
+    Superseded in r12 by inline per-row flags + one min-over-ck window
+    + a broadcast weights join. Same flags, same rows."""
+    from pyspark.storagelevel import StorageLevel
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        dedup as dedup_ops,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.pipeline import (
+        PACK_SEQ_LEN,
+        decontaminate_from,
+        pack_buckets,
+        repetition_filter_from,
+        sample_stratified_from,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
+        docs_tokenized,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+    )
+
+    docs_tk = (
+        docs_tokenized(spark, sf_dir, spread=True)
+        .withColumn("n_chars_seen", F.length("text"))
+        .withColumn(
+            "punct", F.length(F.regexp_replace("text", r"[^.,;:!?]", ""))
+        )
+        .withColumn(
+            "ck",
+            F.md5(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+            ),
+        )
+        .drop("text")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    punct_ratio = F.round(
+        F.col("punct").cast("double") / F.col("n_chars_seen"), 6
+    )
+    qual = docs_tk.select(
+        "doc_id",
+        (
+            (F.col("n_chars_seen") >= 100) & (punct_ratio <= F.lit(0.1))
+        ).alias("keep_quality"),
+    )
+    rept = repetition_filter_from(docs_tk).select(
+        "doc_id", F.col("keep").alias("keep_repetition")
+    )
+    exact = docs_tk.select("doc_id", F.col("ck").alias("ck"))
+    winners = exact.groupBy("ck").agg(F.min("doc_id").alias("rep"))
+    keepex = exact.join(winners, "ck").select(
+        "doc_id", (F.col("doc_id") == F.col("rep")).alias("keep_exact")
+    )
+    near_losers = (
+        dedup_ops.minhash_pairs_from(spark, dedup_ops.shingles_from(docs_tk))
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("near_loser", F.lit(True))
+    )
+    decon = decontaminate_from(docs_tk).select("doc_id", "contaminated")
+    samp = sample_stratified_from(docs_tk).select(
+        "doc_id", F.col("keep").alias("keep_sample")
+    )
+    bucket = F.expr(
+        "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10)"
+        " AS BIGINT) % 100"
+    )
+    split = (
+        F.when(bucket < 90, F.lit("train"))
+        .when(bucket < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    base = docs_tk.select(
+        "doc_id",
+        split.alias("split"),
+        F.size(F.col("tk")).alias("n_tokens"),
+    )
+    keep = (
+        F.col("keep_quality")
+        & F.coalesce("keep_repetition", F.lit(True))
+        & F.col("keep_exact")
+        & ~F.coalesce("near_loser", F.lit(False))
+        & ~F.coalesce("contaminated", F.lit(False))
+        & F.col("keep_sample")
+    )
+    joined = (
+        base.join(qual, "doc_id")
+        .join(rept, "doc_id", "left")
+        .join(keepex, "doc_id")
+        .join(near_losers, "doc_id", "left")
+        .join(decon, "doc_id", "left")
+        .join(samp, "doc_id")
+        .select("doc_id", "split", "n_tokens", keep.alias("keep"))
+    )
+    n_buckets = pack_buckets(footer_rows(sf_dir, "documents"))
+    train = joined.filter(F.col("keep") & (F.col("split") == "train")).select(
+        "doc_id",
+        "n_tokens",
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+        F.expr(
+            "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16,"
+            f" 10) AS BIGINT) % {n_buckets}"
+        ).alias("pack_bucket"),
+    )
+    w = (
+        Window.partitionBy("pack_bucket")
+        .orderBy("ord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = train.select(
+        "doc_id",
+        "pack_bucket",
+        (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start"),
+    ).select(
+        "doc_id",
+        "pack_bucket",
+        F.expr(f"start div {PACK_SEQ_LEN}").alias("seq_id"),
+    )
+    return joined.join(packed, "doc_id", "left").select(
+        "doc_id", "split", "keep", "pack_bucket", "seq_id"
+    )
