@@ -185,21 +185,29 @@ def main() -> None:
     # reads against this column, the round-over-round one against the
     # warmed medians. Disable with SPARK_GRAFT_BENCH_WARMUP=0 (timings
     # then measure cold starts and `cold_queries` is omitted).
+    # Per-query job labels (guide §1.5) so Spark-UI/event-log stage
+    # attribution maps back to bench rows; thread-local, reset after
+    # each query, zero effect on the timed work or the JSON contract.
+    def timed(name: str, fn) -> float:
+        spark.sparkContext.setJobDescription(f"bench:{name}")
+        t0 = time.time()
+        try:
+            fn()
+        finally:
+            spark.sparkContext.setJobDescription(None)
+        return round(time.time() - t0, 3)
+
     cold: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         for name, fn in {**headline, **aux}.items():
-            t0 = time.time()
-            fn()
-            cold[name] = round(time.time() - t0, 3)
+            cold[name] = timed(f"cold:{name}", fn)
             # Per-query, not per-pass: a query later in dict order must
             # not read frames an earlier query's warmup persisted, or
             # its recorded cold time partially measures a warm cache.
             spark.catalog.clearCache()
     for _ in range(n_runs):
         for name, fn in {**headline, **aux}.items():
-            t0 = time.time()
-            fn()
-            samples[name].append(round(time.time() - t0, 3))
+            samples[name].append(timed(name, fn))
         # Drop persisted frames so repeat runs measure the query, not the
         # previous run's caches (and cached RDDs don't accumulate x n).
         spark.catalog.clearCache()
@@ -298,9 +306,8 @@ def main() -> None:
                 force(spark.read.parquet(p))
             scale_timings: dict[str, float] = {}
             for name in scale_names:
-                t0 = time.time()
-                scale_suite[name]()
-                scale_timings[name] = round(time.time() - t0, 3)
+                scale_timings[name] = timed(f"scale:{name}",
+                                            scale_suite[name])
             spark.catalog.clearCache()
             out["scale"] = {
                 "sf": _sf_of(scale_dir),
