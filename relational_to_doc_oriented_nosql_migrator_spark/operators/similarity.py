@@ -871,9 +871,21 @@ def q_ext_similarity_ivfpq_indexed(spark, sf_dir):
     codes = spark.read.parquet(os.path.join(idx, "codes")) \
         .withColumnRenamed("vec_id", "cand_id")
     emb = _emb(spark, sf_dir)
+    # Spread the FILTERED query rows before the probe/dtab projections
+    # (r12, guide §2.5 input skew): the corpus scan is deliberately
+    # unspread here (search never rescans it), so the |queries| rows
+    # inherit the scan's row-group layout — and the probe BNLJ amplifies
+    # each input row n_centroids-fold (1,788x at sf10), turning a few
+    # uneven row groups into a near-single-task stage (profiled 23.3s of
+    # the 93.6s sf10 search; 12s -> 2.2s on the isolated stage once
+    # spread). The exchange itself moves only the guard-bounded query
+    # set (hundreds of rows). Explicit numPartitions: an AQE-coalesced
+    # exchange of a 20 KB frame would funnel straight back to 1 task.
+    qf = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).repartition(
+        _parallelism(spark)
+    )
     qn = (
-        emb.filter(F.col("vec_id") % QUERY_STRIDE == 0)
-        .select("vec_id", F.expr(_NORM).alias("nrm"), "v")
+        qf.select("vec_id", F.expr(_NORM).alias("nrm"), "v")
         .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("v"))
     )
     probes = _assign(qn, cents, "query_id", "prank", N_PROBE)

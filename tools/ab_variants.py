@@ -386,3 +386,64 @@ def q_curation_r11_shape(spark, sf_dir):
     return joined.join(packed, "doc_id", "left").select(
         "doc_id", "split", "keep", "pack_bucket", "seq_id"
     )
+
+
+def q_ivfpq_indexed_unspread_queries(spark, sf_dir):
+    """The pre-r12-fix shape of ext_similarity_ivfpq_indexed: the query
+    frame rides the raw scan's row-group layout into the probe BNLJ and
+    ADC-table projections (no repartition of the filtered query rows).
+    Same values — the spread is plan-shape only."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as S,
+    )
+
+    idx = S.build_ivfpq_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    inverted = spark.read.parquet(os.path.join(idx, "inverted"))
+    codebook = spark.read.parquet(os.path.join(idx, "codebook"))
+    codes = spark.read.parquet(os.path.join(idx, "codes")) \
+        .withColumnRenamed("vec_id", "cand_id")
+    emb = S._emb(spark, sf_dir)
+    qn = (
+        emb.filter(F.col("vec_id") % S.QUERY_STRIDE == 0)
+        .select("vec_id", F.expr(S._NORM).alias("nrm"), "v")
+        .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("v"))
+    )
+    probes = S._assign(qn, cents, "query_id", "prank", S.N_PROBE)
+    dtab = (
+        S._pq_slices(qn)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook),
+              F.col("subspace") == F.col("cb_subspace"))
+        .select("query_id", "subspace", "code",
+                F.expr(S._PQ_L2).alias("d"))
+    )
+    cand = S._dedup_candidates(spark, sf_dir, probes, inverted)
+    adc = S._adc_wide(cand, codes, dtab)
+    ws = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    short = (
+        adc.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= S.ADC_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qv = emb.filter(F.col("vec_id") % S.QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", S._cosine_expr().alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= S.IVFPQ_TOP_K)
+    )
