@@ -15,6 +15,15 @@ Variance hygiene: the whole suite runs $SPARK_GRAFT_BENCH_RUNS times
 just-warmed caches back-to-back); `queries` carries per-query MEDIANS and
 `spread` the min/max, so sub-second run-to-run noise is visible instead
 of consuming round-over-round attention.
+
+Core-count scaling caveat (r12 verdict item 10): at the default sf0.1
+every headline query runs 0.4-7 s, where per-stage scheduling and JVM
+fixed costs dominate — so an 8-core run times within ~±30% of a 32-core
+run (several queries are FASTER at 8 cores, less scheduling overhead).
+That is the SF being too small to exercise parallelism, not serial
+code; the in-bench `scale` block (sf1.0, 10x data) is where the
+parallel fraction is measurable (all ratios sublinear in data size).
+Read low-vs-high-core comparisons at sf0.1 accordingly.
 """
 
 from __future__ import annotations
@@ -197,6 +206,18 @@ def main() -> None:
             spark.sparkContext.setJobDescription(None)
         return round(time.time() - t0, 3)
 
+    # Cold-row telemetry for the indexed similarity ids (r12 verdict
+    # item 9): their cold time is BIMODAL by design — build_ivfpq_index
+    # either adopts a complete persistent index that survived under the
+    # index root (search-only cold row) or pays the full train+build.
+    # Stamp which one this run was so cross-round cold comparisons
+    # self-explain instead of reading as a regression.
+    index_was_present = similarity.ivfpq_index_present(SF_DIR)
+    index_reused = {
+        "similarity_ivfpq_indexed": index_was_present,
+        "knn_classify_indexed": index_was_present,
+    }
+
     cold: dict[str, float] = {}
     if os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1") != "0":
         for name, fn in {**headline, **aux}.items():
@@ -241,6 +262,10 @@ def main() -> None:
         # the train-every-call IVF-PQ spec vs the indexed headline — the
         # explicit train-vs-indexed split the r04 verdict asked for.
         "aux_queries": {name: median_of(samples[name]) for name in aux},
+        # Whether the persistent IVF-PQ index existed BEFORE the cold
+        # pass: true = the indexed ids' cold rows are search-only,
+        # false = they include the full train+build (r12 verdict item 9).
+        "index_reused": index_reused,
     }
     if cold:
         # First-execution times (codegen + JIT + page-cache cold): the
@@ -342,7 +367,20 @@ def main() -> None:
     except (OSError, ValueError):
         pass
 
-    print(json.dumps(out))
+    line = json.dumps(out)
+    # Duplicate the result line to a file BEFORE printing (r12 verdict
+    # item 4): the r11 driver run captured only a bounded tail of the
+    # bench output and the (long) one-line JSON was truncated out of it,
+    # silently nulling the entire round-over-round PERF table. The file
+    # gives any consumer a truncation-proof copy; stdout keeps the exact
+    # same single-line contract as every prior round.
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_out.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError as exc:
+        print(f"bench_out.json write failed: {exc}", file=sys.stderr)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -676,6 +676,29 @@ def _index_tag(sf_dir: str, key: tuple) -> tuple[str, str]:
     return scope, f"{scope}_{fptag}"
 
 
+def ivfpq_index_present(sf_dir: str) -> bool:
+    """True when a COMPLETE persistent IVF-PQ index for this corpus
+    fingerprint already exists on disk (same root/tag derivation as
+    build_ivfpq_index, stat-only — no Spark). Bench telemetry (r12
+    verdict item 9): the *_indexed ids' COLD bench rows measure
+    build-or-adopt depending on what survived under the index root, so
+    the bench JSON stamps which one it was instead of leaving the cold
+    column bimodal and unexplained."""
+    import tempfile
+
+    key = _corpus_fingerprint(sf_dir)
+    _, tag = _index_tag(sf_dir, key)
+    persist_root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_index-{os.getuid() if hasattr(os, 'getuid') else 0}",
+    )
+    out = os.path.join(persist_root, f"ivfpq_{tag}")
+    return all(
+        os.path.exists(os.path.join(out, rel, "_SUCCESS"))
+        for rel in ("centroids", "inverted", "codebook", "codes")
+    )
+
+
 def build_ivfpq_index(spark, sf_dir: str) -> str:
     """Materialize the IVF-PQ index (centroids, inverted lists, trained
     codebook, PQ codes) to parquet — the one-time TRAIN+BUILD pass whose

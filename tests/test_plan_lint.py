@@ -357,9 +357,11 @@ UNSPREAD_EXPLODES_AUDITED = {
     "ext_embed_quantize",       # 64-dim per-dimension explode
     "ext_range_join",           # bounded bucket-span explode (few buckets)
     "ext_setops",               # tiny set-literal explode
-    "ext_similarity_ivfpq_indexed",  # PQ_M(8)-wide code pivot explode
-    "ext_knn_classify_indexed",      # same pivot explode via its
-                                     # ivfpq_indexed neighbor frame
+    # ext_similarity_ivfpq_indexed / ext_knn_classify_indexed: pruned in
+    # r13 — the query-side .repartition(_parallelism) added at r12 HEAD
+    # (similarity.py, query spread) puts an Exchange between the PQ code
+    # pivot explode and the raw scan, so the explode is no longer
+    # unspread.
     "ext_text_chunk",           # chunk-boundary explode, ~n_tokens/500,
                                 # 5.8s at sf10 measured
     # gated-spread family: unspread below SPREAD_MIN_DOCS by design
