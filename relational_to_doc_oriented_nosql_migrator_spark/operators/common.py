@@ -91,6 +91,30 @@ def footer_rows(sf_dir: str, name: str) -> int:
     )
 
 
+def footer_col_minmax(
+    sf_dir: str, name: str, col: str
+) -> tuple[int, int] | None:
+    """(min, max) of a column across a table's parquet FOOTER column
+    statistics — no Spark job. Returns None when any row group lacks
+    the statistic (callers must then take their conservative path)."""
+    import pyarrow.parquet as pq
+
+    lo, hi = None, None
+    for p in parquet_paths(sf_dir, name):
+        md = pq.read_metadata(p)
+        try:
+            idx = md.schema.names.index(col)
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)
+
+
 def global_row_number(
     df: DataFrame,
     order_cols: list[Column],

@@ -24,6 +24,7 @@ from relational_to_doc_oriented_nosql_migrator_spark.functions.scalar import (
 from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
     dec_avg,
     dec_sum,
+    footer_col_minmax,
     scratch_dir,
     sql_dec_avg,
     sql_dec_sum,
@@ -310,6 +311,36 @@ def q_ext_basket_pairs(spark, sf_dir):
         .groupBy("l_orderkey")
         .agg(F.array_sort(F.collect_set("l_partkey")).alias("ids"))
     )
+    # Narrower shuffle key (r13, guide §2.3): while every part key
+    # provably fits in 31 bits — checked against the lineitem footers'
+    # l_partkey column statistics, no Spark job — the ordered pair rides
+    # the pair-frequency exchange PACKED into one BIGINT
+    # (part_a << 32 | part_b; a bijection for 0 <= key < 2^31) and is
+    # decoded after the aggregation. The rollup's shuffle rows shrink
+    # from two BIGINT key columns + partial count (24 B) to one + count
+    # (16 B), and the hash-agg keys on one long instead of a two-column
+    # row — the rollup stage was ~39 s of the sf10 run. Pair multiset,
+    # counts, and output schema are unchanged (sorted array + slice(i+2)
+    # still yields exactly the part_a < part_b distinct pairs; decode is
+    # exact). Corpora past the 31-bit bound — or with footers missing
+    # the statistic — keep the unpacked shape.
+    pk_range = footer_col_minmax(sf_dir, "lineitem", "l_partkey")
+    if pk_range and 0 <= pk_range[0] and pk_range[1] < (1 << 31):
+        packed_expr = (
+            "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
+            " size(ids)), y -> shiftleft(x, 32) + y)))"
+        )
+        return (
+            baskets.select(F.explode(F.expr(packed_expr)).alias("pk"))
+            .groupBy("pk")
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+            .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+            .select(
+                F.shiftrightunsigned("pk", 32).alias("part_a"),
+                F.expr("pk & 4294967295").alias("part_b"),
+                "n_orders",
+            )
+        )
     pairs_expr = (
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
         " size(ids)), y -> struct(x AS part_a, y AS part_b))))"

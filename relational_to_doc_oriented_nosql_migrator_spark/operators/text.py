@@ -262,54 +262,67 @@ def q_ext_text_entropy(spark, sf_dir):
     garble detector: natural prose sits ~2.8-3.2, base64/compressed junk
     pushes toward ln(alphabet), single-char spam collapses toward 0.
 
-    Scale shape: the char explode is narrow (one small row per
-    character, same cost class as the token explode every text op
-    already pays) and the (doc_id, char) count map-side combines to at
-    most |alphabet| rows per doc before the shuffle. Each summand is
+    Scale shape (r13, guide §2.4): the char histogram is computed
+    IN-ARRAY per document — sort the char array, find the run
+    boundaries, diff them into per-char counts — so the whole entropy is
+    a row-local expression with ZERO aggregation exchanges (the r12
+    shape exploded one row per character into two groupBys; the per-doc
+    char rows never needed to leave their document). Each summand is
     rounded to 9 digits and summed in decimal, so the per-doc fold is
-    order-independent and engine-exact. The raw scan is spread to full
-    parallelism FIRST: the explode multiplies each input split ~|doc|
-    chars wide, so a compact few-split corpus would otherwise pin the
-    whole explode+combine stage to a couple of cores (the sf10 probe's
-    straggler; values are unaffected — the decimal term sum is
-    order-independent by construction).
+    order-independent and engine-exact — identical values to the
+    exploded shape (same p, same term tree, exact decimal sum). The raw
+    scan is still spread to full parallelism first: the per-doc
+    sort+histogram work is ~|doc| log |doc|, so a compact few-split
+    corpus would otherwise pin the stage to a couple of cores.
     """
-    # Empty docs are excluded on BOTH engines: Spark's sequence(1, 0) is
-    # the DESCENDING [1, 0] (two spurious rows + an ANSI divide-by-zero),
-    # while DuckDB's generate_series(1, 0) is empty — the filter is what
-    # keeps the engines agreeing (entropy of an empty string is
-    # undefined anyway).
+    # Empty docs are excluded on BOTH engines (entropy of an empty
+    # string is undefined; the filter also keeps sequence() off the
+    # n=0 descending-[1,0] trap and the ANSI divide-by-zero).
     docs = (
         t(spark, sf_dir, "documents")
         .repartition(spark.sparkContext.defaultParallelism)
         .filter(F.length("text") > 0)
     )
-    ch = docs.select(
+    d = docs.select(
         "doc_id",
         F.length("text").cast("bigint").alias("total"),
-        F.explode(
-            F.expr(
-                "transform(sequence(1, length(text)),"
-                " i -> substring(text, i, 1))"
-            )
-        ).alias("c"),
+        F.expr(
+            "array_sort(transform(sequence(1, length(text)),"
+            " i -> substring(text, i, 1)))"
+        ).alias("sc"),
     )
-    counts = ch.groupBy("doc_id", "total", "c").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # Run boundaries over the sorted chars: 1-based end positions of
+    # each equal-char run (AND short-circuits, so element_at never reads
+    # past the array under ANSI; greatest() keeps sequence() ascending
+    # for 1-char docs).
+    ends = (
+        "concat(filter(sequence(1, greatest(size(sc) - 1, 1)),"
+        " i -> i < size(sc) AND element_at(sc, i) != element_at(sc, i + 1)),"
+        " array(size(sc)))"
     )
-    p = F.col("cnt").cast("double") / F.col("total")
-    term = F.round(-p * F.log(p), 9)
-    return counts.groupBy("doc_id", "total").agg(
-        F.round(
-            F.sum(term.cast("decimal(18,9)"))
-            .cast("decimal(28,9)")
-            .cast("double"),
-            6,
-        ).alias("entropy"),
-        F.count(F.lit(1)).alias("n_distinct_chars"),
-    ).select(
-        "doc_id", F.col("total").alias("n_chars"), "entropy",
-        "n_distinct_chars",
+    # Per-distinct-char counts = diffs of consecutive run ends (lambda
+    # index j is 0-based; element_at(ends, j) is the PREVIOUS end).
+    cnts = "transform(ends, (e, j) -> e - IF(j = 0, 0, element_at(ends, j)))"
+    # Same per-char term tree as the exploded shape — p promoted to
+    # double, round(-p * ln(p), 9) in decimal(18,9) — summed with an
+    # exact decimal fold (values bounded by ln(n) per term: no overflow,
+    # no order sensitivity).
+    term_sum = (
+        "aggregate(transform(cnts, cnt ->"
+        " CAST(round(-(CAST(cnt AS DOUBLE) / total)"
+        " * ln(CAST(cnt AS DOUBLE) / total), 9) AS DECIMAL(18,9))),"
+        " CAST(0 AS DECIMAL(28,9)),"
+        " (acc, x) -> CAST(acc + x AS DECIMAL(28,9)))"
+    )
+    return (
+        d.withColumn("ends", F.expr(ends))
+        .withColumn("cnts", F.expr(cnts))
+        .select(
+            "doc_id",
+            F.col("total").alias("n_chars"),
+            F.round(F.expr(term_sum).cast("double"), 6).alias("entropy"),
+            F.size("ends").cast("bigint").alias("n_distinct_chars"),
+        )
     )
 
 

@@ -63,3 +63,26 @@ def test_basket_pairs_bounded_and_supported(spark, tmp_path):
     # (10, 20) co-occurs in all three orders; (10, 30)/(20, 30) only in
     # order 1 -> below min support 2 -> absent.
     assert pairs == {(10, 20): 3}
+
+
+def test_basket_pairs_big_partkeys_fall_back_unpacked(spark, tmp_path):
+    """Part keys past the 31-bit packing bound: the footer-stats guard
+    must route to the UNPACKED pair shape (shiftleft(x, 32) would
+    corrupt or overflow) and values stay exact."""
+    big = 1 << 31
+    li = pa.table({
+        "l_orderkey": pa.array([1, 1, 2, 2, 3, 3], type=pa.int64()),
+        "l_partkey": pa.array([big + 10, big + 20] * 3, type=pa.int64()),
+        "l_linenumber": pa.array(range(6), type=pa.int32()),
+    })
+    pq.write_table(li, os.path.join(str(tmp_path), "lineitem.parquet"))
+    df = R.q_ext_basket_pairs(spark, str(tmp_path))
+    import io as _io
+    import contextlib as _ctx
+
+    buf = _io.StringIO()
+    with _ctx.redirect_stdout(buf):
+        df.explain("simple")
+    assert "shiftleft" not in buf.getvalue()
+    pairs = {(r.part_a, r.part_b): r.n_orders for r in df.collect()}
+    assert pairs == {(big + 10, big + 20): 3}

@@ -64,3 +64,21 @@ def test_filter_fk_match_pushes_join_null_filter(spark):
     plan = _plan(spark, "filter_fk_match")
     assert "NestedLoop" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_basket_pairs_packs_pair_key(spark):
+    # r13 (guide §2.3 narrower types): with 31-bit-provable part keys the
+    # ordered pair rides the rollup exchange as ONE packed BIGINT
+    # (part_a << 32 | part_b), decoded after the aggregation.
+    plan = _plan(spark, "ext_basket_pairs")
+    assert "shiftleft" in plan, plan
+    assert "shiftrightunsigned" in plan, plan
+
+
+def test_text_entropy_is_aggregation_free(spark):
+    # r13 (guide §2.4): the char histogram is computed in-array per
+    # document (sorted-run diffs), so the plan holds NO aggregation at
+    # all — the only exchange is the deliberate spread repartition.
+    plan = _plan(spark, "ext_text_entropy")
+    assert "HashAggregate" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
