@@ -43,77 +43,87 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # the ledger landing and the next freeze. Bump it (and re-paste the
 # literal) exactly once per round, when rotating the window.
 #
-# Round-12 window: ROUND_CHANGED_IDS promotes the five ids whose
-# DRIVER-EXECUTED plans changed this round: the four IVF/IVF-PQ
-# similarity ids (the ADC distance-table build swapped its per-query
-# O((M*K)^2) map scatter for a shared slot->rank indirection — same
-# values, different physical plan) plus sink_json_collections (doc
-# counts now come from write-time observe()/roots-frame metrics; the
-# NDJSON text-count read-back pass is gone). The remaining 45 slots
-# are stalest-first: the r09-latest cohort (ledger state after r11:
-# r11 50, r10 49, r09 47). Invariant after the r12 driver run: every
-# id's latest row is r10+.
-WINDOW_LEDGER_MAX = 11
+# Round-13 window: ROUND_CHANGED_IDS promotes (a) the eleven ids whose
+# plans changed THIS round — the packed-BIGINT basket-pair rollup, the
+# in-array entropy histogram, the fused single-pass PMI counting, and
+# the similarity family whose spread repartitions went keyless
+# round-robin -> hash-on-vec_id (topk, lsh, ivf, ivfpq, ivfpq_indexed,
+# both knn ids, embed_pq) — and (b) the three r12 rewrites the r12
+# window rotation predated (VERDICT r12 item 3: rewritten AFTER the
+# rotation, so the driver never re-proved their new shapes):
+# graph_pagerank, curation_pipeline, stream_to_json_files
+# (ext_basket_pairs, the fourth, is already in (a)). The remaining 36
+# slots are stalest-first over the post-r12 ledger.
+WINDOW_LEDGER_MAX = 12
 
 ROUND_CHANGED_IDS = (
-    "sink_json_collections",
+    "ext_basket_pairs",
+    "ext_text_entropy",
+    "ext_text_pmi",
+    "ext_similarity_topk",
+    "ext_similarity_lsh",
     "ext_similarity_ivf",
     "ext_similarity_ivfpq",
     "ext_similarity_ivfpq_indexed",
+    "ext_knn_classify",
     "ext_knn_classify_indexed",
+    "ext_embed_pq",
+    "ext_graph_pagerank",
+    "ext_curation_pipeline",
+    "stream_to_json_files",
 )
 
 DRIVER_WINDOW_FIRST = (
-    "sink_json_collections",
+    "ext_basket_pairs",
+    "ext_text_entropy",
+    "ext_text_pmi",
+    "ext_similarity_topk",
+    "ext_similarity_lsh",
     "ext_similarity_ivf",
     "ext_similarity_ivfpq",
     "ext_similarity_ivfpq_indexed",
-    "ext_knn_classify_indexed",
-    "filter_nonempty_collection",
-    "join_denormalize_m2m",
-    "join_meta_left",
-    "join_meta_pg_catalog",
-    "fn_case_when_referenced",
-    "agg_count_star",
-    "agg_fk_count_grouped",
-    "agg_group_concat_ordered",
-    "agg_group_concat_distinct",
-    "agg_pricing_summary",
-    "sort_meta_output",
-    "fn_date_normalize",
-    "fn_whitespace_normalize",
-    "src_log_text",
-    "fn_regex_log_extract_mysql",
-    "fn_regex_log_extract_pg",
-    "filter_statement_type",
-    "fn_sql_tablelist",
-    "fn_split_tableref",
-    "filter_dml_type",
-    "agg_workload_gaf_uaf",
-    "agg_maf_scalar",
-    "ext_window_rank",
-    "ext_window_lag_lead",
-    "ext_tumbling_agg",
-    "ext_sliding_agg",
-    "ext_session_agg",
-    "ext_grouping_sets",
-    "ext_cube",
-    "ext_window_running",
-    "ext_setops",
-    "ext_json_extract",
-    "ext_percentiles",
-    "ext_text_tokens",
-    "ext_split_assign",
-    "ext_token_bigrams",
-    "ext_text_unigram_logprob",
-    "ext_text_tfidf_top",
-    "ext_dedup_common_ngrams",
-    "ext_dedup_components",
-    "ext_dedup_embedding",
-    "ext_dedup_embedding_lsh",
     "ext_knn_classify",
-    "ext_stream_enrich_agg",
-    "ext_stream_interval_join",
+    "ext_knn_classify_indexed",
+    "ext_embed_pq",
+    "stream_to_json_files",
+    "ext_curation_pipeline",
+    "ext_graph_pagerank",
+    "ext_domain_mix_temperature",
+    "ext_pack_sequences",
+    "src_full_scan",
+    "src_sql_dump_import",
+    "src_indexed_lookup",
+    "src_csv_import",
+    "src_jsonl_import",
+    "src_parquet_mergeschema",
+    "ext_fk_orphan_audit",
+    "ext_migrate_reconcile",
+    "ext_fuzzy_join_names",
+    "ext_profile_table",
+    "ext_skew_report",
+    "proj_attribute_select",
+    "proj_drop_fk_column",
+    "ext_corr_stats",
+    "ext_events_funnel",
+    "ext_events_retention",
+    "ext_events_attribution",
+    "ext_events_sessionize",
+    "ext_session_paths",
+    "ext_events_transitions",
+    "ext_events_anomaly",
+    "ext_pivot",
+    "ext_unpivot",
+    "ext_histogram",
+    "ext_moving_avg",
+    "ext_text_bigram_logprob",
+    "ext_text_chunk",
+    "ext_text_quality_score",
+    "ext_dedup_dup_rate",
+    "ext_dedup_canonical",
+    "ext_dedup_minhash",
+    "ext_dedup_containment",
+    "ext_dedup_minhash_incremental",
+    "ext_embed_centroids",
 )
 
 

@@ -102,7 +102,21 @@ def _emb(spark, sf_dir, spread: bool = False):
         # input file layout (a single-file corpus reads as one partition).
         # Repartition BEFORE the projection so the cast — and everything
         # downstream — runs post-exchange.
-        emb = emb.repartition(spark.sparkContext.defaultParallelism)
+        #
+        # HASH on vec_id, not round-robin (r13, guide §2.4 share one
+        # exchange): vec_id is unique so the spread is as even, the
+        # exchange skips round-robin's sortBeforeRepartition local sort,
+        # and hashpartitioning(vec_id) survives the broadcast-join
+        # centroid scoring into _assign's row_number window
+        # partitionBy(vec_id-alias) — the window (and, on the ivfpq
+        # query path, the per-query distance-table groupBy) then reuses
+        # THIS exchange instead of adding its own. Values are
+        # partitioning-independent everywhere downstream (decimal
+        # sums/means, min_by argmins, rank-windows with total
+        # orderings).
+        emb = emb.repartition(
+            spark.sparkContext.defaultParallelism, "vec_id"
+        )
     return emb.select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
@@ -904,8 +918,14 @@ def q_ext_similarity_ivfpq_indexed(spark, sf_dir):
     # spread). The exchange itself moves only the guard-bounded query
     # set (hundreds of rows). Explicit numPartitions: an AQE-coalesced
     # exchange of a 20 KB frame would funnel straight back to 1 task.
+    # HASH on vec_id (r13, guide §2.4): unique key = same spread as
+    # round-robin, but hashpartitioning(vec_id) is inherited through
+    # the probe BNLJ and the per-query projections, so the probe
+    # row_number window (partitionBy query_id = vec_id alias) and the
+    # distance-table groupBy(query_id) both reuse THIS exchange instead
+    # of re-shuffling the query frame once each.
     qf = emb.filter(F.col("vec_id") % QUERY_STRIDE == 0).repartition(
-        _parallelism(spark)
+        _parallelism(spark), "vec_id"
     )
     qn = (
         qf.select("vec_id", F.expr(_NORM).alias("nrm"), "v")

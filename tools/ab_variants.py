@@ -447,3 +447,175 @@ def q_ivfpq_indexed_unspread_queries(spark, sf_dir):
         rer.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= S.IVFPQ_TOP_K)
     )
+
+
+def q_basket_pairs_r12_structpair(spark, sf_dir):
+    """r12 shape of ext_basket_pairs: the ordered pair crosses the
+    rollup exchange as a two-column struct projection (part_a, part_b)
+    instead of the r13 packed BIGINT."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.relational import (
+        BASKET_MIN_SUPPORT,
+    )
+
+    baskets = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ids"))
+    )
+    pairs_expr = (
+        "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2,"
+        " size(ids)), y -> struct(x AS part_a, y AS part_b))))"
+    )
+    return (
+        baskets.select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.part_a", "p.part_b")
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= BASKET_MIN_SUPPORT)
+    )
+
+
+def q_text_entropy_r12_exploded(spark, sf_dir):
+    """r12 shape of ext_text_entropy: one exploded row per character into
+    two groupBys (vs the r13 in-array sorted-run histogram)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import t
+
+    docs = (
+        t(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.length("text") > 0)
+    )
+    ch = docs.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("total"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text)),"
+                " i -> substring(text, i, 1))"
+            )
+        ).alias("c"),
+    )
+    counts = ch.groupBy("doc_id", "total", "c").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    p = F.col("cnt").cast("double") / F.col("total")
+    term = F.round(-p * F.log(p), 9)
+    return counts.groupBy("doc_id", "total").agg(
+        F.round(
+            F.sum(term.cast("decimal(18,9)"))
+            .cast("decimal(28,9)")
+            .cast("double"),
+            6,
+        ).alias("entropy"),
+        F.count(F.lit(1)).alias("n_distinct_chars"),
+    ).select(
+        "doc_id", F.col("total").alias("n_chars"), "entropy",
+        "n_distinct_chars",
+    )
+
+
+def q_ivfpq_indexed_roundrobin_spread(spark, sf_dir):
+    """The r12 (82f2b2a) shape of ext_similarity_ivfpq_indexed: the
+    filtered query rows spread with a KEYLESS round-robin repartition —
+    the probe row_number window and the distance-table groupBy then each
+    re-shuffle the query frame on query_id (vs the r13 hash-on-vec_id
+    spread both reuse). Same values."""
+    import os
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as S,
+    )
+
+    idx = S.build_ivfpq_index(spark, sf_dir)
+    cents = spark.read.parquet(os.path.join(idx, "centroids"))
+    inverted = spark.read.parquet(os.path.join(idx, "inverted"))
+    codebook = spark.read.parquet(os.path.join(idx, "codebook"))
+    codes = spark.read.parquet(os.path.join(idx, "codes")) \
+        .withColumnRenamed("vec_id", "cand_id")
+    emb = S._emb(spark, sf_dir)
+    qf = emb.filter(F.col("vec_id") % S.QUERY_STRIDE == 0).repartition(
+        S._parallelism(spark)
+    )
+    qn = (
+        qf.select("vec_id", F.expr(S._NORM).alias("nrm"), "v")
+        .select("vec_id", F.expr("transform(v, x -> x / nrm)").alias("v"))
+    )
+    probes = S._assign(qn, cents, "query_id", "prank", S.N_PROBE)
+    dtab = (
+        S._pq_slices(qn)
+        .withColumnRenamed("vec_id", "query_id")
+        .join(F.broadcast(codebook),
+              F.col("subspace") == F.col("cb_subspace"))
+        .select("query_id", "subspace", "code",
+                F.expr(S._PQ_L2).alias("d"))
+    )
+    cand = S._dedup_candidates(spark, sf_dir, probes, inverted)
+    adc = S._adc_wide(cand, codes, dtab)
+    ws = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("cand_id")
+    )
+    short = (
+        adc.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= S.ADC_SHORTLIST)
+        .select("query_id", "cand_id")
+    )
+    qv = emb.filter(F.col("vec_id") % S.QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    cv = emb.select(F.col("vec_id").alias("cand_id"), F.col("v").alias("cv"))
+    rer = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "cand_id")
+        .select("query_id", "cand_id", S._cosine_expr().alias("cosine"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("cand_id"))
+    return (
+        rer.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= S.IVFPQ_TOP_K)
+    )
+
+
+def q_text_pmi_r12_twopass(spark, sf_dir):
+    """r12 shape of ext_text_pmi: the corpus scanned+tokenized TWICE —
+    one unigram-count explode and one concat-string bigram-count explode
+    (vs the r13 fused single-pass combined count)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.text import (
+        PMI_MIN_COUNT,
+        docs_tokenized,
+        spread_for,
+    )
+
+    docs = docs_tokenized(spark, sf_dir, spread=spread_for(sf_dir))
+    bigrams_expr = (
+        "transform(slice(tk, 1, greatest(size(tk) - 1, 0)),"
+        " (x, i) -> concat(x, ' ', element_at(tk, i + 2)))"
+    )
+    bg = docs.select(F.explode(F.expr(bigrams_expr)).alias("bigram"))
+    uni = docs.select(F.explode("tk").alias("tok"))
+    c12 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    t_uni = c1.agg(F.sum("c").alias("t_uni"))
+    t_bg = c12.agg(F.sum("c12").alias("t_bg"))
+    pairs = (
+        c12.filter(F.col("c12") >= PMI_MIN_COUNT)
+        .withColumn("w1", F.element_at(F.split("bigram", " "), 1))
+        .withColumn("w2", F.element_at(F.split("bigram", " "), 2))
+        .join(c1.withColumnRenamed("tok", "w1")
+                .withColumnRenamed("c", "c1"), "w1")
+        .join(c1.withColumnRenamed("tok", "w2")
+                .withColumnRenamed("c", "c2"), "w2")
+        .crossJoin(F.broadcast(t_uni))
+        .crossJoin(F.broadcast(t_bg))
+    )
+    ratio = (
+        F.col("c12").cast("double") * F.col("t_uni") * F.col("t_uni")
+        / (F.col("t_bg").cast("double") * F.col("c1") * F.col("c2"))
+    )
+    return pairs.select(
+        "bigram", "c12", F.round(F.log(ratio), 6).alias("pmi")
+    )
