@@ -619,3 +619,64 @@ def q_text_pmi_r12_twopass(spark, sf_dir):
     return pairs.select(
         "bigram", "c12", F.round(F.log(ratio), 6).alias("pmi")
     )
+
+
+def q_similarity_ivf_r13pre_double_shuffle(spark, sf_dir):
+    """The pre-r13 tail of ext_similarity_ivf: bare .distinct() (all-key
+    exchange) followed by the query_id window's own exchange — two wide
+    shuffles of the scored-candidate frame (vs the shared query_id
+    repartition). Same values."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        similarity as S,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+    )
+
+    S._guard_query_set(sf_dir, "ext_similarity_ivf",
+                       bytes_per_query=S.N_PROBE * S.VEC_ROW_BYTES)
+    emb = S._emb(spark, sf_dir, spread=True)
+    n_vec = footer_rows(sf_dir, "embeddings")
+    ncent = S.n_centroids(n_vec)
+    cents = emb.filter(F.col("vec_id") < ncent).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+    )
+    inverted = S._assign(emb, cents, "cand_id", "arank", S.N_ASSIGN,
+                         pairs_hint=n_vec * ncent).join(
+        emb.select(F.col("vec_id").alias("cand_id"),
+                   F.col("v").alias("cv"),
+                   F.sqrt(F.expr(S._unrolled_dot("v", "v"))).alias("cnrm")),
+        "cand_id",
+    )
+    queries = emb.filter(F.col("vec_id") % S.QUERY_STRIDE == 0)
+    probes = S._assign(queries, cents, "query_id", "prank",
+                       S.N_PROBE).join(
+        queries.select(F.col("vec_id").alias("query_id"),
+                       F.col("v").alias("qv"),
+                       F.sqrt(F.expr(S._unrolled_dot("v", "v")))
+                       .alias("qnrm")),
+        "query_id",
+    )
+    scored = (
+        probes.join(inverted, "cent_id")
+        .filter(F.col("query_id") != F.col("cand_id"))
+        .select(
+            "query_id", "cand_id",
+            F.round(
+                F.expr(S._unrolled_dot("qv", "cv"))
+                / (F.col("qnrm") * F.col("cnrm")),
+                6,
+            ).alias("cosine"),
+        )
+        .distinct()
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("cand_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= S.IVF_TOP_K)
+    )
