@@ -45,15 +45,18 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 #
 # Round-13 window: ROUND_CHANGED_IDS promotes (a) the eleven ids whose
 # plans changed THIS round — the packed-BIGINT basket-pair rollup, the
-# in-array entropy histogram, the fused single-pass PMI counting, and
+# in-array entropy histogram, PMI (fused variant tried mid-round and
+# reverted; promoted out of caution), and
 # the similarity family whose spread repartitions went keyless
 # round-robin -> hash-on-vec_id (topk, lsh, ivf, ivfpq, ivfpq_indexed,
 # both knn ids, embed_pq) — and (b) the three r12 rewrites the r12
 # window rotation predated (VERDICT r12 item 3: rewritten AFTER the
 # rotation, so the driver never re-proved their new shapes):
 # graph_pagerank, curation_pipeline, stream_to_json_files
-# (ext_basket_pairs, the fourth, is already in (a)). The remaining 36
-# slots are stalest-first over the post-r12 ledger.
+# (ext_basket_pairs, the fourth, is already in (a)), and (c)
+# ext_dedup_containment, whose posting self-join was replaced by
+# in-bucket pair expansion later in r13. The remaining 35 slots are
+# stalest-first over the post-r12 ledger.
 WINDOW_LEDGER_MAX = 12
 
 ROUND_CHANGED_IDS = (
@@ -71,12 +74,14 @@ ROUND_CHANGED_IDS = (
     "ext_graph_pagerank",
     "ext_curation_pipeline",
     "stream_to_json_files",
+    "ext_dedup_containment",
 )
 
 DRIVER_WINDOW_FIRST = (
     "ext_basket_pairs",
     "ext_text_entropy",
     "ext_text_pmi",
+    "ext_dedup_containment",
     "ext_similarity_topk",
     "ext_similarity_lsh",
     "ext_similarity_ivf",
@@ -121,7 +126,6 @@ DRIVER_WINDOW_FIRST = (
     "ext_dedup_dup_rate",
     "ext_dedup_canonical",
     "ext_dedup_minhash",
-    "ext_dedup_containment",
     "ext_dedup_minhash_incremental",
     "ext_embed_centroids",
 )

@@ -75,6 +75,24 @@ def test_basket_pairs_packs_pair_key(spark):
     assert "shiftrightunsigned" in plan, plan
 
 
+def test_dedup_containment_expands_pairs_in_bucket(spark):
+    # r13 (guide §2.4): the capped posting SELF-JOIN on the shingle key
+    # was replaced by in-bucket ordered-pair expansion (collect_list per
+    # shingle + in-array ordered-pair explode). The initial-plan print
+    # duplicates the shared `rare` subtree per consumer (overlap + two
+    # sizes sides), so SMJ occurrences are 5 here: 3 df-cap-join copies
+    # + the doc_a and doc_b sizes joins. The superseded self-join shape
+    # printed 7 (the self-join plus two MORE df-cap-join copies under
+    # its pa/pb sides); its defining nodes are asserted absent via the
+    # in-array markers below.
+    plan = _plan(spark, "ext_dedup_containment")
+    assert plan.count("SortMergeJoin") == 5, plan
+    assert "collect_list" in plan, plan
+    # the pair expansion happens in-array (one Generate over the bucket
+    # arrays), feeding the pair-count aggregation in-stage.
+    assert "flatten(transform(ids" in plan, plan
+
+
 def test_text_entropy_is_aggregation_free(spark):
     # r13 (guide §2.4): the char histogram is computed in-array per
     # document (sorted-run diffs), so the plan holds NO aggregation at

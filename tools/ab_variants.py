@@ -680,3 +680,116 @@ def q_similarity_ivf_r13pre_double_shuffle(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= S.IVF_TOP_K)
     )
+
+
+def q_dedup_containment_r12_selfjoin(spark, sf_dir):
+    """SUPERSEDED shape (pre-r13): the capped posting SELF-JOIN on the
+    shingle key (merge-hinted SMJ sorting both posting sides) that the
+    registered query replaced with in-bucket ordered-pair expansion
+    (minhash_pairs_from / basket_pairs pattern). Adjudication:
+    interleaved A/B, in-array over this shape 1.13x at sf1.0 /
+    1.09x at sf10; values bit-identical at sf0.001/0.01/0.1."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        dedup as d,
+    )
+
+    sh = (
+        d._shingle_df(spark, sf_dir)
+        .select("doc_id", F.explode("sh").alias("s"))
+        .distinct()
+    )
+    df_counts = sh.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    rare = sh.join(
+        df_counts.filter(F.col("df") <= d.CONTAIN_DF_CAP).hint("merge"), "s"
+    ).select("doc_id", "s")
+    sizes = rare.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    pa = rare.select(F.col("doc_id").alias("doc_a"), "s")
+    pb = rare.select(F.col("doc_id").alias("doc_b"), "s")
+    overlap = (
+        pa.join(pb.hint("merge"), "s")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"),
+                      F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"),
+                      F.col("n_sh").alias("n_b"))
+    return (
+        overlap.join(sa.hint("merge"), "doc_a")
+        .join(sb.hint("merge"), "doc_b")
+        .select(
+            "doc_a", "doc_b", "shared",
+            F.round(
+                F.col("shared").cast("double") / F.least("n_a", "n_b"), 6
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= d.CONTAIN_THRESHOLD)
+    )
+
+
+def q_fuzzy_join_names_inarray(spark, sf_dir):
+    """REJECTED candidate (r13): the SymSpell deletion-key self-join over
+    distinct names replaced by in-bucket ordered-pair expansion (the
+    containment/minhash pattern). Measured 1.64x SLOWER than the
+    registered self-join at sf1.0 (interleaved A/B, trimmed medians
+    7.51 vs 4.58 s): the distinct-name frame is tiny (~|names| x ~20
+    deletion keys), so the SMJ sorts it replaces are cheap while
+    collect_list + array_sort + nested-transform pair expansion run in
+    the INTERPRETED higher-order-function path per micro-bucket. The
+    pattern pays off on posting lists (containment), not on small
+    blocking frames. Kept for re-adjudication. Values identical: per
+    deletion key the (nm, k) rows are unique (keys array_distinct'd per
+    name), so the in-array (x, y in slice(i+2..)) pairs are exactly the
+    join's na < nb rows and the downstream .distinct() sees the
+    identical multiset."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        relational as r,
+    )
+
+    cust = (
+        r.t(spark, sf_dir, "customer")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
+    )
+    dn = cust.select("nm").distinct()
+    keys = dn.select(
+        "nm", F.explode(F.array_distinct(F.expr(r._DELETE_KEYS))).alias("k")
+    )
+    pairs_expr = (
+        "flatten(transform(ns, (x, i) -> transform(slice(ns, i + 2,"
+        " size(ns)), y -> struct(x AS na, y AS nb))))"
+    )
+    cross = (
+        keys.groupBy("k")
+        .agg(F.array_sort(F.collect_list("nm")).alias("ns"))
+        .filter(F.size("ns") > 1)
+        .select(F.explode(F.expr(pairs_expr)).alias("p"))
+        .select("p.na", "p.nb")
+        .distinct()
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= r.FUZZY_MAX_DIST)
+    )
+    both_orders = cross.select(
+        F.explode(F.array(
+            F.struct(F.col("na"), F.col("nb"), F.col("d")),
+            F.struct(F.col("nb").alias("na"), F.col("na").alias("nb"),
+                     F.col("d")),
+        )).alias("p")
+    ).select("p.*")
+    ordered = both_orders.unionByName(
+        dn.select(F.col("nm").alias("na"), F.col("nm").alias("nb"),
+                  F.lit(0).alias("d"))
+    )
+    a = cust.select(F.col("id").alias("id_a"), F.col("nm").alias("na"))
+    b = cust.select(F.col("id").alias("id_b"), F.col("nm").alias("nb"))
+    return (
+        a.join(ordered, "na")
+        .join(b, "nb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.col("na").alias("name_a"), F.col("nb").alias("name_b"),
+            F.col("d").cast("int").alias("distance"),
+        )
+    )
