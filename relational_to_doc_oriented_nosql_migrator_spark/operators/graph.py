@@ -173,12 +173,38 @@ def q_ext_graph_pagerank(spark, sf_dir):
     # persist Spark would redo the orders|><|lineitem join + distinct for
     # every consumer (4x scans at ITERS=3). Cached spill-safely; bench
     # clears caches between runs.
-    e = _edges(spark, sf_dir).persist()
+    #
+    # r13 (guide §2.3 — aggregate before you shuffle, fully): on the
+    # BROADCAST branch the per-iteration join preserves the streamed
+    # (edge) side's layout, so caching the edges HASH-PARTITIONED ON dst
+    # makes every iteration's partial aggregation see ALL rows of a dst
+    # in one partition — each iteration exchange then ships exactly
+    # |nodes| partial rows instead of up to |nodes| x n_partitions
+    # (edge-frame order, not small). The exchanges themselves cannot be
+    # ELIDED: Spark 4's AQE wraps cached plans, and InMemoryTableScan
+    # does not forward the cached hashpartitioning to consumers even
+    # with canChangeCachedPlanOutputPartitioning=false (verified
+    # empirically — a cached repartition("k") + groupBy("k") still plans
+    # an ENSURE_REQUIREMENTS exchange), so the win is the partial-agg
+    # collapse, not a removed shuffle. Gated on the SAME node-count
+    # bound as the broadcast hint: above it the join shuffles both sides
+    # on src, which would destroy the dst layout and strand the upfront
+    # repartition. Interleaved A/B: 1.79x at sf0.1, 1.24x at sf1.0;
+    # values partitioning-independent (exact integer aggregation). The
+    # footer-less fallback (planted test graphs) keeps the unpartitioned
+    # cache — the node count is unknown until after materialization
+    # there, and values are identical either way.
     try:
         n_nodes = footer_rows(sf_dir, "customer") + footer_rows(
             sf_dir, "supplier"
         )
     except FileNotFoundError:
+        n_nodes = None
+    base = _edges(spark, sf_dir)
+    if n_nodes is not None and n_nodes <= PAGERANK_BROADCAST_MAX_NODES:
+        base = base.repartition(F.col("dst"))
+    e = base.persist()
+    if n_nodes is None:
         # Planted graphs (tests) ship only orders/lineitem: fall back to
         # the exact metadata-scale count, which doubles as the
         # edge-cache warmer.

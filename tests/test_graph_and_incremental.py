@@ -297,3 +297,39 @@ def test_incremental_agg_empty_delta(spark, tmp_path):
         ("2024-08-07", "click"): (2, 4.0),
         ("2024-08-08", "view"): (1, 4.0),
     }
+
+
+def test_pagerank_footer_path_partitions_edge_cache_by_dst(spark):
+    """r13: below the broadcast gate the registered query caches the
+    symmetrized edge frame hash-partitioned on dst, so each iteration's
+    partial aggregation collapses to one row per node before its
+    exchange (the planted-graph tests above exercise the footer-less
+    fallback, which keeps the unpartitioned cache). Pin the layout on
+    the real footer-backed testdata and the value parity between the
+    two cache layouts."""
+    from pyspark.sql import functions as F
+
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+    )
+    from tests.conftest import SF0001
+
+    n = footer_rows(SF0001, "customer") + footer_rows(SF0001, "supplier")
+    assert n <= G.PAGERANK_BROADCAST_MAX_NODES  # testdata sits below the gate
+
+    # the registered builder's gated cache layout
+    e = G._edges(spark, SF0001).repartition(F.col("dst")).persist()
+    try:
+        frame = G._pagerank_frame(e, n)
+        plan = frame._jdf.queryExecution().sparkPlan().toString()
+        assert "REPARTITION_BY_COL" in plan, plan
+        assert "hashpartitioning(dst" in plan, plan
+        partitioned = {r.node: r.pagerank for r in frame.collect()}
+    finally:
+        e.unpersist()
+
+    via_query = {
+        r.node: r.pagerank
+        for r in G.q_ext_graph_pagerank(spark, SF0001).collect()
+    }
+    assert via_query == partitioned

@@ -793,3 +793,35 @@ def q_fuzzy_join_names_inarray(spark, sf_dir):
             F.col("d").cast("int").alias("distance"),
         )
     )
+
+
+def q_graph_pagerank_r12_unpartitioned_cache(spark, sf_dir):
+    """SUPERSEDED shape (pre-r13-continuation): the edge cache persisted
+    in its build layout, so every iteration's partial aggregation sees
+    each dst's rows scattered over all partitions and its exchange
+    ships up to |nodes| x n_partitions partial rows. The registered
+    query now caches the edges hash-partitioned on dst on the broadcast
+    branch, collapsing each iteration's partial agg to exactly |nodes|
+    rows (the exchange itself stays — Spark 4's AQE-wrapped caches
+    never forward partitioning to consumers; see the graph.py comment).
+    Adjudication (interleaved A/B, dst-partitioned over this shape):
+    1.79x at sf0.1, 1.24x at sf1.0; values bit-identical (exact
+    integer aggregation, partitioning-independent)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        graph as g,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+    )
+
+    e = g._edges(spark, sf_dir).persist()
+    try:
+        n_nodes = footer_rows(sf_dir, "customer") + footer_rows(
+            sf_dir, "supplier"
+        )
+    except FileNotFoundError:
+        n_nodes = e.select("src").distinct().count()
+    out = g._pagerank_frame(e, n_nodes)
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

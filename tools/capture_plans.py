@@ -97,10 +97,17 @@ def main() -> int:
 
                 # persist like the registered query does — the executed
                 # plan reads the edge cache, not the raw edge lineage
-                e = graph._edges(spark, args.sf_dir).persist()
+                # (r13: dst-partitioned below the broadcast gate, so the
+                # iteration aggregations reuse the cached partitioning)
+                from pyspark.sql import functions as F
+
                 n = footer_rows(args.sf_dir, "customer") + footer_rows(
                     args.sf_dir, "supplier"
                 )
+                base = graph._edges(spark, args.sf_dir)
+                if n <= graph.PAGERANK_BROADCAST_MAX_NODES:
+                    base = base.repartition(F.col("dst"))
+                e = base.persist()
                 df = graph._pagerank_frame(e, n)
             else:
                 df = registry[qid](spark, args.sf_dir)
