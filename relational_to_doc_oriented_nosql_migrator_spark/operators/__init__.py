@@ -55,7 +55,8 @@ MODULES = (relational, workload_ops, windows, text, dedup, similarity,
 # graph_pagerank, curation_pipeline, stream_to_json_files
 # (ext_basket_pairs, the fourth, is already in (a)), and (c)
 # ext_dedup_containment, whose posting self-join was replaced by
-# in-bucket pair expansion later in r13. The remaining 35 slots are
+# in-bucket pair expansion later in r13, and ext_fuzzy_join_names,
+# whose spread went round-robin -> hash-on-name. The remaining slots are
 # stalest-first over the post-r12 ledger.
 WINDOW_LEDGER_MAX = 12
 
@@ -75,9 +76,11 @@ ROUND_CHANGED_IDS = (
     "ext_curation_pipeline",
     "stream_to_json_files",
     "ext_dedup_containment",
+    "ext_fuzzy_join_names",
 )
 
 DRIVER_WINDOW_FIRST = (
+    "ext_fuzzy_join_names",
     "ext_basket_pairs",
     "ext_text_entropy",
     "ext_text_pmi",
@@ -103,7 +106,6 @@ DRIVER_WINDOW_FIRST = (
     "src_parquet_mergeschema",
     "ext_fk_orphan_audit",
     "ext_migrate_reconcile",
-    "ext_fuzzy_join_names",
     "ext_profile_table",
     "ext_skew_report",
     "proj_attribute_select",

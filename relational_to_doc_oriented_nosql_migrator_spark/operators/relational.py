@@ -400,9 +400,23 @@ def q_ext_fuzzy_join_names(spark, sf_dir):
     dup_rate class); the expansion joins carry post-shuffle frames with
     honest stats, so Catalyst's broadcast choice there scales safely.
     """
+    # r13: the spread is HASH ON c_name, not round-robin — every
+    # downstream step is name-keyed (the distinct over nm, the
+    # id-expansion joins on na/nb), so the name-hashed layout lets the
+    # distinct's partial dedup collapse fully per partition and feeds
+    # the expansion joins (the dominant cost: the id-pair output is
+    # quadratic per name group) without a relayout; round-robin's
+    # sortBeforeRepartition local sort also disappears. Interleaved
+    # A/B vs round-robin: 1.20x at sf1.0, 1.46x at sf10 (B won every
+    # rep). Placement-only change — values identical. Name-skew note:
+    # a hot name concentrates cust rows on one partition, but the
+    # heavy per-row work (deletion-key explode, levenshtein) runs on
+    # the DISTINCT-names frame, a hot name's quadratic id-pair output
+    # dominates any input-layout effect in both shapes, and AQE's
+    # skew-join splitting covers the expansion joins.
     cust = (
         t(spark, sf_dir, "customer")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(F.col("c_name"))
         .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
     )
     dn = cust.select("nm").distinct()

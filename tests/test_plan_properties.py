@@ -93,6 +93,16 @@ def test_dedup_containment_expands_pairs_in_bucket(spark):
     assert "flatten(transform(ids" in plan, plan
 
 
+def test_fuzzy_join_spread_is_name_keyed(spark):
+    # r13: the customer spread hashes on c_name (every downstream step
+    # is name-keyed — distinct over nm, id-expansion joins on na/nb),
+    # replacing the keyless round-robin whose layout none of them could
+    # use (and whose sortBeforeRepartition local sort was pure cost).
+    plan = _plan(spark, "ext_fuzzy_join_names")
+    assert "RoundRobinPartitioning" not in plan, plan
+    assert "hashpartitioning(c_name" in plan, plan
+
+
 def test_text_entropy_is_aggregation_free(spark):
     # r13 (guide §2.4): the char histogram is computed in-array per
     # document (sorted-run diffs), so the plan holds NO aggregation at

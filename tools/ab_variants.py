@@ -825,3 +825,60 @@ def q_graph_pagerank_r12_unpartitioned_cache(spark, sf_dir):
     out = out.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def q_fuzzy_join_names_r12_roundrobin_spread(spark, sf_dir):
+    """SUPERSEDED shape (pre-r13-continuation): the customer spread as
+    keyless round-robin. The registered query now hashes the spread on
+    c_name — every downstream step is name-keyed, so the name-hashed
+    layout collapses the distinct's partial dedup per partition and
+    feeds the id-expansion joins without a relayout. Adjudication
+    (interleaved A/B, nm-spread over this shape): **1.20x at sf1.0,
+    1.46x at sf10**, new side won every rep pairwise at both scales.
+    Values identical (placement-only)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        relational as r,
+    )
+
+    cust = (
+        r.t(spark, sf_dir, "customer")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("c_custkey").alias("id"), F.col("c_name").alias("nm"))
+    )
+    dn = cust.select("nm").distinct()
+    keys = dn.select(
+        "nm", F.explode(F.array_distinct(F.expr(r._DELETE_KEYS))).alias("k")
+    )
+    ka = keys.select(F.col("nm").alias("na"), "k")
+    kb = keys.select(F.col("nm").alias("nb"), "k")
+    cross = (
+        ka.join(kb.hint("merge"), "k")
+        .filter(F.col("na") < F.col("nb"))
+        .select("na", "nb")
+        .distinct()
+        .withColumn("d", F.levenshtein("na", "nb"))
+        .filter(F.col("d") <= r.FUZZY_MAX_DIST)
+    )
+    both_orders = cross.select(
+        F.explode(F.array(
+            F.struct(F.col("na"), F.col("nb"), F.col("d")),
+            F.struct(F.col("nb").alias("na"), F.col("na").alias("nb"),
+                     F.col("d")),
+        )).alias("p")
+    ).select("p.*")
+    ordered = both_orders.unionByName(
+        dn.select(F.col("nm").alias("na"), F.col("nm").alias("nb"),
+                  F.lit(0).alias("d"))
+    )
+    a = cust.select(F.col("id").alias("id_a"), F.col("nm").alias("na"))
+    b = cust.select(F.col("id").alias("id_b"), F.col("nm").alias("nb"))
+    return (
+        a.join(ordered, "na")
+        .join(b, "nb")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.col("na").alias("name_a"), F.col("nb").alias("name_b"),
+            F.col("d").cast("int").alias("distance"),
+        )
+    )
