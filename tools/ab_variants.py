@@ -882,3 +882,49 @@ def q_fuzzy_join_names_r12_roundrobin_spread(spark, sf_dir):
             F.col("d").cast("int").alias("distance"),
         )
     )
+
+
+def q_mm_decode_features_keyed_spread(spark, sf_dir):
+    """REJECTED candidate (r13 continuation): multimodal._spread hashed
+    on the unique doc_id instead of round-robin. Interleaved A/B at
+    sf1.0: 0.88 vs 0.835 s trimmed medians — flat within noise on a
+    sub-second op; unlike the fuzzy-join swap, nothing downstream is
+    doc_id-keyed, so the only candidate saving was round-robin's
+    sortBeforeRepartition local sort, which does not measure on these
+    blob sizes. Round-robin kept (no change, no risk)."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        multimodal as M,
+    )
+
+    orig = M._spread
+    M._spread = lambda spark_, df: df.repartition(
+        spark_.sparkContext.defaultParallelism, "doc_id"
+    )
+    try:
+        return M.q_ext_mm_decode_features(spark, sf_dir)
+    finally:
+        M._spread = orig
+
+
+def q_dedup_minhash_keyed_spread(spark, sf_dir):
+    """REJECTED candidate (r13 continuation): dedup._spread hashed on
+    the unique doc_id instead of round-robin. Interleaved A/B on
+    ext_dedup_minhash at sf1.0: 1.17 vs 1.18 s trimmed medians — FLAT
+    (1.009). The downstream shingle/band aggregations key on exploded
+    shingle/bucket values (explode preserves row locality either way),
+    and the verify join on doc_id cannot reuse a cached layout (Spark
+    4's AQE-wrapped caches never forward partitioning — the pagerank
+    entry's finding), so only the round-robin pre-sort was in play and
+    it does not measure. Round-robin kept."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        dedup as D,
+    )
+
+    orig = D._spread
+    D._spread = lambda spark_, df: df.repartition(
+        spark_.sparkContext.defaultParallelism, "doc_id"
+    )
+    try:
+        return D.q_ext_dedup_minhash(spark, sf_dir)
+    finally:
+        D._spread = orig
