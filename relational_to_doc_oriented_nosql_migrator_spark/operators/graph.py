@@ -116,7 +116,18 @@ def _pagerank_frame(e: DataFrame, n_nodes: int) -> DataFrame:
     # adjudicated A/B + oracle-hash-checked).
     small = n_nodes <= PAGERANK_BROADCAST_MAX_NODES
     hint = F.broadcast if small else (lambda df: df)
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # r13: the deg seed groups by DST, not src. On the symmetrized
+    # graph every (s, d) has its (d, s) mirror, so count-by-dst ==
+    # count-by-src per node over the identical node set — and on the
+    # dst-partitioned edge cache (q_ext_graph_pagerank) the partial
+    # aggregation collapses to one row per node, where the src grouping
+    # saw each node's rows scattered across every partition
+    # (interleaved A/B: 1.32x at sf0.1, 1.05x at sf1.0, never slower;
+    # neutral above the gate where the cache is unpartitioned).
+    deg = (
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("dst").alias("src"), "deg")
+    )
     n = deg.agg(F.count(F.lit(1)).alias("n"))
     teleport = F.expr(f"CAST({TELEPORT_NUM} AS BIGINT) * {UNIT // 100} DIV n")
     state = (

@@ -928,3 +928,81 @@ def q_dedup_minhash_keyed_spread(spark, sf_dir):
         return D.q_ext_dedup_minhash(spark, sf_dir)
     finally:
         D._spread = orig
+
+
+def q_graph_pagerank_deg_by_dst(spark, sf_dir):
+    """LANDED (r13 continuation) — kept as the adjudication artifact:
+    the deg seed aggregation grouped by dst instead of src, measured
+    against the then-registered src-grouped shape (A/B: 1.32x at
+    sf0.1, 1.05x at sf1.0; cumulative landed pagerank vs the r12
+    unpartitioned-cache shape 3.70 -> 1.75 s = 2.11x at sf0.1). On the
+    symmetrized graph every (s, d) has its (d, s) mirror, so
+    count-by-dst == count-by-src per node over the identical node set —
+    and on the dst-partitioned cache the partial agg collapses to one
+    row per node (the src grouping sees each node's rows scattered
+    across all partitions). This function now mirrors the registered
+    query's shape."""
+    from relational_to_doc_oriented_nosql_migrator_spark.operators import (
+        graph as g,
+    )
+    from relational_to_doc_oriented_nosql_migrator_spark.operators.common import (
+        footer_rows,
+    )
+
+    try:
+        n_nodes = footer_rows(sf_dir, "customer") + footer_rows(
+            sf_dir, "supplier"
+        )
+    except FileNotFoundError:
+        n_nodes = None
+    base = g._edges(spark, sf_dir)
+    if n_nodes is not None and n_nodes <= g.PAGERANK_BROADCAST_MAX_NODES:
+        base = base.repartition(F.col("dst"))
+    e = base.persist()
+    if n_nodes is None:
+        n_nodes = e.select("src").distinct().count()
+
+    small = n_nodes <= g.PAGERANK_BROADCAST_MAX_NODES
+    hint = F.broadcast if small else (lambda df: df)
+    deg = (
+        e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("dst").alias("src"), "deg")
+    )
+    n = deg.agg(F.count(F.lit(1)).alias("n"))
+    teleport = F.expr(
+        f"CAST({g.TELEPORT_NUM} AS BIGINT) * {g.UNIT // 100} DIV n"
+    )
+    state = (
+        deg.crossJoin(F.broadcast(n))
+        .select(
+            F.col("src").alias("node"), "deg",
+            teleport.alias("tel"),
+            F.expr(f"CAST({g.UNIT} AS BIGINT) DIV n").alias("units"),
+        )
+    )
+    for _ in range(g.ITERS):
+        state = (
+            e.join(hint(state), e.src == state.node)
+            .groupBy("dst")
+            .agg(
+                F.sum(F.expr("units DIV deg")).alias("s"),
+                F.count(F.lit(1)).alias("deg"),
+                F.min("tel").alias("tel"),
+            )
+            .select(
+                F.col("dst").alias("node"), "deg", "tel",
+                (
+                    F.col("tel")
+                    + F.expr(f"{g.DAMPING_NUM} * s DIV {g.DAMPING_DEN}")
+                ).alias("units"),
+            )
+        )
+    out = state.select(
+        g._node_label("node").alias("node"),
+        "deg",
+        (F.col("units").cast("double") / F.lit(float(g.UNIT)))
+        .alias("pagerank"),
+    )
+    out = out.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
